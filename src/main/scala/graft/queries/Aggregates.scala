@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Canon, Tables}
+import graft.udf.WeightedAvg
+
+/** SURVEY.md §2.4 aggregations (A1–A8, A10).
+  *
+  * 100 TB notes: every groupBy here compiles to 2-phase HashAggregate
+  * (partial map-side combine → shuffle on group keys → final), so shuffle
+  * volume is |groups|·|partitions|, not |rows|. DECIMAL/BIGINT buffers are
+  * fixed-width in UnsafeRow → stay inside whole-stage codegen. A9 (the
+  * 2-phase plan shape itself) is asserted in AggregatesSpec, not a query.
+  */
+object Aggregates {
+  import Canon.{money, asLong, d, ratio}
+
+  private val li = Tables.lineitem _
+  private val ord = Tables.orders _
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 — TPC-H Q1-shaped pricing summary, exact decimal arithmetic.
+    "a1_pricing" -> ((s, dir) => {
+      val disc  = money(col("l_extendedprice")) *
+        (lit(1).cast(Canon.Money) - money(col("l_discount")))
+      // keep the product inside DECIMAL(18,4) so the next multiply does not
+      // overflow Spark's 38-digit cap (values are ≤ ~1.1e5 with 4 decimals)
+      val disc18 = disc.cast(DecimalType(18, 4))
+      val charge = disc18 * (lit(1).cast(Canon.Money) + money(col("l_tax")))
+      li(s, dir).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(asLong(col("l_quantity"))).as("sum_qty"),
+        d(sum(money(col("l_extendedprice")))).as("sum_base"),
+        d(sum(disc18)).as("sum_disc"),
+        d(sum(charge)).as("sum_charge"),
+        ratio(sum(asLong(col("l_quantity"))), count(lit(1))).as("avg_qty"),
+        ratio(sum(money(col("l_extendedprice"))), count(lit(1))).as("avg_price"),
+        ratio(sum(money(col("l_discount"))), count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A2 — global (no-group) aggregate.
+    "a2_global" -> ((s, dir) =>
+      li(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(asLong(col("l_quantity"))).as("sum_qty"),
+        d(sum(money(col("l_extendedprice")))).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))),
+
+    // A3 — exact count distinct (expands to 2 aggregates under the hood;
+    // at 100 TB prefer A4's HLL sketch when 2% error is acceptable).
+    "a3_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+             count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    // A4 — approx distinct (HLL++). Sketch internals are engine-specific →
+    // no oracle hash; AggregatesSpec property-checks it against A3 (±5%).
+    "a4_approx_distinct" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
+        .orderBy(col("event_type"))),
+
+    // A5 — collect_list, order-canonicalized then serialized to a string
+    // (string compares are engine-neutral; array encodings are not).
+    "a5_collect" -> ((s, dir) =>
+      Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+        .groupBy(col("c_nationkey"))
+        .agg(expr("array_join(transform(array_sort(collect_list(c_custkey)), x -> cast(x as string)), ',')")
+          .as("custkeys"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))),
+
+    // A6 — rollup + grouping_id.
+    "a6_rollup" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             grouping_id().cast(LongType).as("gid"))
+        .orderBy(col("gid"), col("r_name").asc_nulls_first,
+                 col("n_name").asc_nulls_first)
+    }),
+
+    // A7 — stats aggs. Spark's stddev/corr builtins fold doubles in
+    // partition order (non-deterministic bit patterns run-to-run), so the
+    // canonical form computes exact integer power sums and applies one
+    // IEEE formula — bit-stable in any engine. Builtins are still exposed
+    // (see a7b below) with a property check instead of a hash check.
+    "a7_stats" -> ((s, dir) => {
+      val q = asLong(col("l_quantity"))
+      val dc = (money(col("l_discount")) * 100).cast(LongType) // cents, exact
+      val sums = li(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(q * q).as("sxx"),
+        sum(dc).as("sy"), sum(dc * dc).as("syy"),
+        sum(q * dc).as("sxy"))
+      sums.select(
+        col("n"),
+        ratio(col("sx"), col("n")).as("mean_qty"),
+        sqrt(ratio(col("n") * col("sxx") - col("sx") * col("sx"),
+                   col("n") * (col("n") - 1))).as("stddev_qty"),
+        (ratio(col("n") * col("sxy") - col("sx") * col("sy"), lit(1)) /
+          (sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
+           sqrt(d(col("n") * col("syy") - col("sy") * col("sy")))))
+          .as("corr_qty_disc"))
+    }),
+
+    // A8 — exact interpolated percentiles, defined by one SQL formula run
+    // verbatim-equivalent in both engines (engine builtins differ in
+    // interpolation details). Uses E1 (spark.sql) entry point.
+    "a8_percentile" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(percentileSql)
+    }),
+
+    // A10 — custom typed Aggregator (weighted average) via udaf().
+    "a10_wavg" -> ((s, dir) =>
+      li(s, dir).select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast(LongType).as("cents"),
+          asLong(col("l_quantity")).as("qty"))
+        .groupBy(col("l_returnflag"))
+        .agg(WeightedAvg.fn(col("cents"), col("qty")).as("wavg_price"))
+        .orderBy(col("l_returnflag")))
+  )
+
+  /** Identical formula on both sides: linear-interpolated percentile. */
+  private val percentileSql =
+    """WITH s AS (
+      |  SELECT o_totalprice AS v,
+      |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rn,
+      |         count(*) OVER () AS n
+      |  FROM orders
+      |), ps AS (SELECT 0.50 AS p UNION ALL SELECT 0.90 UNION ALL SELECT 0.99),
+      |ix AS (
+      |  SELECT p, CAST(floor((n-1)*p) AS BIGINT) AS h,
+      |         CAST((n-1)*p - floor((n-1)*p) AS DOUBLE) AS f
+      |  FROM ps CROSS JOIN (SELECT max(n) AS n FROM s) t
+      |)
+      |SELECT CAST(ix.p AS DOUBLE) AS pct,
+      |       lo.v + ix.f * (COALESCE(hi.v, lo.v) - lo.v) AS val
+      |FROM ix JOIN s lo ON lo.rn = ix.h
+      |LEFT JOIN s hi ON hi.rn = ix.h + 1
+      |ORDER BY pct""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "a1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a2_global" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+    "a3_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a5_collect" ->
+      """SELECT c_nationkey,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS custkeys,
+        |  count(*) AS n
+        |FROM customer WHERE c_acctbal < 0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "a6_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "a7_stats" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc
+        |  FROM lineitem
+        |), sums AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sx, CAST(sum(q*q) AS BIGINT) AS sxx,
+        |    CAST(sum(dc) AS BIGINT) AS sy, CAST(sum(dc*dc) AS BIGINT) AS syy,
+        |    CAST(sum(q*dc) AS BIGINT) AS sxy
+        |  FROM t)
+        |SELECT n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+        |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS stddev_qty,
+        |  (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(1 AS DOUBLE)) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_disc
+        |FROM sums""".stripMargin,
+    "a8_percentile" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS v,
+        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rn,
+        |         count(*) OVER () AS n
+        |  FROM orders
+        |), ps AS (SELECT 0.50 AS p UNION ALL SELECT 0.90 UNION ALL SELECT 0.99),
+        |ix AS (
+        |  SELECT p, CAST(floor((n-1)*p) AS BIGINT) AS h,
+        |         CAST((n-1)*p - floor((n-1)*p) AS DOUBLE) AS f
+        |  FROM ps CROSS JOIN (SELECT max(n) AS n FROM s) t
+        |)
+        |SELECT CAST(ix.p AS DOUBLE) AS pct,
+        |       lo.v + ix.f * (COALESCE(hi.v, lo.v) - lo.v) AS val
+        |FROM ix JOIN s lo ON lo.rn = ix.h
+        |LEFT JOIN s hi ON hi.rn = ix.h + 1
+        |ORDER BY pct""".stripMargin,
+    "a10_wavg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |    / 100.0 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
