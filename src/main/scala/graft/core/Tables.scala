@@ -17,6 +17,20 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
+    * Spark 4 reader rejects at schema inference ([PARQUET_TYPE_ILLEGAL]).
+    * Read it as a raw nanosecond Long (legacy conf) and convert back to a
+    * proper microsecond TimestampType. The conf is a runtime SQL conf, so
+    * setting it here covers every session (Verify, Bench, tests).
+    * 100 TB note: the conversion is a codegen'd per-row projection on the
+    * scan output — no extra pass, no shuffle. */
+  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
@@ -24,14 +38,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** Register all tables as temp views so spark.sql(...) queries (engine
     * entry point E1, SURVEY §3) can reference them by name. */
-  def registerAll(s: SparkSession, d: String): Unit =
+  def registerAll(s: SparkSession, d: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
+        "lineitem", "documents", "embeddings")
       .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events") // needs the nanos fix
+  }
 }

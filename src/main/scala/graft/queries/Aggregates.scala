@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Canon, Tables}
@@ -59,7 +59,8 @@ object Aggregates {
         .orderBy(col("event_type"))),
 
     // A4 — approx distinct (HLL++). Sketch internals are engine-specific →
-    // no oracle hash; AggregatesSpec property-checks it against A3 (±5%).
+    // no oracle hash; AggregatesSpec property-checks it against A3 (±5%)
+    // at sf0.001 (src/test/scala/graft/AggregatesSpec.scala).
     "a4_approx_distinct" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("n_users_approx"))
@@ -92,8 +93,12 @@ object Aggregates {
     // A7 — stats aggs. Spark's stddev/corr builtins fold doubles in
     // partition order (non-deterministic bit patterns run-to-run), so the
     // canonical form computes exact integer power sums and applies one
-    // IEEE formula — bit-stable in any engine. Builtins are still exposed
-    // (see a7b below) with a property check instead of a hash check.
+    // IEEE formula — bit-stable in any engine. Property tests in
+    // AggregatesSpec check the builtins (stddev_samp/corr) against these
+    // exact values within tolerance.
+    // Moment COMBINATION is done in DECIMAL(38,0): at ~1e12 rows,
+    // n*sxx - sx*sx exceeds Long range (ANSI mode would throw); the
+    // per-row power sums themselves stay comfortably in BIGINT.
     "a7_stats" -> ((s, dir) => {
       val q = asLong(col("l_quantity"))
       val dc = (money(col("l_discount")) * 100).cast(LongType) // cents, exact
@@ -102,23 +107,71 @@ object Aggregates {
         sum(q).as("sx"), sum(q * q).as("sxx"),
         sum(dc).as("sy"), sum(dc * dc).as("syy"),
         sum(q * dc).as("sxy"))
+      val big = DecimalType(38, 0)
+      def b(c: Column): Column = c.cast(big)
+      val n = b(col("n"))
+      val varXNum = n * b(col("sxx")) - b(col("sx")) * b(col("sx"))
+      val varYNum = n * b(col("syy")) - b(col("sy")) * b(col("sy"))
+      val covNum  = n * b(col("sxy")) - b(col("sx")) * b(col("sy"))
       sums.select(
         col("n"),
         ratio(col("sx"), col("n")).as("mean_qty"),
-        sqrt(ratio(col("n") * col("sxx") - col("sx") * col("sx"),
-                   col("n") * (col("n") - 1))).as("stddev_qty"),
-        (ratio(col("n") * col("sxy") - col("sx") * col("sy"), lit(1)) /
-          (sqrt(d(col("n") * col("sxx") - col("sx") * col("sx"))) *
-           sqrt(d(col("n") * col("syy") - col("sy") * col("sy")))))
+        sqrt(ratio(varXNum, n * (n - lit(1).cast(big)))).as("stddev_qty"),
+        (d(covNum) / (sqrt(d(varXNum)) * sqrt(d(varYNum))))
           .as("corr_qty_disc"))
     }),
 
-    // A8 — exact interpolated percentiles, defined by one SQL formula run
-    // verbatim-equivalent in both engines (engine builtins differ in
-    // interpolation details). Uses E1 (spark.sql) entry point.
+    // A8 — exact interpolated percentiles (p50/p90/p99 of o_totalprice),
+    // same linear-interpolation formula as the DuckDB oracle.
+    //
+    // Scale-safe plan (no single-partition window): the global ranks we
+    // need are just 6 longs, so (1) count(*) once → derive target ranks
+    // driver-side; (2) range-repartition by (v, key) so partition i holds
+    // a contiguous rank range; (3) one lightweight per-partition count agg
+    // → rank offsets (collects ≤ #partitions rows, not data); (4) local
+    // row_number windows partitioned by partition id (parallel, no global
+    // sort on one task); (5) fetch the ≤6 boundary rows and interpolate.
+    // Every stage is O(n/p) per task at any scale.
     "a8_percentile" -> ((s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders")
-      s.sql(percentileSql)
+      import org.apache.spark.sql.expressions.Window
+      val ps = Seq(0.50, 0.90, 0.99)
+      val src = Tables.orders(s, dir)
+        .select(col("o_totalprice").as("v"), col("o_orderkey").as("k"))
+      val n = src.count()
+      val targets = ps.map { p =>
+        val r = (n - 1) * p
+        val h = math.floor(r).toLong
+        (p, h, r - math.floor(r))
+      }
+      val needed = targets.flatMap { case (_, h, _) => Seq(h, h + 1) }
+        .filter(_ < n).distinct
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val ranged = src.repartitionByRange(nPart, col("v"), col("k"))
+        .withColumn("pid", spark_partition_id())
+      ranged.cache()
+      try {
+        val offsets = ranged.groupBy("pid").count().collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          .scanLeft((-1, 0L, 0L)) { case ((_, off, c0), (pid, c)) => (pid, off + c0, c) }
+          .drop(1).map { case (pid, off, _) => (pid, off) }.toMap
+        // pid→offset as a CASE chain (≤ #partitions branches, no join)
+        val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+          when(col("pid") === pid, lit(off)).otherwise(acc)
+        }
+        val w = Window.partitionBy("pid").orderBy("v", "k")
+        val boundary = ranged
+          .withColumn("rn", row_number().over(w).cast(LongType) - 1 + offExpr)
+          .filter(col("rn").isin(needed: _*))
+          .select("rn", "v").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val rows = targets.map { case (p, h, f) =>
+          val lo = boundary(h)
+          val hi = boundary.getOrElse(h + 1, lo)
+          (p, lo + f * (hi - lo))
+        }
+        import s.implicits._
+        rows.toDF("pct", "val").orderBy("pct")
+      } finally ranged.unpersist()
     }),
 
     // A10 — custom typed Aggregator (weighted average) via udaf().
@@ -130,25 +183,6 @@ object Aggregates {
         .agg(WeightedAvg.fn(col("cents"), col("qty")).as("wavg_price"))
         .orderBy(col("l_returnflag")))
   )
-
-  /** Identical formula on both sides: linear-interpolated percentile. */
-  private val percentileSql =
-    """WITH s AS (
-      |  SELECT o_totalprice AS v,
-      |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rn,
-      |         count(*) OVER () AS n
-      |  FROM orders
-      |), ps AS (SELECT 0.50 AS p UNION ALL SELECT 0.90 UNION ALL SELECT 0.99),
-      |ix AS (
-      |  SELECT p, CAST(floor((n-1)*p) AS BIGINT) AS h,
-      |         CAST((n-1)*p - floor((n-1)*p) AS DOUBLE) AS f
-      |  FROM ps CROSS JOIN (SELECT max(n) AS n FROM s) t
-      |)
-      |SELECT CAST(ix.p AS DOUBLE) AS pct,
-      |       lo.v + ix.f * (COALESCE(hi.v, lo.v) - lo.v) AS val
-      |FROM ix JOIN s lo ON lo.rn = ix.h
-      |LEFT JOIN s hi ON hi.rn = ix.h + 1
-      |ORDER BY pct""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "a1_pricing" ->
@@ -203,19 +237,23 @@ object Aggregates {
         |  (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(1 AS DOUBLE)) /
         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_disc
         |FROM sums""".stripMargin,
+    // f is computed in DOUBLE on both sides ((n-1) exact in double, one
+    // IEEE multiply) so the interpolation fraction is bit-identical to the
+    // Scala driver-side computation in the Spark implementation.
     "a8_percentile" ->
       """WITH s AS (
         |  SELECT o_totalprice AS v,
-        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rn,
-        |         count(*) OVER () AS n
+        |         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS rn
         |  FROM orders
-        |), ps AS (SELECT 0.50 AS p UNION ALL SELECT 0.90 UNION ALL SELECT 0.99),
+        |), ps AS (SELECT CAST(0.50 AS DOUBLE) AS p
+        |          UNION ALL SELECT CAST(0.90 AS DOUBLE)
+        |          UNION ALL SELECT CAST(0.99 AS DOUBLE)),
         |ix AS (
-        |  SELECT p, CAST(floor((n-1)*p) AS BIGINT) AS h,
-        |         CAST((n-1)*p - floor((n-1)*p) AS DOUBLE) AS f
-        |  FROM ps CROSS JOIN (SELECT max(n) AS n FROM s) t
+        |  SELECT p, CAST(floor(CAST(cnt - 1 AS DOUBLE) * p) AS BIGINT) AS h,
+        |         CAST(cnt - 1 AS DOUBLE) * p - floor(CAST(cnt - 1 AS DOUBLE) * p) AS f
+        |  FROM ps CROSS JOIN (SELECT count(*) AS cnt FROM orders) t
         |)
-        |SELECT CAST(ix.p AS DOUBLE) AS pct,
+        |SELECT ix.p AS pct,
         |       lo.v + ix.f * (COALESCE(hi.v, lo.v) - lo.v) AS val
         |FROM ix JOIN s lo ON lo.rn = ix.h
         |LEFT JOIN s hi ON hi.rn = ix.h + 1
