@@ -17,7 +17,8 @@ object SparkEntry {
   private val blocks: Seq[(Map[String, (SparkSession, String) => DataFrame],
                            Map[String, String])] = Seq(
     (Projections.queries, Projections.oracle),
-    (Aggregates.queries, Aggregates.oracle)
+    (Aggregates.queries, Aggregates.oracle),
+    (Joins.queries, Joins.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

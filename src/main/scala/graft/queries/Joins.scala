@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Canon, Tables}
+
+/** SURVEY.md §2.3 joins J1–J8 (J9/J10 are stream joins, see
+  * graft.streaming.Streams). Canonical checks per the declared contract;
+  * reference surface is the declared inventory (the reference repo is a
+  * 1-line stub — /root/reference/README.md:1).
+  *
+  * 100 TB notes per query are inline. General rules (SURVEY §6):
+  * small dims (region, nation) get explicit `broadcast()`; fact⋈fact
+  * joins shuffle on their keys (sort-merge + AQE skew handling);
+  * range joins are bucketized to an equi-join so they never degenerate
+  * into a broadcast-nested-loop at scale.
+  */
+object Joins {
+  import Canon.{money, d}
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 — inner equi-join chain: revenue per region.
+    // 100 TB: orders⋈customer shuffles on custkey (SMJ); nation/region are
+    // tiny and AQE broadcasts them. The aggregate is 2-phase on r_name.
+    "j1_inner" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(d(sum(money(col("o_totalprice")))).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))),
+
+    // J2 — the same join with explicit broadcast hints on the small dims;
+    // result (and hash) must equal J1. customer is NOT hinted: at 100 TB
+    // it is far beyond broadcast size — AQE decides there.
+    "j2_broadcast" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+              col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)),
+              col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(d(sum(money(col("o_totalprice")))).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"))),
+
+    // J3 — left outer: every customer, matched or not, per mktsegment.
+    // 100 TB: outer SMJ on custkey; null-side counting is agg-side only.
+    "j3_outer" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"),
+              "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("o_orderkey")).as("n_matched"),
+             sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+               .as("n_unmatched"))
+        .orderBy(col("c_mktsegment"))),
+
+    // J4 — left semi: customers having at least one 'F' order.
+    // 100 TB: semi-join keeps only the left side after the shuffle —
+    // no row multiplication, safe against orders-per-customer skew.
+    "j4_semi" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // J5 — left anti: customers with no orders at all.
+    "j5_anti" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // J6 — cross + theta (non-equi) join on tiny dims.
+    // 100 TB: cross joins are only ever sane dim×dim; this stays 5×25.
+    "j6_theta" -> ((s, dir) =>
+      Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .filter(col("r_regionkey") =!= col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("r_name"))),
+
+    // J7 — range/interval join: each purchase matched to clicks of the
+    // same user within the preceding hour. (The SURVEY's original
+    // events⋈orders check is degenerate on this data — orders are
+    // 1995-2001, events 2024, zero overlap — so the canonical check is
+    // this non-empty same-table interval join; SURVEY §2.3 amended.)
+    // Bucketized: the equi-join key is (user_id, hour bucket), purchases
+    // explode to their 2 candidate buckets, then a residual range filter.
+    // 100 TB: this is the scale path — a plain non-equi join would be a
+    // broadcast-nested-loop (O(n·m)); the bucket join shuffles both
+    // sides on (user, hour) and stays sort-merge, skew-safe under AQE.
+    "j7_range" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+                col("user_id"))
+        .withColumn("hb", explode(array(
+          expr("date_trunc('HOUR', p_ts) - INTERVAL 1 HOUR"),
+          expr("date_trunc('HOUR', p_ts)"))))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+                col("user_id").as("c_user"),
+                expr("date_trunc('HOUR', ts)").as("c_hb"))
+      p.join(c, col("user_id") === col("c_user") && col("hb") === col("c_hb") &&
+          col("c_ts") >= expr("p_ts - INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("p_id")).as("n_purchases"))
+        .orderBy(col("user_id"))
+    }),
+
+    // J8 — as-of join: for each event, the most recent order of customer
+    // `user_id` at or before ts (tie-break: highest orderkey).
+    // Implemented as equi-join on the customer key + max(struct) — the
+    // 2-phase agg keeps per-event state at one struct, so fan-out from
+    // orders-per-customer never materializes past the partial aggregate.
+    // 100 TB: equi-join shuffles on custkey; a per-customer sorted-merge
+    // as-of would trade the fan-out for a range repartition — both sound.
+    "j8_asof" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+        .join(Tables.orders(s, dir)
+                .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+              col("user_id") === col("o_custkey") &&
+                col("o_orderdate") <= col("ts"), "left")
+        .groupBy(col("event_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        .select(col("event_id"),
+                col("best.o_orderkey").as("o_orderkey"),
+                col("best.o_orderdate").as("o_orderdate"))
+        .orderBy(col("event_id")))
+  )
+
+  private val j1Sql =
+    """SELECT r_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "j1_inner" -> j1Sql,
+    "j2_broadcast" -> j1Sql, // hint must not change results
+    "j3_outer" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |  count(o_orderkey) AS n_matched,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j4_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "j5_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j6_theta" ->
+      """SELECT r_name, count(*) AS n
+        |FROM region CROSS JOIN nation
+        |WHERE r_regionkey <> n_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j7_range" ->
+      """SELECT p.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT p.event_id) AS n_purchases
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    "j8_asof" ->
+      """WITH j AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, o_orderkey, o_orderdate FROM j
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+  )
+}
