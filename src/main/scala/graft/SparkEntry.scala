@@ -18,7 +18,9 @@ object SparkEntry {
                            Map[String, String])] = Seq(
     (Projections.queries, Projections.oracle),
     (Aggregates.queries, Aggregates.oracle),
-    (Joins.queries, Joins.oracle)
+    (Joins.queries, Joins.oracle),
+    (Windows.queries, Windows.oracle),
+    (SortsSetOps.queries, SortsSetOps.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY.md §2.6 sort/limit (O1–O2) + §2.7 set operations (U1–U3).
+  *
+  * 100 TB notes: O1 is a range-partitioned total sort (Spark samples key
+  * ranges, sorts each partition locally — no single-task sort); O2 lowers
+  * to TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+  * the driver — k=100 longs, not data). Set ops U1–U3 are hash
+  * aggregations/joins on the key, all 2-phase.
+  */
+object SortsSetOps {
+
+  /** Customer vs (negative-balance) supplier nation keys — the filtered
+    * supplier side keeps U2/U3 non-degenerate (every nation has *some*
+    * supplier, so the unfiltered EXCEPT would be empty by construction). */
+  private def custNk(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+  private def suppNegNk(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_nationkey").as("nk"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O1 — multi-key total sort with explicit null ordering + limit.
+    "o1_sort" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+                col("l_quantity"))
+        .orderBy(col("l_shipdate").desc_nulls_last, col("l_orderkey").asc,
+                 col("l_linenumber").asc)
+        .limit(1000)),
+
+    // O2 — global top-k (TakeOrderedAndProject).
+    "o2_topk" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // U1 — union all + multiplicity (distinct covered by U2/U3 semantics).
+    "u1_union" -> ((s, d) =>
+      custNk(s, d).unionByName(suppNegNk(s, d))
+        .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nk"))),
+
+    // U2 — intersect (distinct): nations with customers AND a
+    // negative-balance supplier.
+    "u2_intersect" -> ((s, d) =>
+      custNk(s, d).intersect(suppNegNk(s, d)).orderBy(col("nk"))),
+
+    // U3 — except (distinct): nations with customers but NO
+    // negative-balance supplier.
+    "u3_except" -> ((s, d) =>
+      custNk(s, d).except(suppNegNk(s, d)).orderBy(col("nk")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "o1_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+        |FROM lineitem
+        |ORDER BY l_shipdate DESC NULLS LAST, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 1000""".stripMargin,
+    "o2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "u1_union" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "u2_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0
+        |ORDER BY nk""".stripMargin,
+    "u3_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0
+        |ORDER BY nk""".stripMargin
+  )
+}

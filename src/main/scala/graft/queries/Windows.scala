@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Canon, Tables}
+
+/** SURVEY.md §2.5 window functions W1–W5.
+  *
+  * 100 TB notes: every window here is PARTITIONED (by nation, customer, or
+  * user) — never `OVER ()` — so each partition's sort is local to a task
+  * after a hash shuffle on the partition key; no single-task global sort
+  * anywhere. Skewed partition keys are the residual risk at scale; AQE
+  * skew handling covers the shuffle, and the per-key row counts here
+  * (orders per customer, events per user) are naturally bounded.
+  */
+object Windows {
+  import Canon.{money, d}
+
+  /** Per-customer revenue with nation key — shared base for W1/W2. */
+  private def custRev(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(money(col("o_totalprice"))).as("rev"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // W1 — ranking family: row_number / rank / dense_rank / ntile within
+    // nation, ordered by exact-decimal revenue (ties broken by custkey).
+    "w1_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("rev").desc, col("c_custkey").asc)
+      custRev(s, dir).select(
+        col("c_nationkey"), col("c_custkey"), d(col("rev")).as("rev"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    // W2 — Top-N per group: top-3 customers by revenue per nation.
+    "w2_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("rev").desc, col("c_custkey").asc)
+      custRev(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("c_custkey"),
+                d(col("rev")).as("rev"), col("rn"))
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    // W3 — lag/lead: per-user gap in seconds between consecutive events.
+    "w3_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("next_id", lead(col("event_id"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+                (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+                  .as("gap_s"),
+                col("next_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // W4 — frames: running revenue per customer (ROWS unbounded..current)
+    // and a 7-day moving sum (RANGE over epoch seconds — numeric range
+    // frames behave identically in Spark and DuckDB; interval frames have
+    // engine-specific corner semantics).
+    "w4_frames" -> ((s, dir) => {
+      val base = Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("sec"),
+        money(col("o_totalprice")).as("price"))
+      val wRun = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("sec"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMov = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("sec"))
+        .rangeBetween(-7L * 86400, 0)
+      base.select(
+        col("o_custkey"), col("o_orderkey"),
+        d(sum(col("price")).over(wRun)).as("running_rev"),
+        d(sum(col("price")).over(wMov)).as("mov7_rev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // W5 — first/last over the full frame: first and latest order
+    // priority per customer (deterministic order: orderdate, orderkey).
+    "w5_firstlast" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir).select(
+        col("o_custkey"),
+        first(col("o_orderpriority")).over(w).as("first_prio"),
+        last(col("o_orderpriority")).over(w).as("last_prio"))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_rank" ->
+      """WITH cr AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, c_custkey)
+        |SELECT c_nationkey, c_custkey, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  CAST(dense_rank() OVER w AS INT) AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM cr
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY rev DESC, c_custkey ASC)
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "w2_topn" ->
+      """WITH cr AS (
+        |  SELECT c_nationkey, c_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_nationkey, c_custkey),
+        |r AS (
+        |  SELECT c_nationkey, c_custkey, rev,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY rev DESC, c_custkey ASC) AS INT) AS rn
+        |  FROM cr)
+        |SELECT c_nationkey, c_custkey, CAST(rev AS DOUBLE) AS rev, rn
+        |FROM r WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "w3_lag" ->
+      """SELECT user_id, event_id,
+        |  date_diff('second', lag(ts) OVER w, ts) AS gap_s,
+        |  lead(event_id) OVER w AS next_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w4_frames" ->
+      """WITH b AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(epoch(o_orderdate) AS BIGINT) AS sec,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY sec, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+        |  CAST(sum(price) OVER (PARTITION BY o_custkey ORDER BY sec
+        |       RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov7_rev
+        |FROM b ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w5_firstlast" ->
+      """SELECT DISTINCT o_custkey,
+        |  first_value(o_orderpriority) OVER w AS first_prio,
+        |  last_value(o_orderpriority) OVER w AS last_prio
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey""".stripMargin
+  )
+}
