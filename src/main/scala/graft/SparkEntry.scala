@@ -20,7 +20,8 @@ object SparkEntry {
     (Aggregates.queries, Aggregates.oracle),
     (Joins.queries, Joins.oracle),
     (Windows.queries, Windows.oracle),
-    (SortsSetOps.queries, SortsSetOps.oracle)
+    (SortsSetOps.queries, SortsSetOps.oracle),
+    (Functions.queries, Functions.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

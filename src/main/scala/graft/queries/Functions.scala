@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** SURVEY.md §2.8 scalar function families F1–F9 — one canonical query per
+  * family, every output column deterministic and DuckDB-reproducible.
+  *
+  * Declared exclusions (engine-specific by nature, kept out of the hashed
+  * output): `rand`/`uuid`/`monotonically_increasing_id`; `xxhash64`/
+  * `crc32`/`hash` (Spark-private algorithms — F8 hashes via md5/sha2,
+  * which are algorithm-stable everywhere); libm transcendentals
+  * (`exp`/`ln`/`log10`/`cbrt`/`pow`) whose last-bit rounding is
+  * implementation-defined — `sqrt` stays (IEEE-exact).
+  *
+  * 100 TB notes: every family is a pure per-row projection — map-side
+  * only, whole-stage-codegen'd, no shuffle except the contract's final
+  * ORDER BY. String/JSON parsing cost scales linearly and partitions
+  * perfectly.
+  */
+object Functions {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 — string family over customer.
+    "f1_string" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat(col("c_name"), lit("!")).as("bang"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("joined"),
+        upper(col("c_mktsegment")).as("up"),
+        lower(col("c_name")).as("lo"),
+        length(col("c_name")).as("len"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        trim(col("c_name")).as("trimmed"),
+        lpad(col("c_custkey").cast(StringType), 8, "0").as("padded"),
+        rpad(col("c_mktsegment"), 12, ".").as("rpadded"),
+        expr("replace(c_name, '#', '-')").as("repl"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("masked"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        reverse(col("c_mktsegment")).as("rev"),
+        instr(col("c_name"), "0").as("pos0"),
+        col("c_name").startsWith("Customer").as("is_cust"),
+        col("c_name").like("%1%").as("has1"))
+        .orderBy(col("c_custkey"))),
+
+    // F2 — date/time family over events (real h/m/s components) under UTC.
+    "f2_datetime" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        second(col("ts")).as("sec"),
+        dayofweek(col("ts")).as("dow"),
+        date_trunc("HOUR", col("ts")).as("hour_start"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("next_day"),
+        datediff(lit("2024-03-01").cast(DateType), col("ts")).as("days_to_mar"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        date_format(col("ts"), "yyyy-MM-dd HH").as("fmt"),
+        last_day(col("ts")).as("eom"),
+        add_months(col("ts"), 2).as("plus2m"))
+        .orderBy(col("event_id"))),
+
+    // F3 — math family over part (no libm transcendentals except sqrt).
+    "f3_math" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        round(col("p_retailprice"), 0).as("rounded"),
+        abs(col("p_size") - 25).as("absdiff"),
+        ceil(col("p_retailprice") / 100.0).as("ceil100"),
+        floor(col("p_retailprice") / 100.0).as("floor100"),
+        sqrt(col("p_size").cast(DoubleType)).as("root"),
+        pmod(col("p_partkey"), lit(7)).as("m7"),
+        signum(col("p_size") - 25).cast(IntegerType).as("sgn"),
+        greatest(col("p_size"), lit(25)).as("hi"),
+        least(col("p_size"), lit(25)).as("lo"))
+        .orderBy(col("p_partkey"))),
+
+    // F4 — array + higher-order functions over tokenized documents.
+    "f4_array" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast(LongType).as("n_tokens"),
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+        element_at(array_sort(toks), 1).as("first_sorted"),
+        array_contains(toks, "the").as("has_the"),
+        array_max(transform(toks, t => length(t))).cast(LongType).as("max_len"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+        array_join(slice(array_sort(toks), 1, 3), "_").as("first3"),
+        exists(toks, t => length(t) > 8).as("has_long"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F5 — map family: maps built from the events.props JSON payload.
+    // The oracle reproduces the *values* (k, 2k, sizes) — map internals
+    // are not SQL-portable, the value semantics are.
+    "f5_map" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+      val m = map(lit("k"), k, lit("k2"), k * 2)
+      val m2 = map_concat(m, map(lit("j"), lit(1)))
+      Tables.events(s, d).select(
+        col("event_id"),
+        element_at(m, "k").as("k1"),
+        element_at(m, "k2").as("k2"),
+        size(m2).as("n_keys"),
+        array_join(map_keys(m2), ",").as("keys"),
+        element_at(map_values(m2), 3).as("last_val"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F6 — JSON family over events.props (shape {"k": <int>}).
+    "f6_json" -> ((s, d) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      Tables.events(s, d)
+        .select(col("event_id"), col("props"),
+                json_tuple(col("props"), "k").as("kt"))
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_path"),
+          col("kt").cast(IntegerType).as("k_tuple"),
+          from_json(col("props"), schema).getField("k").as("k_struct"),
+          to_json(struct(get_json_object(col("props"), "$.k")
+            .cast(IntegerType).as("k"))).as("rebuilt"))
+        .orderBy(col("event_id"))
+    }),
+
+    // F7 — explode/UDTF-shape: positional word explosion of documents.
+    "f7_explode" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("word"))
+        .orderBy(col("doc_id"), col("pos"))),
+
+    // F8 — algorithm-stable hashes (md5 / sha2-256); Spark-specific
+    // xxhash64/crc32/hash are excluded from the oracle by declaration.
+    "f8_hash" -> ((s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        md5(col("c_name")).as("h_md5"),
+        sha2(col("c_name"), 256).as("h_sha256"))
+        .orderBy(col("c_custkey"))),
+
+    // F9 — cast semantics under ANSI mode (Spark 4 default): try_cast
+    // for fallible casts, explicit floor for double→int (ANSI cast
+    // truncates where DuckDB's cast rounds — declared difference).
+    "f9_cast" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        col("o_orderkey").cast(StringType).as("key_str"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+          .as("prio_num"),
+        floor(col("o_totalprice")).as("price_floor"),
+        col("o_orderdate").cast(DateType).as("odate"),
+        col("o_orderkey").cast(DoubleType).as("key_dbl"))
+        .orderBy(col("o_orderkey")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_string" ->
+      """SELECT c_custkey,
+        |  c_name || '!' AS bang,
+        |  concat_ws('|', c_name, c_mktsegment) AS joined,
+        |  upper(c_mktsegment) AS up, lower(c_name) AS lo,
+        |  CAST(length(c_name) AS INT) AS len,
+        |  substring(c_name, 1, 8) AS sub,
+        |  trim(c_name) AS trimmed,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  rpad(c_mktsegment, 12, '.') AS rpadded,
+        |  replace(c_name, '#', '-') AS repl,
+        |  regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  reverse(c_mktsegment) AS rev,
+        |  CAST(strpos(c_name, '0') AS INT) AS pos0,
+        |  starts_with(c_name, 'Customer') AS is_cust,
+        |  c_name LIKE '%1%' AS has1
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f2_datetime" ->
+      """SELECT event_id,
+        |  CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+        |  CAST(day(ts) AS INT) AS dom, CAST(hour(ts) AS INT) AS h,
+        |  CAST(minute(ts) AS INT) AS mi,
+        |  CAST(floor(second(ts)) AS INT) AS sec,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  CAST(ts + INTERVAL 1 DAY AS TIMESTAMP) AS next_day,
+        |  CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-03-01') AS INT) AS days_to_mar,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS fmt,
+        |  CAST(last_day(CAST(ts AS DATE)) AS DATE) AS eom,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f3_math" ->
+      """SELECT p_partkey,
+        |  round(p_retailprice, 0) AS rounded,
+        |  CAST(abs(p_size - 25) AS INT) AS absdiff,
+        |  CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS ceil100,
+        |  CAST(floor(p_retailprice / 100.0) AS BIGINT) AS floor100,
+        |  sqrt(CAST(p_size AS DOUBLE)) AS root,
+        |  p_partkey % 7 AS m7,
+        |  CAST(sign(p_size - 25) AS INT) AS sgn,
+        |  CAST(greatest(p_size, 25) AS INT) AS hi,
+        |  CAST(least(p_size, 25) AS INT) AS lo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f4_array" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  list_sort(toks)[1] AS first_sorted,
+        |  list_contains(toks, 'the') AS has_the,
+        |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'max') AS BIGINT) AS max_len,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+        |  array_to_string(list_sort(toks)[1:3], '_') AS first3,
+        |  len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "f5_map" ->
+      """WITH t AS (SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ?(-?[0-9]+)', 1) AS INT) AS k
+        |  FROM events)
+        |SELECT event_id, k AS k1, k * 2 AS k2, 3 AS n_keys,
+        |  'k,k2,j' AS keys, 1 AS last_val
+        |FROM t ORDER BY event_id""".stripMargin,
+    "f6_json" ->
+      """WITH t AS (SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ?(-?[0-9]+)', 1) AS INT) AS k
+        |  FROM events)
+        |SELECT event_id, k AS k_path, k AS k_tuple, k AS k_struct,
+        |  '{"k":' || CAST(k AS VARCHAR) || '}' AS rebuilt
+        |FROM t ORDER BY event_id""".stripMargin,
+    "f7_explode" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |e AS (SELECT doc_id, toks,
+        |        unnest(generate_series(1, len(toks))) AS i FROM d)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS word
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
+    "f8_hash" ->
+      """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "f9_cast" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(o_orderkey AS DOUBLE) AS key_dbl
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -70,10 +70,12 @@ object Joins {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
-    // J5 — left anti: customers with no orders at all.
+    // J5 — left anti: customers with no urgent order. (Anti vs *all*
+    // orders would be empty by construction — every customer has orders
+    // in this data — so the filtered right side keeps it non-degenerate.)
     "j5_anti" -> ((s, dir) =>
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir),
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
               col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
@@ -165,7 +167,9 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
     "j5_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "j6_theta" ->
       """SELECT r_name, count(*) AS n
