@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.llm.Llm
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query IDs follow SURVEY.md §2 (the declared operator inventory).
@@ -21,7 +22,8 @@ object SparkEntry {
     (Joins.queries, Joins.oracle),
     (Windows.queries, Windows.oracle),
     (SortsSetOps.queries, SortsSetOps.oracle),
-    (Functions.queries, Functions.oracle)
+    (Functions.queries, Functions.oracle),
+    (Llm.queries, Llm.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,274 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** SURVEY.md §2.10 LLM-data-pipeline operators L1–L9 + the X1 scalar UDF
+  * (§2.11). This is the north-star track: every operator is written as the
+  * 100 TB shape first (hash-bucketed grouping, never all-pairs; 2-phase
+  * aggregation; map-side-only projections) and then made oracle-exact.
+  *
+  * Float determinism: embedding arithmetic is QUANTIZED — each float is
+  * mapped to `round(x*1e6)` as a BIGINT, so dot products, norms and sums
+  * are exact integer arithmetic in any engine and the only IEEE ops are
+  * the final sqrt/divide (bit-stable). The canonical queries *define*
+  * similarity on the quantized vectors; sub-1e-6 components are below the
+  * noise floor of any practical ANN use.
+  */
+object Llm {
+
+  /** Quantize an array<float> to exact BIGINTs (×1e6). */
+  private def qz(c: Column): Column =
+    transform(c, x => round(x.cast(DoubleType) * 1000000, 0).cast(LongType))
+
+  /** Exact integer squared L2 norm of a quantized vector. */
+  private def qnorm(c: Column): Column =
+    aggregate(transform(c, x => x * x), lit(0L), (a, x) => a + x)
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private val slugifyUdf =
+    udf((s: String) =>
+      if (s == null) null
+      else s.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L1 — exact dedup on normalized text. 100 TB: one hash-groupBy (2-
+    // phase, shuffle on the 256-bit digest) — no pairwise comparison ever.
+    "l1_exact_dedup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", sha2(lower(trim(col("text"))), 256))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n"))
+        .orderBy(col("h"))),
+
+    // L2 — near-dup via token-SET signature (order-insensitive): docs
+    // with the same vocabulary land in one group regardless of word
+    // order. 100 TB: identical shape to L1 (hash-groupBy on signature).
+    "l2_tokenset_neardup" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("sig",
+          sha2(concat_ws(" ",
+            array_sort(array_distinct(split(col("text"), " ")))), 256))
+        .groupBy(col("sig"))
+        .agg(expr("array_join(transform(array_sort(collect_list(doc_id)), x -> cast(x as string)), ',')")
+               .as("doc_ids"),
+             count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("sig"))),
+
+    // L3 — cosine top-k similarity search, brute-force baseline: the 3
+    // query vectors are broadcast against all N candidates (O(Q·N), the
+    // correct plan when Q is small); top-5 via a window partitioned by
+    // query id. The bucketed/IVF scale path for large Q is l3b_ivf
+    // (property-tested for recall, not oracle-hashed).
+    "l3_cosine_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qz(col("embedding")).as("q"))
+        .withColumn("nrm", qnorm(col("q")))
+      val qs = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+                col("nrm").as("qn"))
+      val pairs = broadcast(qs).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (qdot(col("qq"), col("q")).cast(DoubleType) /
+            (sqrt(col("qn").cast(DoubleType)) *
+             sqrt(col("nrm").cast(DoubleType)))).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid").asc)
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vid"), col("cos"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // L4 — term frequency: global top-50 tokens. 100 TB: explode is
+    // map-side; the count is a 2-phase groupBy on token; top-50 is
+    // TakeOrderedAndProject (per-partition heads, 50-row driver merge).
+    "l4_token_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)),
+
+    // L5 — TF-IDF, linear-idf variant (score = tf·N/df): exact integer
+    // arithmetic end-to-end, one IEEE division at the end — the log-idf
+    // variant is deliberately excluded from hashing (libm ln is not
+    // bit-portable across engines; see l5b in LlmSpec).
+    // 100 TB: tf = groupBy(doc,token); df = groupBy(token); one
+    // broadcast-join of the (small) df table back onto tf.
+    "l5_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(df, "token")
+        .select(col("doc_id"), col("token"),
+          ((col("tf") * lit(n)).cast(DoubleType) / col("df").cast(DoubleType))
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc, col("token").asc)
+        .limit(10)
+    }),
+
+    // L6 — bigram counts, top-50. Bigrams are built positionally from
+    // consecutive tokens (map-side), then counted like L4.
+    "l6_ngrams" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(explode(transform(
+          sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(50)
+    }),
+
+    // L7 — corpus language/source stats.
+    "l7_lang_stats" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("total_chars"),
+             (sum(col("n_chars")).cast(DoubleType) /
+               count(lit(1)).cast(DoubleType)).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))),
+
+    // L8 — multimodal binary envelope: struct<mime, bytes:binary, meta>
+    // built from text, integrity-hashed. The envelope schema is the real
+    // contract (decode kernels are stubbed — see Multimodal.scala);
+    // everything here (binary columns, maps, hashes) is engine-native.
+    "l8_multimodal" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("env", struct(
+          lit("text/plain").as("mime"),
+          encode(col("text"), "UTF-8").as("bytes"),
+          map(lit("lang"), col("lang"), lit("source"), col("source"))
+            .as("meta")))
+        .select(
+          col("doc_id"),
+          col("env.mime").as("mime"),
+          length(col("env.bytes")).as("byte_len"),
+          sha2(col("env.bytes"), 256).as("content_sha"),
+          element_at(col("env.meta"), "lang").as("meta_lang"))
+        .orderBy(col("doc_id"))),
+
+    // L9 — per-label embedding centroids (quantized-exact means), one
+    // row per (label, dim). 100 TB: posexplode is map-side (64 rows per
+    // vector), the mean is a 2-phase groupBy on (label, dim) — shuffle
+    // volume is |labels|·64 rows per partition, independent of N.
+    "l9_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(qz(col("embedding"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("label"), col("pos").as("dim"),
+          (col("sv").cast(DoubleType) / col("cnt").cast(DoubleType) /
+            lit(1000000.0)).as("c"))
+        .orderBy(col("label"), col("dim"))),
+
+    // X1 — scalar Scala UDF (slugify) used in an L-series shape. The
+    // oracle reproduces it with portable SQL (lower + regexp_replace).
+    "x1_udf" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          slugifyUdf(concat_ws("_", col("lang"), col("source"))).as("slug"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "l1_exact_dedup" ->
+      """SELECT sha256(lower(trim(text))) AS h,
+        |  min(doc_id) AS survivor, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "l2_tokenset_neardup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents)
+        |SELECT sig,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+        |  count(*) AS n
+        |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
+    "l3_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+        |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id IN (0, 1, 2)),
+        |r AS (
+        |  SELECT qid, vid, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk
+        |  FROM pairs)
+        |SELECT qid, rnk, vid, cos FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    "l4_token_stats" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM t GROUP BY token
+        |ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "l5_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token,
+        |  CAST(tf.tf * n.n AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |ORDER BY score DESC, doc_id ASC, token ASC LIMIT 10""".stripMargin,
+    "l6_ngrams" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM d)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
+    "l7_lang_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "l8_multimodal" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  sha256(text) AS content_sha,
+        |  lang AS meta_lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "l9_centroids" ->
+      """WITH e AS (
+        |  SELECT label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |x AS (
+        |  SELECT label, unnest(generate_series(1, len(q))) AS i, q FROM e)
+        |SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  CAST(CAST(sum(q[i]) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    / 1000000.0 AS c
+        |FROM x GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "x1_udf" ->
+      """SELECT doc_id,
+        |  lower(regexp_replace(lang || '_' || source, '[^a-zA-Z0-9]+', '-', 'g')) AS slug
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
