@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
-import graft.llm.Llm
+import graft.llm.{DedupExt, Llm, Multimodal}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query IDs follow SURVEY.md §2 (the declared operator inventory).
@@ -23,7 +23,9 @@ object SparkEntry {
     (Windows.queries, Windows.oracle),
     (SortsSetOps.queries, SortsSetOps.oracle),
     (Functions.queries, Functions.oracle),
-    (Llm.queries, Llm.oracle)
+    (Llm.queries, Llm.oracle),
+    (DedupExt.queries, DedupExt.oracle),
+    (Multimodal.queries, Multimodal.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,421 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Extended dedup / similarity / text-analysis operators (SURVEY §2.10
+  * L10–L16): the large-scale training-data-pipeline surface beyond the
+  * basic L1–L9 set. Every operator here is CANDIDATE-GENERATION based —
+  * MinHash-LSH bands, rare-token prefix blocking, random-hyperplane
+  * buckets — never all-pairs, so each one carries its 100 TB shape in the
+  * canonical query itself (the oracle re-implements the same bucketing,
+  * validating the pipeline end-to-end, not just the final filter).
+  *
+  * Determinism: token hashes are md5-prefix integers (`conv(md5…,16,10)`,
+  * algorithm-stable in every engine); MinHash permutations, SimHash bit
+  * mixes and hyperplanes are fixed arithmetic on those integers — no
+  * engine-private hash, no RNG.
+  */
+object DedupExt {
+
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+  /** (a, b) constants for the 8 MinHash permutations h_i = (a·x + b) % P. */
+  private val AB = Seq((2L, 1L), (3L, 7L), (5L, 13L), (7L, 31L),
+                       (11L, 101L), (13L, 211L), (17L, 419L), (19L, 773L))
+
+  /** 48-bit integer hash of a token via md5 prefix — portable + stable. */
+  private def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
+
+  /** Distinct (doc_id, token, th) triples. */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+              explode(array_distinct(split(col("text"), " "))).as("token"))
+      .withColumn("th", tokenHash(col("token")))
+
+  /** Exact token-set Jaccard for candidate pairs (d1 < d2). */
+  private def jaccard(cand: DataFrame, tok: DataFrame): DataFrame = {
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(tok.select(col("doc_id").as("d1"), col("token")), Seq("d1"))
+      .join(tok.select(col("doc_id").as("d2"), col("token")), Seq("d2", "token"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jac"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L10 — MinHash + LSH banding: 8 permutations, 4 bands of 2 rows.
+    // Docs colliding in ANY band become candidates; candidates are then
+    // verified with exact Jaccard ≥ 0.95 (this corpus draws from a tiny
+    // vocabulary, so looser thresholds match a quarter of ALL pairs —
+    // 0.95 isolates genuine near-dups; the designed pairs sit at 1.0). 100 TB: signatures are one
+    // groupBy over (doc, token); banding is a groupBy on (band, sig);
+    // the exact verify touches only colliding pairs.
+    "l10_minhash_lsh" -> ((s, d) => {
+      val tok = tokens(s, d)
+      val aggs = AB.zipWithIndex.map { case ((a, b), i) =>
+        min((col("th") * a + b) % P).as(s"h$i")
+      }
+      val sig = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(bk => struct(lit(bk).as("bk"),
+          concat_ws("_", col(s"h${2 * bk}"), col(s"h${2 * bk + 1}"))
+            .as("bsig"))): _*)).as("band"))
+        .select(col("doc_id"), col("band.bk"), col("band.bsig"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.bk") === col("y.bk") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      jaccard(cand, tok).filter(col("jac") >= 0.95)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // L11 — SimHash (16-bit) per document + collision-group size.
+    // Weight of bit j = Σ over tokens of (bit_j(th) ? +1 : −1).
+    "l11_simhash" -> ((s, d) => {
+      val pw = element_at(
+        array((0 to 15).map(j => lit(1L << j)): _*), col("j") + 1)
+      val bits = tokens(s, d)
+        .withColumn("j", explode(array((0 to 15).map(lit): _*)))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(when(col("th").bitwiseAND(pw) =!= 0, 1).otherwise(-1))
+          .as("w"))
+      val sim = bits.groupBy(col("doc_id"))
+        .agg(sum(when(col("w") > 0, pw).otherwise(0L)).as("simhash"))
+      sim.withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("simhash"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L12 — near-dup via rare-token prefix blocking: each doc is keyed by
+    // its 3 globally-rarest tokens; docs sharing a rare token are
+    // candidates, verified with exact Jaccard ≥ 0.95. 100 TB: the freq
+    // table is vocabulary-sized (broadcastable); rare tokens bound the
+    // candidate blocks by construction.
+    "l12_raretoken_neardup" -> ((s, d) => {
+      val tok = tokens(s, d)
+      val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+      val rare = tok.join(freq, "token")
+        .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("f").asc, col("token").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("token"))
+      val cand = rare.as("x")
+        .join(rare.as("y"), col("x.token") === col("y.token") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      jaccard(cand, tok).filter(col("jac") >= 0.95)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // L13 — embedding near-dup via random-hyperplane LSH: 8 deterministic
+    // hyperplanes v_k[i] = ((i+1)(k+3)) mod 7 − 3 give an 8-bit sign
+    // bucket; same-bucket pairs are verified with exact quantized cosine
+    // ≥ 0.3. 100 TB: bucket join replaces the O(n²) pair scan (58×
+    // candidate reduction already at n=500).
+    "l13_embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), Llm.qz(col("embedding")).as("q"))
+        .withColumn("nrm", Llm.qnorm(col("q")))
+      val x = e.select(col("vec_id"), posexplode(col("q")))
+      val dots = x.withColumn("k", explode(array((0 to 7).map(lit): _*)))
+        .groupBy(col("vec_id"), col("k"))
+        .agg(sum(col("col") *
+          (((col("pos") + 1) * (col("k") + 3)) % 7 - 3)).as("dot"))
+      val pw = element_at(array((0 to 7).map(k => lit(1L << k)): _*),
+        col("k") + 1)
+      val buckets = dots.groupBy(col("vec_id"))
+        .agg(sum(when(col("dot") >= 0, pw).otherwise(0L)).as("bucket"))
+      val keyed = buckets.join(e, "vec_id")
+      val pairs = keyed.as("a")
+        .join(keyed.as("b"), col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+          (Llm.qdot(col("a.q"), col("b.q")).cast(DoubleType) /
+            (sqrt(col("a.nrm").cast(DoubleType)) *
+             sqrt(col("b.nrm").cast(DoubleType)))).as("cos"))
+      pairs.filter(col("cos") >= 0.3).orderBy(col("va"), col("vb"))
+    }),
+
+    // L14 — language-ID by marker-token overlap: the 3 most frequent
+    // tokens per language (from the corpus itself — deterministic) act as
+    // the n-gram marker set; prediction = argmax marker hits (tie: lang
+    // ASC). 100 TB: markers are a tiny broadcast table.
+    "l14_lang_id" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tokAll = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val markers = tokAll.groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(col("cnt").desc, col("token").asc)))
+        .filter(col("rn") <= 3)
+        .select(col("lang").as("m_lang"), col("token"))
+      val hits = tokAll.select(col("doc_id"), col("token")).distinct()
+        .join(broadcast(markers), "token")
+        .groupBy(col("doc_id"), col("m_lang"))
+        .agg(count(lit(1)).as("matches"))
+      val pred = hits.withColumn("rn",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("matches").desc, col("m_lang").asc)))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("m_lang").as("pred_lang"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("pred_lang"), lit("unk")).as("pred_lang"),
+          (col("lang") === coalesce(col("pred_lang"), lit("unk")))
+            .as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L15 — document quality scoring: length/type-token/stopword-ratio
+    // features with a fixed linear combination. "Stopwords" are the 10
+    // globally most frequent tokens (deterministic, corpus-derived).
+    "l15_quality" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tokAll = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val stop = tokAll.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(10)
+        .select(col("token"))
+      val stopCnt = tokAll.join(broadcast(stop), "token")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_stop"))
+      val toks = split(col("text"), " ")
+      docs.select(col("doc_id"), col("text"),
+          size(toks).cast(LongType).as("n_toks"),
+          size(array_distinct(toks)).cast(LongType).as("n_uniq"))
+        .join(stopCnt, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_stop"))
+        .select(col("doc_id"), col("n_toks"),
+          length(col("text")).cast(LongType).as("n_chars"),
+          (col("n_uniq").cast(DoubleType) / col("n_toks").cast(DoubleType))
+            .as("ttr"),
+          (col("n_stop").cast(DoubleType) / col("n_toks").cast(DoubleType))
+            .as("stop_ratio"))
+        .withColumn("score",
+          lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.3) * least(col("n_toks").cast(DoubleType) / 100.0, lit(1.0)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L16 — document fingerprinting: positional token-trigram rolling
+    // hash (base-31 polynomial mod 1e9+7); fingerprint = min trigram
+    // hash (winnowing-lite). 100 TB: lead() windows are per-doc
+    // (bounded partitions); the rest is a groupBy per doc.
+    "l16_fingerprint" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumn("th", tokenHash(col("col")))
+        .withColumn("th1", lead(col("th"), 1).over(w))
+        .withColumn("th2", lead(col("th"), 2).over(w))
+        .filter(col("th2").isNotNull)
+        .withColumn("h3",
+          (col("th") * 961 + col("th1") * 31 + col("th2")) % 1000000007L)
+        .groupBy(col("doc_id"))
+        .agg(min(col("h3")).as("fingerprint"),
+             count(lit(1)).as("n_trigrams"),
+             countDistinct(col("h3")).as("n_distinct"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** Shared SQL fragment: distinct (doc_id, token, th) with the md5-prefix
+    * integer hash — DuckDB's hex-literal cast mirrors Spark's conv(). */
+  private val tokSql =
+    """tok AS (
+      |  SELECT DISTINCT doc_id, token,
+      |    CAST('0x' || substring(md5(token), 1, 12) AS BIGINT) AS th
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents))""".stripMargin
+
+  private val jacSql =
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS i
+      |  FROM cand c
+      |  JOIN tok t1 ON t1.doc_id = c.d1
+      |  JOIN tok t2 ON t2.doc_id = c.d2 AND t2.token = t1.token
+      |  GROUP BY c.d1, c.d2),
+      |jac AS (
+      |  SELECT i.d1, i.d2,
+      |    CAST(i.i AS DOUBLE) / CAST(s1.sz + s2.sz - i.i AS DOUBLE) AS jac
+      |  FROM inter i
+      |  JOIN sizes s1 ON s1.doc_id = i.d1
+      |  JOIN sizes s2 ON s2.doc_id = i.d2)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "l10_minhash_lsh" ->
+      s"""WITH $tokSql,
+        |sig AS (
+        |  SELECT doc_id,
+        |    min((th * 2 + 1) % 2147483647) AS h0,
+        |    min((th * 3 + 7) % 2147483647) AS h1,
+        |    min((th * 5 + 13) % 2147483647) AS h2,
+        |    min((th * 7 + 31) % 2147483647) AS h3,
+        |    min((th * 11 + 101) % 2147483647) AS h4,
+        |    min((th * 13 + 211) % 2147483647) AS h5,
+        |    min((th * 17 + 419) % 2147483647) AS h6,
+        |    min((th * 19 + 773) % 2147483647) AS h7
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS bk, h0 || '_' || h1 AS bsig FROM sig
+        |  UNION ALL SELECT doc_id, 1, h2 || '_' || h3 FROM sig
+        |  UNION ALL SELECT doc_id, 2, h4 || '_' || h5 FROM sig
+        |  UNION ALL SELECT doc_id, 3, h6 || '_' || h7 FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y
+        |    ON x.bk = y.bk AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |$jacSql
+        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.95
+        |ORDER BY d1, d2""".stripMargin,
+    "l11_simhash" ->
+      s"""WITH $tokSql,
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (th & (CAST(1 AS BIGINT) << j)) <> 0
+        |             THEN 1 ELSE -1 END) AS w
+        |  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << j)
+        |                  ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, simhash,
+        |  count(*) OVER (PARTITION BY simhash) AS n_same
+        |FROM sim ORDER BY doc_id""".stripMargin,
+    "l12_raretoken_neardup" ->
+      s"""WITH $tokSql,
+        |freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+        |rare AS (
+        |  SELECT doc_id, token FROM (
+        |    SELECT t.doc_id, t.token,
+        |      row_number() OVER (PARTITION BY t.doc_id
+        |                         ORDER BY f.f ASC, t.token ASC) AS rn
+        |    FROM tok t JOIN freq f ON f.token = t.token)
+        |  WHERE rn <= 3),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM rare x JOIN rare y
+        |    ON x.token = y.token AND x.doc_id < y.doc_id),
+        |$jacSql
+        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.95
+        |ORDER BY d1, d2""".stripMargin,
+    "l13_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM e),
+        |x AS (SELECT vec_id, unnest(generate_series(1, 64)) AS i, q FROM e),
+        |dots AS (
+        |  SELECT vec_id, k,
+        |    sum(q[i] * ((i * (k + 3)) % 7 - 3)) AS dot
+        |  FROM x CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) ks
+        |  GROUP BY vec_id, k),
+        |bk AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << k)
+        |                  ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |keyed AS (SELECT bk.vec_id, bk.bucket, n.q, n.nrm
+        |          FROM bk JOIN n ON n.vec_id = bk.vec_id),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+        |  FROM keyed a JOIN keyed b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT va, vb, cos FROM pairs WHERE cos >= 0.3
+        |ORDER BY va, vb""".stripMargin,
+    "l14_lang_id" ->
+      """WITH tokall AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |markers AS (
+        |  SELECT lang AS m_lang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |                         ORDER BY count(*) DESC, token ASC) AS rn
+        |    FROM tokall GROUP BY lang, token)
+        |  WHERE rn <= 3),
+        |hits AS (
+        |  SELECT t.doc_id, m.m_lang, count(*) AS matches
+        |  FROM (SELECT DISTINCT doc_id, token FROM tokall) t
+        |  JOIN markers m ON m.token = t.token
+        |  GROUP BY t.doc_id, m.m_lang),
+        |pred AS (
+        |  SELECT doc_id, m_lang AS pred_lang FROM (
+        |    SELECT doc_id, m_lang,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY matches DESC, m_lang ASC) AS rn
+        |    FROM hits)
+        |  WHERE rn = 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(p.pred_lang, 'unk') AS pred_lang,
+        |  d.lang = COALESCE(p.pred_lang, 'unk') AS correct
+        |FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "l15_quality" ->
+      """WITH tokall AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |stop AS (
+        |  SELECT token FROM tokall GROUP BY token
+        |  ORDER BY count(*) DESC, token ASC LIMIT 10),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_stop
+        |  FROM tokall JOIN stop USING (token) GROUP BY doc_id),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents),
+        |feat AS (
+        |  SELECT b.doc_id, b.n_toks, b.n_chars,
+        |    CAST(b.n_uniq AS DOUBLE) / CAST(b.n_toks AS DOUBLE) AS ttr,
+        |    CAST(COALESCE(sc.n_stop, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE) AS stop_ratio
+        |  FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id)
+        |SELECT doc_id, n_toks, n_chars, ttr, stop_ratio,
+        |  0.4 * ttr + 0.3 * (1.0 - stop_ratio) +
+        |    0.3 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) AS score
+        |FROM feat ORDER BY doc_id""".stripMargin,
+    "l16_fingerprint" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, toks,
+        |        unnest(generate_series(1, len(toks))) AS i FROM d),
+        |t AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST('0x' || substring(md5(toks[i]), 1, 12) AS BIGINT) AS th
+        |  FROM u),
+        |tri AS (
+        |  SELECT doc_id, th,
+        |    lead(th, 1) OVER w AS th1, lead(th, 2) OVER w AS th2
+        |  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |h AS (
+        |  SELECT doc_id, (th * 961 + th1 * 31 + th2) % 1000000007 AS h3
+        |  FROM tri WHERE th2 IS NOT NULL)
+        |SELECT doc_id, min(h3) AS fingerprint, count(*) AS n_trigrams,
+        |  count(DISTINCT h3) AS n_distinct
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

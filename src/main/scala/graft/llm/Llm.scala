@@ -20,16 +20,17 @@ import graft.core.Tables
   */
 object Llm {
 
-  /** Quantize an array<float> to exact BIGINTs (×1e6). */
-  private def qz(c: Column): Column =
+  /** Quantize an array<float> to exact BIGINTs (×1e6). Shared with
+    * DedupExt (L13's bucketed near-dup uses the same quantization). */
+  def qz(c: Column): Column =
     transform(c, x => round(x.cast(DoubleType) * 1000000, 0).cast(LongType))
 
   /** Exact integer squared L2 norm of a quantized vector. */
-  private def qnorm(c: Column): Column =
+  def qnorm(c: Column): Column =
     aggregate(transform(c, x => x * x), lit(0L), (a, x) => a + x)
 
   /** Exact integer dot product of two quantized vectors. */
-  private def qdot(a: Column, b: Column): Column =
+  def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   private val slugifyUdf =
