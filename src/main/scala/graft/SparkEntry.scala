@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
 import graft.llm.{DedupExt, Llm, Multimodal}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query IDs follow SURVEY.md §2 (the declared operator inventory).
@@ -25,7 +26,8 @@ object SparkEntry {
     (Functions.queries, Functions.oracle),
     (Llm.queries, Llm.oracle),
     (DedupExt.queries, DedupExt.oracle),
-    (Multimodal.queries, Multimodal.oracle)
+    (Multimodal.queries, Multimodal.oracle),
+    (Streams.queries, Streams.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

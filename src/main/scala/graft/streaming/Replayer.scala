@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Multi-batch replay fixtures for the S-series (SURVEY §2.9, FIXTURES.md
+  * "Streaming fixtures to DERIVE"). The `events` table is split into
+  * NUM_FILES parquet files of contiguous `event_id` ranges; read back with
+  * `maxFilesPerTrigger=1` + `Trigger.AvailableNow` this gives
+  * deterministic batch boundaries, hence a deterministic watermark
+  * trajectory (file order is pinned by explicit 1-second-apart mtimes —
+  * FileStreamSource orders by modification time).
+  *
+  * Variants (declared row selections, reproducible in oracle SQL):
+  *  - clean: ts-ordered replay (the data is ts-ordered in event_id order).
+  *  - late:  rows with event_id % 97 == 0 are moved TWO files later than
+  *           their id-order position (capped at the last file). Two files
+  *           is the minimum that crosses the eviction horizon: Spark's
+  *           micro-batch watermark commit lags one batch (input filtering
+  *           for batch b uses max event time of batches ≤ b−2 minus the
+  *           delay; eviction at end of batch b uses batches ≤ b−1), so
+  *           one-file-late rows always land while their window is still
+  *           in state and are merged, not dropped (verified empirically —
+  *           numRowsDroppedByWatermark stays 0 at one file).
+  *  - dup:   rows with event_id % 101 == 0 are COPIED one file later —
+  *           exercises streaming dedup.
+  */
+object Replayer {
+  val NumFiles = 5
+  val WatermarkDelay = "10 minutes"
+
+  /** Root for derived fixtures; keyed by sf dir so scales don't collide. */
+  private def root(sfDir: String): Path = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures", key)
+  }
+
+  /** Batch index of an event in the given variant (same rule as oracle
+    * SQL): base = floor(event_id / ceil(n/NumFiles)); late rows move TWO
+    * files later (capped) — see the eviction-horizon note above. */
+  def batchExpr(n: Long, late: Boolean) = {
+    val b = (n + NumFiles - 1) / NumFiles
+    val base = floor(col("event_id") / b).cast("int")
+    if (late)
+      least(base + when(col("event_id") % 97 === 0, 2).otherwise(0),
+            lit(NumFiles - 1))
+    else least(base, lit(NumFiles - 1))
+  }
+
+  /** Ensure a fixture variant exists; returns its directory. */
+  def ensure(s: SparkSession, sfDir: String, variant: String): String = synchronized {
+    val dir = root(sfDir).resolve(variant)
+    val done = dir.resolve("_DONE")
+    if (!Files.exists(done)) {
+      val ev = Tables.events(s, sfDir)
+      val n = ev.count()
+      Files.createDirectories(dir)
+      val batched = variant match {
+        case "clean" => ev.withColumn("b", batchExpr(n, late = false))
+        case "late"  => ev.withColumn("b", batchExpr(n, late = true))
+        case "dup" =>
+          val base = ev.withColumn("b", batchExpr(n, late = false))
+          val dups = ev.filter(col("event_id") % 101 === 0)
+            .withColumn("b", least(batchExpr(n, late = false) + 1,
+                                   lit(NumFiles - 1)))
+          base.unionByName(dups)
+      }
+      batched.cache()
+      try {
+        (0 until NumFiles).foreach { i =>
+          val tmp = dir.resolve(s"stage$i").toString
+          batched.filter(col("b") === i).drop("b")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val target = dir.resolve(f"batch$i%02d.parquet")
+          Files.move(part, target)
+          // pin replay order: FileStreamSource sorts by mtime
+          Files.setLastModifiedTime(target, FileTime.fromMillis(1000000000000L + i * 1000L))
+          // clean staging dir
+          Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+      } finally batched.unpersist()
+      Files.createFile(done)
+    }
+    dir.toString
+  }
+
+  /** Open a fixture dir as a file-source stream (SRC4), one file per
+    * micro-batch. */
+  def stream(s: SparkSession, sfDir: String, variant: String): DataFrame = {
+    val dir = ensure(s, sfDir, variant)
+    val schema = s.read.parquet(dir).schema
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
+
+  /** Fresh checkpoint dir for one streaming run. */
+  def checkpoint(): String =
+    Files.createTempDirectory("graft_ckpt").toString
+}

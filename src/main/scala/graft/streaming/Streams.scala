@@ -1,0 +1,338 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Typed row for the S8 funnel (event time kept as epoch MICROS — exact
+  * long comparisons, no millis truncation). */
+case class FunnelEvent(event_id: Long, tsu: Long, user_id: Long,
+                       event_type: String)
+
+/** Keyed funnel state: open view timestamps + (click_ts, latest view ≤
+  * click) pairs, both pruned to the trailing 1 hour per batch. */
+case class FunnelState(views: Seq[Long], pairs: Seq[(Long, Long)])
+
+/** SURVEY.md §2.9 streaming S1–S8 + SRC4 (file-source replay) + J9/J10
+  * (S4/S5 are the stream-static and stream-stream joins).
+  *
+  * Oracle protocol (SURVEY §2.9): each query replays `events` through the
+  * multi-batch file source (Replayer) with `Trigger.AvailableNow`, lands
+  * in a memory sink, and the FINAL table is returned as a plain DataFrame
+  * — the driver hash-compares it against DuckDB computing the same batch
+  * semantics. Aggregations run in `complete` mode (full final table =
+  * batch result); sequence-sensitive operators (sessions, late-data)
+  * run in `append` mode and their oracles model the declared watermark
+  * rule explicitly (the watermark trajectory is computable because batch
+  * boundaries are fixed by the Replayer's file assignment).
+  *
+  * 100 TB notes: state size per operator is bounded — windowed aggs hold
+  * |open windows|·|groups| rows, dedup holds keys within the watermark,
+  * the funnel prunes to a 1-hour tail per user; at scale the state store
+  * backend becomes RocksDB via one config switch, no code change.
+  */
+object Streams {
+  import Replayer.WatermarkDelay
+
+  private def runToMemory(s: SparkSession, df: DataFrame,
+                          mode: String): DataFrame = {
+    val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", Replayer.checkpoint())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Money-grade exact cast for the events `value` column. */
+  private def vdec = col("value").cast(DecimalType(18, 4))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SRC4 — streaming file source: replayed counts must equal batch.
+    // (No countDistinct here — distinct aggregation is unsupported on
+    // streams; A4's approx_count_distinct is the declared alternative.)
+    "src4_stream_scan" -> ((s, d) => {
+      val agg = Replayer.stream(s, d, "clean")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      runToMemory(s, agg, "complete").orderBy(col("event_type"))
+    }),
+
+    // S1 — tumbling event-time window (1 h) per event_type + watermark.
+    "s1_tumbling" -> ((s, d) => {
+      val agg = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(vdec).as("sv"))
+      runToMemory(s, agg, "complete")
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"), col("sv").cast(DoubleType).as("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // S2 — sliding window (1 h window, 15 min slide).
+    "s2_sliding" -> ((s, d) => {
+      val agg = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "complete")
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // S3 — session windows (30 min gap) per user, append mode: only
+    // sessions closed by the final watermark are emitted (oracle models
+    // the same rule: last_ts + gap < max_ts − delay).
+    "s3_session" -> ((s, d) => {
+      val agg = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      runToMemory(s, agg, "append")
+        .select(col("user_id"), col("first_ts"), col("last_ts"),
+                col("n_events"))
+        .orderBy(col("user_id"), col("first_ts"))
+    }),
+
+    // S4 / J9 — stream-static dim join (broadcast customer) + windowed agg.
+    "s4_stream_static" -> ((s, d) => {
+      val cust = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val agg = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .filter(col("event_type") === "purchase")
+        .join(cust, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(vdec).as("sv"))
+      runToMemory(s, agg, "complete")
+        .select(col("window.start").as("win_start"), col("c_mktsegment"),
+                col("n"), col("sv").cast(DoubleType).as("sum_value"))
+        .orderBy(col("win_start"), col("c_mktsegment"))
+    }),
+
+    // S5 / J10 — stream-stream interval join: purchases ⋈ clicks of the
+    // same user within the preceding hour, both sides watermarked. The
+    // raw matches land in the sink; the rollup over them is batch (keeps
+    // a single stateful operator in the streaming plan). Result must
+    // equal the batch interval join J7 — same oracle SQL.
+    "s5_interval_join" -> ((s, d) => {
+      val p = Replayer.stream(s, d, "clean")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+                col("user_id").as("p_user"))
+        .withWatermark("p_ts", WatermarkDelay)
+      val c = Replayer.stream(s, d, "clean")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+                col("user_id").as("c_user"))
+        .withWatermark("c_ts", WatermarkDelay)
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      runToMemory(s, joined, "append")
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct(col("p_id")).as("n_purchases"))
+        .orderBy(col("user_id"))
+    }),
+
+    // S6 — streaming dedup on a duplicate-injected replay; final rows
+    // must equal the clean batch table.
+    "s6_dedup" -> ((s, d) => {
+      val deduped = Replayer.stream(s, d, "dup")
+        .withWatermark("ts", WatermarkDelay)
+        .dropDuplicatesWithinWatermark(Seq("event_id"))
+      runToMemory(s, deduped, "append")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // S7 — late-data handling: the lateness-injected replay moves
+    // event_id % 97 == 0 rows TWO batches later, past the eviction
+    // horizon (see Replayer), so they genuinely drop. Append mode; the
+    // oracle reproduces the exact watermark trajectory, including the
+    // one-batch commit lag: batch b filters against
+    // max(ts over batches ≤ b−2) − delay (verified empirically via
+    // numRowsDroppedByWatermark).
+    "s7_late" -> ((s, d) => {
+      val agg = Replayer.stream(s, d, "late")
+        .withWatermark("ts", WatermarkDelay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "append")
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // S8 — keyed-state CEP-lite funnel via flatMapGroupsWithState: a
+    // purchase converts when some click ≤ it has a view ≤ that click
+    // with view ≥ purchase − 1 h. Emits (user, purchase) pairs; rollup
+    // to per-user conversion counts is batch.
+    "s8_funnel" -> ((s, d) => {
+      import s.implicits._
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val conversions = ev.groupByKey(_.user_id)
+        .flatMapGroupsWithState[FunnelState, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(funnel)
+      runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  private val HourUs = 3600L * 1000000L
+
+  /** S8 state transition — events of one user in one micro-batch. */
+  private def funnel(user: Long, it: Iterator[FunnelEvent],
+                     state: GroupState[FunnelState]): Iterator[(Long, Long)] = {
+    var st = state.getOption.getOrElse(FunnelState(Nil, Nil))
+    var views = st.views.toList
+    var pairs = st.pairs.toList
+    val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    val evs = it.toSeq.sortBy(e => (e.tsu, e.event_id))
+    var maxTs = 0L
+    evs.foreach { e =>
+      maxTs = math.max(maxTs, e.tsu)
+      e.event_type match {
+        case "view" => views ::= e.tsu
+        case "click" =>
+          val v = views.filter(_ <= e.tsu)
+          if (v.nonEmpty) pairs ::= (e.tsu, v.max)
+        case "purchase" =>
+          if (pairs.exists { case (c, v) => c <= e.tsu && v >= e.tsu - HourUs })
+            out += ((user, e.event_id))
+        case _ => ()
+      }
+    }
+    // prune to the trailing hour — nothing older can ever qualify again
+    views = views.filter(_ >= maxTs - HourUs)
+    pairs = pairs.filter(_._2 >= maxTs - HourUs)
+    state.update(FunnelState(views, pairs))
+    out.iterator
+  }
+
+  /** Shared oracle fragment: batch index + the per-batch FILTER watermark
+    * for the late replay (mirrors Replayer.batchExpr; the 2-PRECEDING
+    * frame models Spark's one-batch watermark commit lag — the filter
+    * watermark of batch b is built from batches ≤ b−2). */
+  private val lateBatchSql =
+    """ev AS (
+      |  SELECT event_id, ts, event_type,
+      |    least(CAST(floor(event_id / b.bsz) AS INT) +
+      |            CASE WHEN event_id % 97 = 0 THEN 2 ELSE 0 END, 4) AS b
+      |  FROM events
+      |  CROSS JOIN (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS bsz
+      |              FROM events) b),
+      |bm AS (SELECT b, max(ts) AS mx FROM ev GROUP BY b),
+      |wm AS (
+      |  SELECT b,
+      |    max(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+      |                  AND 2 PRECEDING) - INTERVAL 10 MINUTE AS w
+      |  FROM bm)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "src4_stream_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s1_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "s2_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+        |         - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS win_start
+        |  FROM events
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "s3_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |    CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        |    CAST(max(ts) AS TIMESTAMP) AS last_ts,
+        |    count(*) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, first_ts, last_ts, n_events
+        |FROM sess
+        |WHERE last_ts + INTERVAL 30 MINUTE <
+        |  (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        |ORDER BY user_id, first_ts""".stripMargin,
+    "s4_stream_static" ->
+      """SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS win_start,
+        |  c.c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY win_start, c_mktsegment""".stripMargin,
+    "s5_interval_join" ->
+      """SELECT p.user_id, count(*) AS n_pairs,
+        |  count(DISTINCT p.event_id) AS n_purchases
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    "s6_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s7_late" ->
+      s"""WITH $lateBatchSql,
+        |kept AS (
+        |  SELECT e.* FROM ev e JOIN wm ON wm.b = e.b
+        |  WHERE wm.w IS NULL
+        |     OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w),
+        |fw AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ev),
+        |agg AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    event_type, count(*) AS n
+        |  FROM kept GROUP BY 1, 2)
+        |SELECT a.win_start, a.event_type, a.n
+        |FROM agg a CROSS JOIN fw
+        |WHERE a.win_start + INTERVAL 1 HOUR < fw.w
+        |ORDER BY a.win_start, a.event_type""".stripMargin,
+    "s8_funnel" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, count(*) AS n_conversions
+        |FROM p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND c.ts <= p.ts
+        |    AND EXISTS (
+        |      SELECT 1 FROM events v
+        |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 1 HOUR))
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+  )
+}
