@@ -24,6 +24,7 @@ object SparkEntry {
     (Windows.queries, Windows.oracle),
     (SortsSetOps.queries, SortsSetOps.oracle),
     (Functions.queries, Functions.oracle),
+    (SourcesSinks.queries, SourcesSinks.oracle),
     (Llm.queries, Llm.oracle),
     (DedupExt.queries, DedupExt.oracle),
     (Multimodal.queries, Multimodal.oracle),

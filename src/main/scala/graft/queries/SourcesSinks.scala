@@ -1,0 +1,84 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.{Canon, Tables}
+
+/** SURVEY.md §2.1 SRC2/SRC3 (CSV/JSON scans with declared schema) +
+  * SNK1 (batch sinks — the write half of each round-trip).
+  *
+  * Pattern: write the table to the text format in a temp dir, re-read it
+  * with the explicit schema, and aggregate a content checksum; the oracle
+  * computes the same checksum on the ORIGINAL parquet — any loss or
+  * mangling in the round-trip (quoting, timestamp precision, null
+  * encoding) breaks the hash.
+  *
+  * 100 TB notes: both sources are splittable line formats — schema is
+  * declared (no inference scan), so a directory of CSV/JSON parts scans
+  * with the same per-split parallelism as parquet, just without column
+  * pruning/pushdown (documented trade-off; these formats are ingest
+  * edges, not analytical storage).
+  */
+object SourcesSinks {
+  import Canon.{money, asLong, d}
+
+  /** Micro-second-precise timestamp format: Spark's CSV/JSON default
+    * keeps only millis — µs timestamps in this data would be truncated
+    * and the checksum would catch it. */
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SRC2 + SNK1 — CSV round-trip of lineitem.
+    "src2_csv_roundtrip" -> ((s, dir) => {
+      val src = Tables.lineitem(s, dir)
+      val tmp = Files.createTempDirectory("graft_csv").toString
+      src.write.mode("overwrite")
+        .option("header", "true").option("timestampFormat", TsFmt)
+        .csv(tmp)
+      s.read.schema(src.schema)
+        .option("header", "true").option("timestampFormat", TsFmt)
+        .csv(tmp)
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_orderkey")).as("sum_okey"),
+             sum(asLong(col("l_quantity"))).as("sum_qty"),
+             d(sum(money(col("l_extendedprice")))).as("sum_price"),
+             min(col("l_shipdate")).as("min_ship"),
+             max(col("l_shipdate")).as("max_ship"))
+    }),
+
+    // SRC3 + SNK1 — JSON-lines round-trip of events (µs timestamps).
+    "src3_json_roundtrip" -> ((s, dir) => {
+      val src = Tables.events(s, dir)
+      val tmp = Files.createTempDirectory("graft_json").toString
+      src.write.mode("overwrite").option("timestampFormat", TsFmt).json(tmp)
+      s.read.schema(src.schema)
+        .option("timestampFormat", TsFmt).json(tmp)
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).as("sum_id"),
+             sum(col("user_id")).as("sum_uid"),
+             d(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"),
+             min(col("ts")).as("min_ts"),
+             max(col("ts")).as("max_ts"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "src2_csv_roundtrip" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+    "src3_json_roundtrip" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(min(ts) AS TIMESTAMP) AS min_ts,
+        |  CAST(max(ts) AS TIMESTAMP) AS max_ts
+        |FROM events""".stripMargin
+  )
+}

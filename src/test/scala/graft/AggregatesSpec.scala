@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+
+/** t3 property checks for sketch/float aggregates (SURVEY §2.4): the
+  * declared A4 exclusion (no oracle hash) is replaced by a tolerance
+  * check against the exact A3, and the float builtins (stddev/corr) are
+  * checked against the exact-integer-moment formulas of a7_stats.
+  */
+class AggregatesSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  test("A4 approx_count_distinct within 5% of A3 exact") {
+    val exact = SparkEntry.queries("a3_distinct")(s, sf)
+      .select(col("event_type"), col("n_users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("a4_approx_distinct")(s, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05,
+        s"$k: approx=$a exact=$e (>5% off)")
+    }
+  }
+
+  test("a7_stats exact formulas match Spark's stddev_samp/corr builtins") {
+    val exact = SparkEntry.queries("a7_stats")(s, sf).collect()(0)
+    val builtin = Tables.lineitem(s, sf).agg(
+      stddev_samp(col("l_quantity").cast("long")).as("sd"),
+      corr(col("l_quantity").cast("long"),
+           (col("l_discount") * 100).cast("long")).as("c")).collect()(0)
+    assert(math.abs(exact.getDouble(2) - builtin.getDouble(0)) < 1e-9)
+    assert(math.abs(exact.getDouble(3) - builtin.getDouble(1)) < 1e-6)
+  }
+
+  test("L10 and L12 find the same verified near-dup pairs") {
+    // two independent candidate generators (MinHash-LSH bands vs
+    // rare-token blocking) must agree on the >= 0.95-Jaccard pairs
+    val a = SparkEntry.queries("l10_minhash_lsh")(s, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = SparkEntry.queries("l12_raretoken_neardup")(s, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b, s"LSH-only: ${a -- b}; blocking-only: ${b -- a}")
+  }
+
+  test("L1 dedup is idempotent (survivor set stable under re-dedup)") {
+    val survivors = SparkEntry.queries("l1_exact_dedup")(s, sf)
+      .agg(count(lit(1)), sum(col("n"))).collect()(0)
+    val docs = Tables.documents(s, sf).count()
+    assert(survivors.getLong(1) == docs) // every doc in exactly one group
+  }
+}

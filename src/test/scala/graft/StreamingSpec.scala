@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.streaming.Replayer
+
+/** Streaming-specific tiers: SRC5 (memory/rate test sources), SNK2
+  * (checkpointed exactly-once restart), S9 (output modes), and the
+  * single most valuable property of the whole S-series — stream-vs-batch
+  * equivalence (SURVEY §5.2 t3).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.Sf
+
+  test("SRC5: MemoryStream source feeds a streaming aggregation") {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val mem = MemoryStream[Int]
+    val agg = mem.toDF().groupBy((col("value") % 2).as("par"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val q = agg.writeStream.format("memory").queryName("src5_t")
+      .outputMode("complete").start()
+    mem.addData(1 to 100: _*)
+    q.processAllAvailable()
+    val out = s.table("src5_t").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    q.stop()
+    assert(out(0) == (50L, 2550L) && out(1) == (50L, 2500L))
+  }
+
+  test("SNK2: kill-and-restart from checkpoint is exactly-once") {
+    val dir = Replayer.ensure(s, sf, "clean")
+    val schema = s.read.parquet(dir).schema
+    val ckpt = Files.createTempDirectory("graft_snk2_ckpt").toString
+    val out = Files.createTempDirectory("graft_snk2_out").toString
+    def stream() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .select(col("event_id"), col("event_type"))
+
+    // phase 1: process a strict prefix of the files, then "crash"
+    val q1 = stream().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.nanoTime() < deadline) Thread.sleep(100)
+    q1.stop() // mid-stream kill
+    val partial = s.read.parquet(out).count()
+    assert(partial > 0 && partial < 1000,
+      s"restart test needs a strict prefix, got $partial rows")
+
+    // phase 2: restart from the same checkpoint, drain the rest
+    val q2 = stream().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+
+    // exactly-once: final table equals the uninterrupted batch result
+    val fin = s.read.parquet(out)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val exp = Tables.events(s, sf)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(fin.getLong(0) == exp.getLong(0), "row count diverged after restart")
+    assert(fin.getLong(1) == exp.getLong(1), "content checksum diverged")
+  }
+
+  test("S1 stream equals the same aggregation run as a batch query") {
+    val streamed = SparkEntry.queries("s1_tumbling")(s, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3))).toSet
+    val batch = Tables.events(s, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+      .select(col("window.start"), col("event_type"), col("n"), col("sv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+                 r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
+  test("S9: windowed aggregation rejects append output without watermark") {
+    val err = intercept[Exception] {
+      Replayer.stream(s, sf, "clean") // no withWatermark
+        .groupBy(window(col("ts"), "1 hour")).count()
+        .writeStream.format("memory").queryName("s9_bad")
+        .outputMode("append")
+        .option("checkpointLocation", Replayer.checkpoint())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(err.getMessage.toLowerCase.contains("watermark") ||
+           err.getMessage.toLowerCase.contains("append"))
+  }
+}
