@@ -68,6 +68,12 @@ object Aggregates {
 
     // A5 — collect_list, order-canonicalized then serialized to a string
     // (string compares are engine-neutral; array encodings are not).
+    // 100 TB note: collect_list buffers one group per aggregation buffer —
+    // bounded HERE because the input is pre-filtered to negative-balance
+    // customers (~10% of a dim table, ≤ |customers per nation|). The
+    // general scale path for unbounded groups is a secondary-sort write
+    // (repartition by key + sortWithinPartitions) instead of an in-memory
+    // list; this query intentionally demonstrates the bounded-dim case.
     "a5_collect" -> ((s, dir) =>
       Tables.customer(s, dir).filter(col("c_acctbal") < 0)
         .groupBy(col("c_nationkey"))
