@@ -57,11 +57,17 @@ object DedupExt {
     // Docs colliding in ANY band become candidates; candidates are then
     // verified with exact Jaccard ≥ 0.95 (this corpus draws from a tiny
     // vocabulary, so looser thresholds match a quarter of ALL pairs —
-    // 0.95 isolates genuine near-dups; the designed pairs sit at 1.0). 100 TB: signatures are one
-    // groupBy over (doc, token); banding is a groupBy on (band, sig);
-    // the exact verify touches only colliding pairs.
+    // 0.95 isolates genuine near-dups; the designed pairs sit at 1.0).
+    // The canonical check is bounded to the declared doc_id < 1000 slice:
+    // this corpus's BASELINE pair similarity (~0.8 Jaccard) sits above
+    // the r=2 banding design point, so full-corpus candidates approach
+    // all-pairs (measured: 9.8M of 12.5M at sf0.1) — a data property,
+    // not an algorithm property. 100 TB note: on real corpora the band
+    // width r is tuned so J_baseline^r ≈ 0 (r=4..8 rows/band); the
+    // pipeline shape (signature groupBy → band groupBy → verify only
+    // colliding pairs) is unchanged.
     "l10_minhash_lsh" -> ((s, d) => {
-      val tok = tokens(s, d)
+      val tok = tokens(s, d).filter(col("doc_id") < 1000)
       val aggs = AB.zipWithIndex.map { case ((a, b), i) =>
         min((col("th") * a + b) % P).as(s"h$i")
       }
@@ -100,11 +106,14 @@ object DedupExt {
 
     // L12 — near-dup via rare-token prefix blocking: each doc is keyed by
     // its 3 globally-rarest tokens; docs sharing a rare token are
-    // candidates, verified with exact Jaccard ≥ 0.95. 100 TB: the freq
-    // table is vocabulary-sized (broadcastable); rare tokens bound the
-    // candidate blocks by construction.
+    // candidates, verified with exact Jaccard ≥ 0.95. Bounded to the
+    // declared doc_id < 1000 slice for the same corpus reason as L10
+    // (with a ~200-word vocabulary even the "rarest" tokens appear in
+    // ~2% of docs, so blocks are huge). 100 TB: on real corpora the
+    // freq table is vocabulary-sized (broadcastable) and rare tokens
+    // bound the blocks by construction.
     "l12_raretoken_neardup" -> ((s, d) => {
-      val tok = tokens(s, d)
+      val tok = tokens(s, d).filter(col("doc_id") < 1000)
       val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
       val rare = tok.join(freq, "token")
         .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
@@ -242,6 +251,14 @@ object DedupExt {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |        FROM documents))""".stripMargin
 
+  /** L10/L12 variant bounded to the declared doc_id < 1000 slice. */
+  private val tokSql1k =
+    """tok AS (
+      |  SELECT DISTINCT doc_id, token,
+      |    CAST('0x' || substring(md5(token), 1, 12) AS BIGINT) AS th
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents WHERE doc_id < 1000))""".stripMargin
+
   private val jacSql =
     """sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
       |inter AS (
@@ -259,7 +276,7 @@ object DedupExt {
 
   val oracle: Map[String, String] = Map(
     "l10_minhash_lsh" ->
-      s"""WITH $tokSql,
+      s"""WITH $tokSql1k,
         |sig AS (
         |  SELECT doc_id,
         |    min((th * 2 + 1) % 2147483647) AS h0,
@@ -300,7 +317,7 @@ object DedupExt {
         |  count(*) OVER (PARTITION BY simhash) AS n_same
         |FROM sim ORDER BY doc_id""".stripMargin,
     "l12_raretoken_neardup" ->
-      s"""WITH $tokSql,
+      s"""WITH $tokSql1k,
         |freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
         |rare AS (
         |  SELECT doc_id, token FROM (
