@@ -178,6 +178,35 @@ object Llm {
             lit(1000000.0)).as("c"))
         .orderBy(col("label"), col("dim"))),
 
+    // L3b — the same cosine top-k computed through the NATIVE Catalyst
+    // expression `graft_dot` (graft.plans.LongDotProduct, a codegen'd
+    // fused loop) instead of the higher-order aggregate(zip_with(...))
+    // chain — SURVEY §7.4's escape hatch, demonstrated. Registered via
+    // public API (FunctionRegistry; SparkSessionExtensions hook in
+    // graft.plans.GraftExtensions). Must hash-match the same oracle as
+    // L3: a bitwise-identical result from a custom Expression is the
+    // strongest correctness check it can get.
+    "l3b_native_topk" -> ((s, d) => {
+      graft.plans.GraftFunctions.ensure(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qz(col("embedding")).as("q"))
+        .withColumn("nrm", expr("graft_dot(q, q)"))
+      val qs = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+                col("nrm").as("qn"))
+      val pairs = broadcast(qs).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (expr("graft_dot(qq, q)").cast(DoubleType) /
+            (sqrt(col("qn").cast(DoubleType)) *
+             sqrt(col("nrm").cast(DoubleType)))).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid").asc)
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vid"), col("cos"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // X1 — scalar Scala UDF (slugify) used in an L-series shape. The
     // oracle reproduces it with portable SQL (lower + regexp_replace).
     "x1_udf" -> ((s, d) =>
@@ -187,22 +216,8 @@ object Llm {
         .orderBy(col("doc_id")))
   )
 
-  val oracle: Map[String, String] = Map(
-    "l1_exact_dedup" ->
-      """SELECT sha256(lower(trim(text))) AS h,
-        |  min(doc_id) AS survivor, count(*) AS n
-        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
-    "l2_tokenset_neardup" ->
-      """WITH sigs AS (
-        |  SELECT doc_id,
-        |    sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
-        |  FROM documents)
-        |SELECT sig,
-        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
-        |  count(*) AS n
-        |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
-    "l3_cosine_topk" ->
-      """WITH e AS (
+  private val l3Sql =
+    """WITH e AS (
         |  SELECT vec_id,
         |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
         |  FROM embeddings),
@@ -221,7 +236,25 @@ object Llm {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk
         |  FROM pairs)
         |SELECT qid, rnk, vid, cos FROM r WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin,
+        |ORDER BY qid, rnk""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "l1_exact_dedup" ->
+      """SELECT sha256(lower(trim(text))) AS h,
+        |  min(doc_id) AS survivor, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "l2_tokenset_neardup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id,
+        |    sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents)
+        |SELECT sig,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+        |  count(*) AS n
+        |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
+    "l3_cosine_topk" -> l3Sql,
+    "l3b_native_topk" -> l3Sql, // native expression must not change results
+    
     "l4_token_stats" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
