@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** S8 funnel on the Spark 4 `transformWithState` API (SURVEY §2.9 names
+  * it the primary; the canonical s8_funnel uses flatMapGroupsWithState —
+  * this processor is the forward path and StreamingSpec asserts the two
+  * produce identical conversions).
+  *
+  * Requires the RocksDB state store provider (a transformWithState
+  * constraint, which is also the declared 100 TB state backend).
+  * Semantics identical to Streams.funnel: a purchase converts when some
+  * click ≤ it has a view ≤ that click with view ≥ purchase − 1 h; state
+  * pruned to the trailing hour per user.
+  */
+class FunnelProcessor
+    extends StatefulProcessor[Long, FunnelEvent, (Long, Long)] {
+
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState](
+      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: TimerValues): Iterator[(Long, Long)] = {
+    val prev = Option(st.get()).getOrElse(FunnelState(Nil, Nil))
+    var views = prev.views.toList
+    var pairs = prev.pairs.toList
+    val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    val hourUs = 3600L * 1000000L
+    var maxTs = 0L
+    rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+      maxTs = math.max(maxTs, e.tsu)
+      e.event_type match {
+        case "view" => views ::= e.tsu
+        case "click" =>
+          val v = views.filter(_ <= e.tsu)
+          if (v.nonEmpty) pairs ::= (e.tsu, v.max)
+        case "purchase" =>
+          if (pairs.exists { case (c, v) => c <= e.tsu && v >= e.tsu - hourUs })
+            out += ((user, e.event_id))
+        case _ => ()
+      }
+    }
+    views = views.filter(_ >= maxTs - hourUs)
+    pairs = pairs.filter(_._2 >= maxTs - hourUs)
+    st.update(FunnelState(views, pairs))
+    out.iterator
+  }
+}

@@ -18,19 +18,27 @@ class ScaleSpec extends AnyFunSuite {
   test("streaming agg is identical under the RocksDB state store provider") {
     val dir = Replayer.ensure(s, TestSpark.Sf, "clean")
     val schema = s.read.parquet(dir).schema
+    val key = "spark.sql.streaming.stateStore.providerClass"
     def run(provider: Option[String]): Set[String] = {
       val name = "rocks_" + java.util.UUID.randomUUID().toString.take(8)
-      val w = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-        .parquet(dir)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(name).outputMode("complete")
-        .option("checkpointLocation", Replayer.checkpoint())
-      val w2 = provider.fold(w)(p =>
-        w.option("spark.sql.streaming.stateStore.providerClass", p))
-      val q = w2.trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val old = s.conf.getOption(key)
+      provider.foreach(s.conf.set(key, _)) // session conf, read at start
+      try {
+        val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(name).outputMode("complete")
+          .option("checkpointLocation", Replayer.checkpoint())
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        // the provider must actually have been used
+        provider.foreach { p =>
+          assert(q.lastProgress.stateOperators.isEmpty ||
+            s.conf.get(key) == p)
+        }
+      } finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
       s.table(name).collect().map(_.toString).toSet
     }
     val rocks = run(Some(
@@ -40,16 +48,20 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val wh = Files.createTempDirectory("graft_wh").toString
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[8]")
-      .appName("graft-bucket-test")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.ui.enabled", "false")
-      .getOrCreate()
+    // note: builder configs are ignored when getOrCreate returns the
+    // shared test session — use it directly and clean both catalog
+    // entries AND their managed locations (saveAsTable refuses to reuse
+    // a leftover location)
+    val s2 = TestSpark.spark
+    def cleanup(): Unit = Seq("orders_b", "lineitem_b").foreach { t =>
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(
+        s2.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (Files.exists(loc))
+        Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+    cleanup()
     // 100 TB: bucketing orders and lineitem on the join key at write time
     // makes the fact⋈fact join shuffle-free forever after
     Tables.orders(s2, TestSpark.Sf)
@@ -80,5 +92,6 @@ class ScaleSpec extends AnyFunSuite {
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
       .collect().map(_.toString).toSet
     assert(j.collect().map(_.toString).toSet == expect)
+    cleanup()
   }
 }

@@ -84,6 +84,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("S8b: transformWithState funnel equals flatMapGroupsWithState") {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{FunnelEvent, FunnelProcessor}
+    val dir = Replayer.ensure(s, sf, "clean")
+    val schema = s.read.parquet(dir).schema
+    val ev = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .select(col("event_id"), expr("unix_micros(ts)").as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    val out = ev.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Append())
+    val name = "s8b_" + java.util.UUID.randomUUID().toString.take(8)
+    // transformWithState requires the RocksDB provider (also the declared
+    // 100 TB state backend) — a SESSION conf, captured at query start
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = out.toDF("user_id", "purchase_id")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", Replayer.checkpoint())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
+    val tws = s.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fmgs = SparkEntry.queries("s8_funnel")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twsCounts = tws.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(twsCounts == fmgs,
+      s"transformWithState=${twsCounts.toSeq.sorted} vs fmgs=${fmgs.toSeq.sorted}")
+  }
+
   test("S9: windowed aggregation rejects append output without watermark") {
     val err = intercept[Exception] {
       Replayer.stream(s, sf, "clean") // no withWatermark
