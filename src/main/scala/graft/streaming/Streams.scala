@@ -122,12 +122,15 @@ object Streams {
     // a single stateful operator in the streaming plan). Result must
     // equal the batch interval join J7 — same oracle SQL.
     "s5_interval_join" -> ((s, d) => {
-      val p = Replayer.stream(s, d, "clean")
+      // stream self-join: both sides branch from ONE file source (one
+      // listing + one offset log instead of two)
+      val src = Replayer.stream(s, d, "clean")
+      val p = src
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
                 col("user_id").as("p_user"))
         .withWatermark("p_ts", WatermarkDelay)
-      val c = Replayer.stream(s, d, "clean")
+      val c = src
         .filter(col("event_type") === "click")
         .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
                 col("user_id").as("c_user"))

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E1 entry point: ANSI SQL over the registered views must agree with the
+  * DataFrame-API library on the same semantics.
+  */
+class EngineSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+
+  test("Engine.sql answers the revenue-per-region query (= J1)") {
+    Engine.open(s, TestSpark.Sf)
+    val viaSql = Engine.sql(s,
+      """SELECT r_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val viaApi = SparkEntry.queries("j1_inner")(s, TestSpark.Sf)
+      .collect().map(_.toString).toSeq
+    assert(viaSql == viaApi)
+  }
+
+  test("Engine.sql reaches events (nanos fix applies to the view) and graft_dot") {
+    Engine.open(s, TestSpark.Sf)
+    val n = Engine.sql(s,
+      "SELECT count(*) FROM events WHERE hour(ts) = 0").collect()(0).getLong(0)
+    assert(n > 0)
+    assert(Engine.sql(s, "SELECT graft_dot(array(3L), array(14L))")
+      .collect()(0).getLong(0) == 42L)
+  }
+
+  test("salting pattern: skew-safe join equals the plain join") {
+    import org.apache.spark.sql.functions._
+    // 100 TB pattern: a hot key (here: the most common nationkey) is
+    // salted N ways on the fact side; the dim side explodes every salt.
+    // Results must be identical to the unsalted join.
+    val n = 8
+    val cust = graft.core.Tables.customer(s, TestSpark.Sf)
+      .withColumn("salt", (col("c_custkey") % n).cast("int"))
+    val nat = graft.core.Tables.nation(s, TestSpark.Sf)
+      .withColumn("salt", explode(array((0 until n).map(lit): _*)))
+    val salted = cust.join(nat,
+        cust("c_nationkey") === nat("n_nationkey") &&
+          cust("salt") === nat("salt"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).toSet
+    val plain = graft.core.Tables.customer(s, TestSpark.Sf)
+      .join(graft.core.Tables.nation(s, TestSpark.Sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).toSet
+    assert(salted == plain && plain.nonEmpty)
+  }
+}
