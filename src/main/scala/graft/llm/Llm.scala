@@ -121,6 +121,28 @@ object Llm {
         .limit(10)
     }),
 
+    // L5b — classic log-idf TF-IDF (tf·ln(N/df)). Deliberately ORACLE-LESS
+    // (driver records a rows-only check): libm ln is not bit-portable
+    // across engines, which is exactly why the hashed canonical L5 uses
+    // the linear idf. Semantics otherwise identical to L5.
+    "l5b_tfidf_log" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(df, "token")
+        .select(col("doc_id"), col("token"),
+          (col("tf").cast(DoubleType) *
+            log(lit(n).cast(DoubleType) / col("df").cast(DoubleType)))
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc, col("token").asc)
+        .limit(10)
+    }),
+
     // L6 — bigram counts, top-50. Bigrams are built positionally from
     // consecutive tokens (map-side), then counted like L4.
     "l6_ngrams" -> ((s, d) => {

@@ -33,6 +33,20 @@ object Multimodal {
       (id, len % 1024, (len * 7) % 768, len % 16 + 1)
     }
 
+  /** STUB resize + frame-sample kernel: "resizes" the payload by striding
+    * (every 4th byte — a real kernel interpolates pixels; the Spark-side
+    * contract is byte-in/byte-out with a deterministic size change) and
+    * "samples frames" by hashing a strided window per frame index. */
+  private def resizeBatch(batch: Iterator[(Long, Array[Byte])])
+      : Iterator[(Long, Long, String, Long)] =
+    batch.map { case (id, bytes) =>
+      val resized = Array.range(0, bytes.length, 4).map(bytes(_))
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(resized).map("%02x".format(_)).mkString
+      val nFrames = bytes.length % 16 + 1
+      (id, resized.length.toLong, digest, nFrames.toLong)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L8b — batched decode over binary envelopes (stub kernel, real
     // plumbing: encode → binary column → mapPartitions batch → typed
@@ -45,6 +59,19 @@ object Multimodal {
         .mapPartitions(decodeBatch)
         .toDF("doc_id", "width", "height", "n_frames")
         .orderBy(col("doc_id"))
+    }),
+
+    // L8c — resize / frame-sample plumbing (stub kernel; the byte-level
+    // stride is reproducible in the oracle so the batch path is verified
+    // end-to-end including the binary transform itself).
+    "l8c_resize" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(resizeBatch)
+        .toDF("doc_id", "resized_len", "resized_sha", "n_frames")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -55,6 +82,23 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 1024 AS BIGINT) AS width,
         |  CAST((octet_length(encode(text)) * 7) % 768 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) % 16 + 1 AS BIGINT) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the corpus is pure ASCII, so character stride == byte stride and
+    // sha256(string) hashes the same bytes the kernel hashed
+    "l8c_resize" ->
+      """WITH u AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text), 4)) AS i
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    string_agg(substring(text, i, 1), '' ORDER BY i) AS rs
+        |  FROM u GROUP BY doc_id)
+        |SELECT r.doc_id,
+        |  CAST(length(r.rs) AS BIGINT) AS resized_len,
+        |  sha256(r.rs) AS resized_sha,
+        |  CAST(octet_length(encode(d.text)) % 16 + 1 AS BIGINT) AS n_frames
+        |FROM r JOIN documents d ON d.doc_id = r.doc_id
+        |ORDER BY r.doc_id""".stripMargin
   )
 }
