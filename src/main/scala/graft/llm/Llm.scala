@@ -33,6 +33,11 @@ object Llm {
   def qdot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Exact integer squared L2 distance between two quantized vectors. */
+  def qdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
   private val slugifyUdf =
     udf((s: String) =>
       if (s == null) null
@@ -66,8 +71,8 @@ object Llm {
     // L3 — cosine top-k similarity search, brute-force baseline: the 3
     // query vectors are broadcast against all N candidates (O(Q·N), the
     // correct plan when Q is small); top-5 via a window partitioned by
-    // query id. The bucketed/IVF scale path for large Q is l3b_ivf
-    // (property-tested for recall, not oracle-hashed).
+    // query id. The bucketed IVF scale path is l3c_ivf_topk below
+    // (recall-tested against this exact baseline in LlmSpec).
     "l3_cosine_topk" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), qz(col("embedding")).as("q"))
@@ -224,6 +229,66 @@ object Llm {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vid").asc)
       pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vid"), col("cos"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // L3c — IVF-bucketed ANN top-k: the declared 100 TB scale path for
+    // similarity search (SURVEY §2.10 L3). Coarse quantizer = the 10
+    // per-label centroids, floor-quantized to BIGINT (floor(s/cnt) on a
+    // correctly-rounded double division is exact for |s| ≤ 2^53 with
+    // cnt ≤ 2e3 — both engines agree bit-for-bit); nprobe = 3. Unlike a
+    // typical ANN sketch, every step here is integer-exact, so the query
+    // is FULLY oracle-hashed: the approximation lives in the declared
+    // semantics (search 3 of 10 buckets), not in engine-private state.
+    // Argmin is encoded as min(dist*16 + label) — one BIGINT, a plain
+    // 2-phase min aggregate with a built-in deterministic tie-break
+    // (dist ≤ 64·(2e6)² ≈ 2.6e14, so ·16 is overflow-safe by 3 orders).
+    // 100 TB: centroids are |labels|·64 longs (broadcast both ways);
+    // assignment = map-side broadcast nested-loop + 2-phase min-agg on
+    // vec_id (never an all-pairs shuffle); the candidate join then scans
+    // only nprobe/k of the corpus per query instead of all of it.
+    "l3c_ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qz(col("embedding")).as("q"))
+        .withColumn("nrm", qnorm(col("q")))
+      val cent = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(qz(col("embedding"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("cv",
+          floor(col("sv").cast(DoubleType) / col("cnt")).cast(LongType))
+        .groupBy(col("label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("c"))
+      val assign = e.join(broadcast(cent))
+        .select(col("vec_id"),
+          (qdist(col("q"), col("c")) * 16 + col("label")).as("ok"))
+        .groupBy(col("vec_id")).agg(min(col("ok")).as("mo"))
+        .select(col("vec_id").as("a_vid"), (col("mo") % 16).as("bucket"))
+      val ec = e.join(assign, col("vec_id") === col("a_vid")).drop("a_vid")
+      val qs = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+                col("nrm").as("qn"))
+      val pw = Window.partitionBy(col("qid")).orderBy(col("ok"))
+      val probes = qs.join(broadcast(cent))
+        .select(col("qid"), col("label"),
+          (qdist(col("qq"), col("c")) * 16 + col("label")).as("ok"))
+        .withColumn("r", row_number().over(pw))
+        .filter(col("r") <= 3)
+        .select(col("qid").as("p_qid"), col("label").as("pbucket"))
+      val cand = broadcast(qs.join(probes, col("qid") === col("p_qid")))
+        .join(ec, col("bucket") === col("pbucket") &&
+                  col("vec_id") =!= col("qid"))
+      val scored = cand.select(col("qid"), col("vec_id").as("vid"),
+        (qdot(col("qq"), col("q")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) *
+           sqrt(col("nrm").cast(DoubleType)))).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid").asc)
+      scored.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("vid"), col("cos"))
         .orderBy(col("qid"), col("rnk"))

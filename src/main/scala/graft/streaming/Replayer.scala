@@ -100,7 +100,17 @@ object Replayer {
       .parquet(dir)
   }
 
-  /** Fresh checkpoint dir for one streaming run. */
-  def checkpoint(): String =
-    Files.createTempDirectory("graft_ckpt").toString
+  /** Fresh checkpoint dir for one streaming run. Prefers tmpfs
+    * (/dev/shm): checkpoint commits are many small synchronous writes
+    * (offset log, commit log, one delta file per state store per batch),
+    * so memory-backed storage removes the fsync tax from every
+    * micro-batch. Durability is irrelevant here — each run starts from a
+    * fresh checkpoint; a production deployment points this at HDFS/S3. */
+  def checkpoint(): String = {
+    val shm = Paths.get("/dev/shm")
+    val base = if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+      val d = shm.resolve("graft_ckpt"); Files.createDirectories(d); d
+    } else Paths.get(sys.props("java.io.tmpdir"))
+    Files.createTempDirectory(base, "ckpt").toString
+  }
 }

@@ -39,11 +39,25 @@ object Streams {
   private def runToMemory(s: SparkSession, df: DataFrame,
                           mode: String): DataFrame = {
     val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", Replayer.checkpoint())
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    // Stateful operators open one state store per shuffle partition per
+    // micro-batch, and each store commit is a synchronous checkpoint file
+    // write — at local replay scale that per-store overhead dominates the
+    // S-series wall-clock, so the stream runs at a smaller state
+    // parallelism. The value is baked into the (fresh, per-run) checkpoint
+    // only; batch queries are untouched because the conf is restored
+    // before the returned table is consumed. At cluster scale raise
+    // SPARK_GRAFT_STREAM_PARTITIONS to O(total cores): state volume per
+    // partition, not result content, is what the knob trades off.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", Replayer.checkpoint())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
