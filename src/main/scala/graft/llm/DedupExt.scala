@@ -89,6 +89,11 @@ object DedupExt {
 
     // L11 — SimHash (16-bit) per document + collision-group size.
     // Weight of bit j = Σ over tokens of (bit_j(th) ? +1 : −1).
+    // Collision-group sizes come from a 2-phase groupBy(simhash) joined
+    // back, NOT a window over partitionBy(simhash): a near-dup-heavy
+    // corpus concentrates docs into few simhash buckets, and a window
+    // partition is a single task — the groupBy+join shape is skew-safe
+    // (partial aggregation + AQE skew handling on the join).
     "l11_simhash" -> ((s, d) => {
       val pw = element_at(
         array((0 to 15).map(j => lit(1L << j)): _*), col("j") + 1)
@@ -99,8 +104,10 @@ object DedupExt {
           .as("w"))
       val sim = bits.groupBy(col("doc_id"))
         .agg(sum(when(col("w") > 0, pw).otherwise(0L)).as("simhash"))
-      sim.withColumn("n_same",
-          count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      val groups = sim.groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n_same"))
+      sim.join(groups, "simhash")
+        .select(col("doc_id"), col("simhash"), col("n_same"))
         .orderBy(col("doc_id"))
     }),
 

@@ -27,6 +27,15 @@ import graft.core.Tables
   *           numRowsDroppedByWatermark stays 0 at one file).
   *  - dup:   rows with event_id % 101 == 0 are COPIED one file later —
   *           exercises streaming dedup.
+  *  - funnel: rows with event_id % 211 ∈ {0, 95, 190} are rewritten into
+  *           synthetic view→click→purchase chains (chain g = event_id/211
+  *           gets user 100000+g and timestamps base + 2h·g + 10min·member)
+  *           so the S8 funnel provably fires: the natural corpus has ZERO
+  *           conversions below sf0.1, which made the round-2 S8 oracle
+  *           match vacuous (0 = 0). Pure per-row arithmetic on event_id —
+  *           the oracle SQL reproduces the rewrite exactly. The 95-id
+  *           member spacing makes chains straddle batch-file boundaries,
+  *           so conversion state is genuinely carried across micro-batches.
   */
 object Replayer {
   val NumFiles = 5
@@ -67,6 +76,24 @@ object Replayer {
             .withColumn("b", least(batchExpr(n, late = false) + 1,
                                    lit(NumFiles - 1)))
           base.unionByName(dups)
+        case "funnel" =>
+          // chain g = event_id/211; members at offsets {0,95,190} become
+          // view/click/purchase of synthetic user 100000+g at
+          // 2024-03-01 + 2h·g + 10min·(offset/95) — epoch 1709251200.
+          val m = col("event_id") % 211
+          val g = floor(col("event_id") / 211).cast("long")
+          val isChain = m.isin(0, 95, 190)
+          ev.withColumn("user_id",
+              when(isChain, lit(100000L) + g).otherwise(col("user_id")))
+            .withColumn("ts",
+              when(isChain, timestamp_seconds(
+                lit(1709251200L) + g * 7200L +
+                  floor(m / 95).cast("long") * 600L))
+                .otherwise(col("ts")))
+            .withColumn("event_type",
+              when(m === 0, "view").when(m === 95, "click")
+                .when(m === 190, "purchase").otherwise(col("event_type")))
+            .withColumn("b", batchExpr(n, late = false))
       }
       batched.cache()
       try {
@@ -105,12 +132,25 @@ object Replayer {
     * (offset log, commit log, one delta file per state store per batch),
     * so memory-backed storage removes the fsync tax from every
     * micro-batch. Durability is irrelevant here — each run starts from a
-    * fresh checkpoint; a production deployment points this at HDFS/S3. */
+    * fresh checkpoint; a production deployment points this at HDFS/S3.
+    * Falls back to java.io.tmpdir when /dev/shm is absent or low on
+    * space (containers commonly cap it at 64 MB), and callers delete the
+    * dir after query termination via [[dropCheckpoint]] so repeated runs
+    * never accumulate state in RAM-backed tmpfs. */
   def checkpoint(): String = {
     val shm = Paths.get("/dev/shm")
-    val base = if (Files.isDirectory(shm) && Files.isWritable(shm)) {
+    val base = if (Files.isDirectory(shm) && Files.isWritable(shm) &&
+                   shm.toFile.getUsableSpace > 64L * 1024 * 1024) {
       val d = shm.resolve("graft_ckpt"); Files.createDirectories(d); d
     } else Paths.get(sys.props("java.io.tmpdir"))
     Files.createTempDirectory(base, "ckpt").toString
+  }
+
+  /** Recursively delete a checkpoint dir created by [[checkpoint]]. */
+  def dropCheckpoint(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
   }
 }

@@ -36,8 +36,22 @@ case class FunnelState(views: Seq[Long], pairs: Seq[(Long, Long)])
 object Streams {
   import Replayer.WatermarkDelay
 
+  /** Streaming runs mutate the session-global shuffle-partitions conf for
+    * the duration of the query; the lock serializes them per JVM so a
+    * concurrent run can never observe (or restore) the wrong value. */
+  private val runLock = new Object
+
+  /** Stream-state parallelism (SPARK_GRAFT_STREAM_PARTITIONS), validated
+    * eagerly so a bad value fails with a message naming the env var. */
+  private def streamPartitions: String = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    require(scala.util.Try(raw.toInt).toOption.exists(_ > 0),
+      s"SPARK_GRAFT_STREAM_PARTITIONS must be a positive int, got '$raw'")
+    raw
+  }
+
   private def runToMemory(s: SparkSession, df: DataFrame,
-                          mode: String): DataFrame = {
+                          mode: String): DataFrame = runLock.synchronized {
     val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful operators open one state store per shuffle partition per
     // micro-batch, and each store commit is a synchronous checkpoint file
@@ -49,15 +63,18 @@ object Streams {
     // SPARK_GRAFT_STREAM_PARTITIONS to O(total cores): state volume per
     // partition, not result content, is what the knob trades off.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    s.conf.set("spark.sql.shuffle.partitions", streamPartitions)
+    val ckpt = Replayer.checkpoint()
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", Replayer.checkpoint())
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      Replayer.dropCheckpoint(ckpt) // keep tmpfs from accumulating state
+    }
     s.table(name)
   }
 
@@ -68,6 +85,9 @@ object Streams {
     // SRC4 — streaming file source: replayed counts must equal batch.
     // (No countDistinct here — distinct aggregation is unsupported on
     // streams; A4's approx_count_distinct is the declared alternative.)
+    // `complete` mode is the oracle-harness choice (final table = batch
+    // semantics); the 100 TB production path is append + watermark into a
+    // foreachBatch/parquet sink (the SNK2 test), which keeps state bounded.
     "src4_stream_scan" -> ((s, d) => {
       val agg = Replayer.stream(s, d, "clean")
         .groupBy(col("event_type"))
@@ -77,6 +97,9 @@ object Streams {
     }),
 
     // S1 — tumbling event-time window (1 h) per event_type + watermark.
+    // Harness runs `complete` (retains all windows — fine for a bounded
+    // replay); at 100 TB run append mode: the watermark closes windows and
+    // evicts their state, so memory is O(open windows), not O(history).
     "s1_tumbling" -> ((s, d) => {
       val agg = Replayer.stream(s, d, "clean")
         .withWatermark("ts", WatermarkDelay)
@@ -88,7 +111,10 @@ object Streams {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
-    // S2 — sliding window (1 h window, 15 min slide).
+    // S2 — sliding window (1 h window, 15 min slide). Complete mode for
+    // the oracle only — production is append+watermark (see S1 note);
+    // sliding windows multiply state by window/slide (4× here), which the
+    // watermark bounds the same way.
     "s2_sliding" -> ((s, d) => {
       val agg = Replayer.stream(s, d, "clean")
         .withWatermark("ts", WatermarkDelay)
@@ -114,7 +140,9 @@ object Streams {
         .orderBy(col("user_id"), col("first_ts"))
     }),
 
-    // S4 / J9 — stream-static dim join (broadcast customer) + windowed agg.
+    // S4 / J9 — stream-static dim join (broadcast customer) + windowed
+    // agg. Complete mode for the oracle only — production is
+    // append+watermark into foreachBatch (see S1 note).
     "s4_stream_static" -> ((s, d) => {
       val cust = broadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
@@ -196,6 +224,27 @@ object Streams {
     "s8_funnel" -> ((s, d) => {
       import s.implicits._
       val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val conversions = ev.groupByKey(_.user_id)
+        .flatMapGroupsWithState[FunnelState, (Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(funnel)
+      runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .orderBy(col("user_id"))
+    }),
+
+    // S8b — the SAME funnel over the chain-injected replay (Replayer
+    // "funnel" variant). The natural corpus has zero conversions below
+    // sf0.1, so s8_funnel's oracle match alone is vacuous; this variant
+    // guarantees floor((n−190)/211)+1 deterministic conversions (4 at
+    // sf0.001, 47 at sf0.01) with chains straddling micro-batch
+    // boundaries — a positive proof that per-key state survives batches.
+    "s8b_funnel_injected" -> ((s, d) => {
+      import s.implicits._
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "funnel")
         .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
                 col("user_id"), col("event_type"))
         .as[FunnelEvent]
@@ -348,6 +397,35 @@ object Streams {
         |    AND c.ts <= p.ts
         |    AND EXISTS (
         |      SELECT 1 FROM events v
+        |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 1 HOUR))
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    // s8b — identical funnel semantics over the arithmetically-rewritten
+    // events (mirrors Replayer's "funnel" variant row-for-row).
+    "s8b_funnel_injected" ->
+      """WITH rt AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 211 IN (0, 95, 190)
+        |      THEN TIMESTAMP '2024-03-01 00:00:00'
+        |           + ((event_id // 211) * 7200
+        |              + ((event_id % 211) // 95) * 600) * INTERVAL 1 SECOND
+        |      ELSE ts END AS ts,
+        |    CASE WHEN event_id % 211 IN (0, 95, 190)
+        |      THEN 100000 + event_id // 211 ELSE user_id END AS user_id,
+        |    CASE WHEN event_id % 211 = 0 THEN 'view'
+        |         WHEN event_id % 211 = 95 THEN 'click'
+        |         WHEN event_id % 211 = 190 THEN 'purchase'
+        |         ELSE event_type END AS event_type
+        |  FROM events),
+        |p AS (SELECT * FROM rt WHERE event_type = 'purchase')
+        |SELECT p.user_id, count(*) AS n_conversions
+        |FROM p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM rt c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND c.ts <= p.ts
+        |    AND EXISTS (
+        |      SELECT 1 FROM rt v
         |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
         |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 1 HOUR))
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin

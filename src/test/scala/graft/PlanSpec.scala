@@ -54,6 +54,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("o2_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("L11: collision-group counting shuffles via groupBy+join, no window") {
+    // a window over partitionBy(simhash) would put each (skew-heavy)
+    // simhash bucket on a single task; the skew-safe shape is a 2-phase
+    // HashAggregate on simhash joined back — assert no Window survives
+    val p = plan("l11_simhash")
+    assert(!p.contains("Window"),
+      s"l11 must not contain a window operator:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("a8_percentile: no unpartitioned global window in the plan") {
     // the scale-safe rewrite keeps every window partitioned by pid
     val df = SparkEntry.queries("a8_percentile")(TestSpark.spark, TestSpark.Sf)

@@ -84,11 +84,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("S8b: transformWithState funnel equals flatMapGroupsWithState") {
+  test("S8b: transformWithState funnel equals flatMapGroupsWithState " +
+       "and fires on the chain-injected replay") {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import graft.streaming.{FunnelEvent, FunnelProcessor}
-    val dir = Replayer.ensure(s, sf, "clean")
+    // the "funnel" variant injects deterministic view→click→purchase
+    // chains (4 at sf0.001) — the equivalence check below compares
+    // NON-EMPTY sets, so the funnel logic is positively exercised
+    val dir = Replayer.ensure(s, sf, "funnel")
     val schema = s.read.parquet(dir).schema
     val ev = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
       .parquet(dir)
@@ -105,31 +109,43 @@ class StreamingSpec extends AnyFunSuite {
     val old = s.conf.getOption(key)
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Replayer.checkpoint()
     try {
       val q = out.toDF("user_id", "purchase_id")
         .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", Replayer.checkpoint())
+        .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
+    } finally {
+      old.fold(s.conf.unset(key))(s.conf.set(key, _))
+      Replayer.dropCheckpoint(ckpt)
+    }
     val tws = s.table(name).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val fmgs = SparkEntry.queries("s8_funnel")(s, sf).collect()
+    val fmgs = SparkEntry.queries("s8b_funnel_injected")(s, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val twsCounts = tws.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(twsCounts.nonEmpty,
+      "chain-injected replay must produce conversions — empty result " +
+      "means the funnel never fired")
     assert(twsCounts == fmgs,
       s"transformWithState=${twsCounts.toSeq.sorted} vs fmgs=${fmgs.toSeq.sorted}")
+    // every injected chain converts exactly once, for a synthetic user
+    assert(twsCounts.keys.forall(_ >= 100000L) &&
+           twsCounts.values.forall(_ == 1L),
+      s"expected one conversion per synthetic chain user, got ${twsCounts.toSeq.sorted}")
   }
 
   test("S9: windowed aggregation rejects append output without watermark") {
-    val err = intercept[Exception] {
+    val ckpt = Replayer.checkpoint()
+    val err = try intercept[Exception] {
       Replayer.stream(s, sf, "clean") // no withWatermark
         .groupBy(window(col("ts"), "1 hour")).count()
         .writeStream.format("memory").queryName("s9_bad")
         .outputMode("append")
-        .option("checkpointLocation", Replayer.checkpoint())
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    }
+    } finally Replayer.dropCheckpoint(ckpt)
     assert(err.getMessage.toLowerCase.contains("watermark") ||
            err.getMessage.toLowerCase.contains("append"))
   }
