@@ -341,7 +341,52 @@ object Llm {
         |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
     "l3_cosine_topk" -> l3Sql,
     "l3b_native_topk" -> l3Sql, // native expression must not change results
-    
+    // l3c — the IVF pipeline is integer-exact end-to-end (floor-quantized
+    // centroids, BIGINT distances, min-encoded argmin), so the DuckDB
+    // oracle replays the SAME declared semantics: the approximation is in
+    // the contract (probe 3 of 10 buckets), not in engine-private state.
+    "l3c_ivf_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+        |  FROM e),
+        |cx AS (SELECT label, unnest(generate_series(1, 64)) AS i, q FROM e),
+        |cs AS (
+        |  SELECT label, i,
+        |    CAST(floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |  FROM cx GROUP BY label, i),
+        |cent AS (SELECT label, list(cv ORDER BY i) AS c FROM cs GROUP BY label),
+        |dist AS (
+        |  SELECT n.vec_id, cent.label,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> (n.q[i] - cent.c[i]) * (n.q[i] - cent.c[i]))) AS BIGINT) * 16
+        |      + cent.label AS ok
+        |  FROM n CROSS JOIN cent),
+        |assign AS (SELECT vec_id, min(ok) % 16 AS bucket FROM dist GROUP BY vec_id),
+        |probes AS (
+        |  SELECT vec_id AS qid, label AS pbucket FROM (
+        |    SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY ok) AS r
+        |    FROM dist WHERE vec_id IN (0, 1, 2))
+        |  WHERE r <= 3),
+        |scored AS (
+        |  SELECT p.qid, c.vec_id AS vid,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), i -> qv.q[i] * c.q[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(c.nrm AS DOUBLE))) AS cos
+        |  FROM probes p
+        |  JOIN n qv ON qv.vec_id = p.qid
+        |  JOIN assign a ON a.bucket = p.pbucket AND a.vec_id <> p.qid
+        |  JOIN n c ON c.vec_id = a.vec_id),
+        |r AS (
+        |  SELECT qid, vid, cos,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, vid, cos FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
     "l4_token_stats" ->
       """WITH t AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
