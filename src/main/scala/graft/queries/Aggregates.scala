@@ -96,6 +96,37 @@ object Aggregates {
                  col("n_name").asc_nulls_first)
     }),
 
+    // A6b — cube: all 4 grouping combinations of (region, nation).
+    "a6b_cube" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             grouping_id().cast(LongType).as("gid"))
+        .orderBy(col("gid"), col("r_name").asc_nulls_first,
+                 col("n_name").asc_nulls_first)
+    }),
+
+    // A6c — explicit GROUPING SETS through the SQL entry point (E1):
+    // region totals, (region, nation) detail, and the grand total —
+    // i.e. rollup minus nothing but written as literal sets, exercising
+    // the Catalyst GroupingSets path rather than the rollup shorthand.
+    "a6c_groupingsets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT r_name, n_name, count(*) AS n_cust,
+          |  CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+          |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+          |""".stripMargin)
+    }),
+
     // A7 — stats aggs. Spark's stddev/corr builtins fold doubles in
     // partition order (non-deterministic bit patterns run-to-run), so the
     // canonical form computes exact integer power sums and applies one
@@ -225,6 +256,22 @@ object Aggregates {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "a6b_cube" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "a6c_groupingsets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
         |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "a7_stats" ->
       """WITH t AS (

@@ -10,10 +10,11 @@ import graft.core.Tables
   *
   * Declared exclusions (engine-specific by nature, kept out of the hashed
   * output): `rand`/`uuid`/`monotonically_increasing_id`; `xxhash64`/
-  * `crc32`/`hash` (Spark-private algorithms — F8 hashes via md5/sha2,
-  * which are algorithm-stable everywhere); libm transcendentals
-  * (`exp`/`ln`/`log10`/`cbrt`/`pow`) whose last-bit rounding is
-  * implementation-defined — `sqrt` stays (IEEE-exact).
+  * `crc32`/`hash` (Spark-private seeds / algorithms DuckDB lacks — F8
+  * hashes via md5/sha2, which are algorithm-stable everywhere, and the
+  * excluded three are test-exercised in FunctionsSpec); libm
+  * transcendentals (`exp`/`ln`/`log10`/`cbrt`/`pow`) whose last-bit
+  * rounding is implementation-defined — `sqrt` stays (IEEE-exact).
   *
   * 100 TB notes: every family is a pure per-row projection — map-side
   * only, whole-stage-codegen'd, no shuffle except the contract's final
@@ -42,7 +43,16 @@ object Functions {
         reverse(col("c_mktsegment")).as("rev"),
         instr(col("c_name"), "0").as("pos0"),
         col("c_name").startsWith("Customer").as("is_cust"),
-        col("c_name").like("%1%").as("has1"))
+        col("c_name").like("%1%").as("has1"),
+        initcap(col("c_mktsegment")).as("cap"),
+        repeat(col("c_mktsegment"), 2).as("doubled"),
+        translate(col("c_name"), "123", "abc").as("trans"),
+        format_string("%s-%05d", col("c_mktsegment"), col("c_custkey"))
+          .as("fmt"),
+        ltrim(concat(lit("  "), col("c_name"))).as("ltrimmed"),
+        rtrim(concat(col("c_name"), lit("  "))).as("rtrimmed"),
+        col("c_name").rlike("[0-9]{3}").as("has3digits"),
+        col("c_mktsegment").endsWith("E").as("ends_e"))
         .orderBy(col("c_custkey"))),
 
     // F2 — date/time family over events (real h/m/s components) under UTC.
@@ -62,7 +72,17 @@ object Functions {
         unix_timestamp(col("ts")).as("epoch_s"),
         date_format(col("ts"), "yyyy-MM-dd HH").as("fmt"),
         last_day(col("ts")).as("eom"),
-        add_months(col("ts"), 2).as("plus2m"))
+        add_months(col("ts"), 2).as("plus2m"),
+        date_add(col("ts").cast(DateType), 5).as("plus5d"),
+        date_sub(col("ts").cast(DateType), 3).as("minus3d"),
+        // both sides first-of-month at midnight → exact integer months
+        months_between(lit("2024-06-01").cast(DateType),
+                       date_trunc("month", col("ts"))).as("mb"),
+        next_day(col("ts"), "Mon").as("next_mon"),
+        from_unixtime(unix_timestamp(col("ts"))).as("from_unix"),
+        to_date(col("ts")).as("as_date"),
+        to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .as("ts_sec"))
         .orderBy(col("event_id"))),
 
     // F3 — math family over part (no libm transcendentals except sqrt).
@@ -77,13 +97,20 @@ object Functions {
         pmod(col("p_partkey"), lit(7)).as("m7"),
         signum(col("p_size") - 25).cast(IntegerType).as("sgn"),
         greatest(col("p_size"), lit(25)).as("hi"),
-        least(col("p_size"), lit(25)).as("lo"))
+        least(col("p_size"), lit(25)).as("lo"),
+        // bround (HALF_EVEN) on exact DECIMAL input: ties like x.50 are
+        // exactly representable, so banker's rounding is bit-portable
+        bround(col("p_retailprice").cast(DecimalType(18, 2)) * 2, 0)
+          .cast(DoubleType).as("beven"))
         .orderBy(col("p_partkey"))),
 
     // F4 — array + higher-order functions over tokenized documents.
     "f4_array" -> ((s, d) => {
       val toks = split(col("text"), " ")
-      Tables.documents(s, d).select(
+      Tables.documents(s, d)
+        .withColumn("t1", toks)
+        .withColumn("t2", reverse(toks))
+        .select(
         col("doc_id"),
         size(toks).cast(LongType).as("n_tokens"),
         size(array_distinct(toks)).cast(LongType).as("n_distinct"),
@@ -92,7 +119,13 @@ object Functions {
         array_max(transform(toks, t => length(t))).cast(LongType).as("max_len"),
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
         array_join(slice(array_sort(toks), 1, 3), "_").as("first3"),
-        exists(toks, t => length(t) > 8).as("has_long"))
+        exists(toks, t => length(t) > 8).as("has_long"),
+        array_join(transform(arrays_zip(col("t1"), col("t2")),
+          p => concat_ws("~", p.getField("t1"), p.getField("t2"))), "|")
+          .as("zipped"),
+        array_join(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))), "_")
+          .as("flat4"),
+        forall(toks, t => length(t) > lit(0)).as("all_nonempty"))
         .orderBy(col("doc_id"))
     }),
 
@@ -103,13 +136,19 @@ object Functions {
       val k = get_json_object(col("props"), "$.k").cast(IntegerType)
       val m = map(lit("k"), k, lit("k2"), k * 2)
       val m2 = map_concat(m, map(lit("j"), lit(1)))
+      val me = map_from_entries(array(
+        struct(lit("a").as("key"), k.as("value")),
+        struct(lit("b").as("key"), (k * 3).as("value"))))
+      val tv = transform_values(m, (_, v) => v + 100)
       Tables.events(s, d).select(
         col("event_id"),
         element_at(m, "k").as("k1"),
         element_at(m, "k2").as("k2"),
         size(m2).as("n_keys"),
         array_join(map_keys(m2), ",").as("keys"),
-        element_at(map_values(m2), 3).as("last_val"))
+        element_at(map_values(m2), 3).as("last_val"),
+        element_at(me, "b").as("mfe_b"),
+        element_at(tv, "k2").as("tv_k2"))
         .orderBy(col("event_id"))
     }),
 
@@ -125,7 +164,9 @@ object Functions {
           col("kt").cast(IntegerType).as("k_tuple"),
           from_json(col("props"), schema).getField("k").as("k_struct"),
           to_json(struct(get_json_object(col("props"), "$.k")
-            .cast(IntegerType).as("k"))).as("rebuilt"))
+            .cast(IntegerType).as("k"))).as("rebuilt"),
+          // constant-folded schema inference; oracle pins the literal
+          schema_of_json(lit("""{"k": 1}""")).as("inferred"))
         .orderBy(col("event_id"))
     }),
 
@@ -135,6 +176,36 @@ object Functions {
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("doc_id"), col("pos"), col("col").as("word"))
         .orderBy(col("doc_id"), col("pos"))),
+
+    // F7b — explode_outer: docs with no token longer than 6 chars keep a
+    // NULL row (threshold chosen so BOTH branches occur in the corpus:
+    // ~1/5 of docs have no long token, the rest have a few).
+    "f7b_explode_outer" -> ((s, d) => {
+      val longToks = filter(split(col("text"), " "), t => length(t) > 6)
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode_outer(longToks).as("word"))
+        .orderBy(col("doc_id"), col("word").asc_nulls_first)
+    }),
+
+    // F7c — stack: per-doc stats pivoted into (metric, val) rows.
+    "f7c_stack" -> ((s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"),
+          length(col("text")).cast(LongType).as("n_chr"))
+        .selectExpr("doc_id",
+          "stack(2, 'n_tokens', n_tok, 'n_chars', n_chr) AS (metric, val)")
+        .orderBy(col("doc_id"), col("metric"))),
+
+    // F7d — inline: explode an array<struct> into its columns.
+    "f7d_inline" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), inline(array(
+          struct(lit("first").as("k"), element_at(toks, 1).as("v")),
+          struct(lit("last").as("k"), element_at(toks, -1).as("v")))))
+        .orderBy(col("doc_id"), col("k"))
+    }),
 
     // F8 — algorithm-stable hashes (md5 / sha2-256); Spark-specific
     // xxhash64/crc32/hash are excluded from the oracle by declaration.
@@ -178,7 +249,16 @@ object Functions {
         |  reverse(c_mktsegment) AS rev,
         |  CAST(strpos(c_name, '0') AS INT) AS pos0,
         |  starts_with(c_name, 'Customer') AS is_cust,
-        |  c_name LIKE '%1%' AS has1
+        |  c_name LIKE '%1%' AS has1,
+        |  upper(substring(lower(c_mktsegment), 1, 1))
+        |    || substring(lower(c_mktsegment), 2) AS cap,
+        |  repeat(c_mktsegment, 2) AS doubled,
+        |  translate(c_name, '123', 'abc') AS trans,
+        |  printf('%s-%05d', c_mktsegment, c_custkey) AS fmt,
+        |  ltrim('  ' || c_name) AS ltrimmed,
+        |  rtrim(c_name || '  ') AS rtrimmed,
+        |  regexp_matches(c_name, '[0-9]{3}') AS has3digits,
+        |  ends_with(c_mktsegment, 'E') AS ends_e
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "f2_datetime" ->
       """SELECT event_id,
@@ -193,7 +273,14 @@ object Functions {
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS fmt,
         |  CAST(last_day(CAST(ts AS DATE)) AS DATE) AS eom,
-        |  CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+        |  CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  CAST(ts AS DATE) + 5 AS plus5d,
+        |  CAST(ts AS DATE) - 3 AS minus3d,
+        |  CAST(datediff('month', date_trunc('month', ts), DATE '2024-06-01') AS DOUBLE) AS mb,
+        |  CAST(ts AS DATE) + CAST(7 - ((dayofweek(ts) + 6) % 7) AS INT) AS next_mon,
+        |  strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS from_unix,
+        |  CAST(ts AS DATE) AS as_date,
+        |  CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts_sec
         |FROM events ORDER BY event_id""".stripMargin,
     "f3_math" ->
       """SELECT p_partkey,
@@ -205,7 +292,8 @@ object Functions {
         |  p_partkey % 7 AS m7,
         |  CAST(sign(p_size - 25) AS INT) AS sgn,
         |  CAST(greatest(p_size, 25) AS INT) AS hi,
-        |  CAST(least(p_size, 25) AS INT) AS lo
+        |  CAST(least(p_size, 25) AS INT) AS lo,
+        |  CAST(round_even(CAST(p_retailprice AS DECIMAL(18,2)) * 2, 0) AS DOUBLE) AS beven
         |FROM part ORDER BY p_partkey""".stripMargin,
     "f4_array" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -217,21 +305,27 @@ object Functions {
         |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'max') AS BIGINT) AS max_len,
         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
         |  array_to_string(list_sort(toks)[1:3], '_') AS first3,
-        |  len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long
+        |  len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long,
+        |  array_to_string(list_transform(generate_series(1, len(toks)),
+        |    i -> toks[i] || '~' || list_reverse(toks)[i]), '|') AS zipped,
+        |  array_to_string(flatten([toks[1:2], toks[3:4]]), '_') AS flat4,
+        |  len(list_filter(toks, x -> length(x) > 0)) = len(toks) AS all_nonempty
         |FROM t ORDER BY doc_id""".stripMargin,
     "f5_map" ->
       """WITH t AS (SELECT event_id,
         |  CAST(regexp_extract(props, '"k": ?(-?[0-9]+)', 1) AS INT) AS k
         |  FROM events)
         |SELECT event_id, k AS k1, k * 2 AS k2, 3 AS n_keys,
-        |  'k,k2,j' AS keys, 1 AS last_val
+        |  'k,k2,j' AS keys, 1 AS last_val,
+        |  k * 3 AS mfe_b, k * 2 + 100 AS tv_k2
         |FROM t ORDER BY event_id""".stripMargin,
     "f6_json" ->
       """WITH t AS (SELECT event_id,
         |  CAST(regexp_extract(props, '"k": ?(-?[0-9]+)', 1) AS INT) AS k
         |  FROM events)
         |SELECT event_id, k AS k_path, k AS k_tuple, k AS k_struct,
-        |  '{"k":' || CAST(k AS VARCHAR) || '}' AS rebuilt
+        |  '{"k":' || CAST(k AS VARCHAR) || '}' AS rebuilt,
+        |  'STRUCT<k: BIGINT>' AS inferred
         |FROM t ORDER BY event_id""".stripMargin,
     "f7_explode" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -240,6 +334,29 @@ object Functions {
         |        unnest(generate_series(1, len(toks))) AS i FROM d)
         |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS word
         |FROM e ORDER BY doc_id, pos""".stripMargin,
+    "f7b_explode_outer" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 6) AS l
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS word
+        |FROM d ORDER BY doc_id, word NULLS FIRST""".stripMargin,
+    "f7c_stack" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(length(text) AS BIGINT) AS n_chr
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, 'n_tokens' AS metric, n_tok AS val FROM b
+        |UNION ALL SELECT doc_id, 'n_chars', n_chr FROM b
+        |ORDER BY doc_id, metric""".stripMargin,
+    "f7d_inline" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, 'first' AS k, toks[1] AS v FROM t
+        |UNION ALL SELECT doc_id, 'last', toks[len(toks)] FROM t
+        |ORDER BY doc_id, k""".stripMargin,
     "f8_hash" ->
       """SELECT c_custkey, md5(c_name) AS h_md5, sha256(c_name) AS h_sha256
         |FROM customer ORDER BY c_custkey""".stripMargin,
