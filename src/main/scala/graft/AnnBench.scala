@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ANN quality/latency sweep (SURVEY §2.10 L3 scale path, quantified).
+  *
+  * For each nprobe in 1..10 runs the parameterized IVF search
+  * (`Llm.ivfTopK`) on `SPARK_GRAFT_SF_DIR`, measuring
+  *  - recall@5 against the exact brute-force baseline (`l3_cosine_topk`),
+  *  - p50 latency of 3 timed runs after 1 warm-up (same protocol as
+  *    Bench).
+  * Prints one JSON line; the measured table lives in BASELINE.md ("IVF
+  * ANN quality/latency"). nprobe=10 probes every coarse cell, so its
+  * recall is 1.0 by construction — a built-in sanity check on the
+  * measurement itself.
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+
+    val exact = topSet(SparkEntry.queries("l3_cosine_topk")(spark, sfDir))
+    val rows = (1 to 10).map { nprobe =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.llm.Llm.ivfTopK(spark, sfDir, nprobe)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up
+      val p50 = Seq(once(), once(), once()).sorted.apply(1)
+      val approx = topSet(graft.llm.Llm.ivfTopK(spark, sfDir, nprobe))
+      val recall = (exact & approx).size.toDouble / exact.size
+      f"""{"nprobe":$nprobe,"recall_at_5":$recall%.3f,"p50_sec":$p50%.3f}"""
+    }
+    println(s"""{"metric":"ann_sweep","sf":"$sfDir","baseline":"l3_cosine_topk","sweep":[${rows.mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -26,6 +26,42 @@ object DedupExt {
   private val AB = Seq((2L, 1L), (3L, 7L), (5L, 13L), (7L, 31L),
                        (11L, 101L), (13L, 211L), (17L, 419L), (19L, 773L))
 
+  /** 32 (a, b) constants for L10b's tuned banding: 2 bands × 16 rows.
+    * This corpus's baseline pair similarity is ~0.8 Jaccard, so L10's
+    * r=2 bands collide on nearly all pairs (the reason its canonical
+    * check is slice-bounded); at r=16, J^16 ≈ 0.8^16 ≈ 0.03 — measured
+    * 5% of all-pairs survive as candidates at sf0.01/sf0.1 — while the
+    * designed J=1.0 near-dups still collide in EVERY band (identical
+    * token set ⇒ identical signature), so recall on true dups is exact. */
+  private val AB32: Seq[(Long, Long)] = Seq(
+    2L, 3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L,
+    47L, 53L, 59L, 61L, 67L, 71L, 73L, 79L, 83L, 89L, 97L, 101L, 103L,
+    107L, 109L, 113L, 127L, 131L).zip(Seq(
+    1L, 7L, 13L, 31L, 101L, 211L, 419L, 773L, 911L, 1009L, 1201L, 1409L,
+    1601L, 1801L, 2003L, 2203L, 2399L, 2609L, 2801L, 3001L, 3203L, 3407L,
+    3601L, 3803L, 4001L, 4211L, 4409L, 4603L, 4801L, 5003L, 5209L, 5407L))
+
+  /** L10b band-collision candidates over the FULL corpus (exposed so the
+    * candidate-reduction property can be asserted in LlmSpec). */
+  def minhashTunedCandidates(s: SparkSession, d: String): DataFrame = {
+    val tok = tokens(s, d)
+    val aggs = AB32.zipWithIndex.map { case ((a, b), i) =>
+      min((col("th") * a + b) % P).as(s"h$i")
+    }
+    val sig = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 2).map(bk => struct(lit(bk).as("bk"),
+        concat_ws("_", (0 until 16).map(j => col(s"h${16 * bk + j}")): _*)
+          .as("bsig"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.bk"), col("band.bsig"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** 48-bit integer hash of a token via md5 prefix — portable + stable. */
   private def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
@@ -110,6 +146,17 @@ object DedupExt {
         .select(col("doc_id"), col("simhash"), col("n_same"))
         .orderBy(col("doc_id"))
     }),
+
+    // L10b — the tuned-banding MinHash near-dup, run on the FULL corpus
+    // (no doc_id slice): the executable proof of the 100 TB tuning note
+    // documented on L10. Same verify filter (exact Jaccard ≥ 0.95), same
+    // pipeline shape (signature groupBy → band groupBy → verify only
+    // colliding pairs) — only the banding parameters differ (2 bands ×
+    // 16 rows from 32 permutations, vs 4 × 2 from 8).
+    "l10b_minhash_tuned" -> ((s, d) =>
+      jaccard(minhashTunedCandidates(s, d), tokens(s, d))
+        .filter(col("jac") >= 0.95)
+        .orderBy(col("d1"), col("d2"))),
 
     // L12 — near-dup via rare-token prefix blocking: each doc is keyed by
     // its 3 globally-rarest tokens; docs sharing a rare token are
@@ -281,7 +328,31 @@ object DedupExt {
       |  JOIN sizes s1 ON s1.doc_id = i.d1
       |  JOIN sizes s2 ON s2.doc_id = i.d2)""".stripMargin
 
+  /** l10b oracle fragments are GENERATED from the same AB32 constants the
+    * Spark pipeline uses — one source of truth for the permutations. */
+  private val mins32Sql = AB32.zipWithIndex.map { case ((a, b), i) =>
+    s"    min((th * $a + $b) % 2147483647) AS h$i"
+  }.mkString(",\n")
+  private def bandSql(bk: Int): String =
+    (0 until 16).map(j => s"h${16 * bk + j}").mkString(" || '_' || ")
+
   val oracle: Map[String, String] = Map(
+    "l10b_minhash_tuned" ->
+      s"""WITH $tokSql,
+        |sig AS (
+        |  SELECT doc_id,
+        |$mins32Sql
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, 0 AS bk, ${bandSql(0)} AS bsig FROM sig
+        |  UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y
+        |    ON x.bk = y.bk AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |$jacSql
+        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.95
+        |ORDER BY d1, d2""".stripMargin,
     "l10_minhash_lsh" ->
       s"""WITH $tokSql1k,
         |sig AS (

@@ -73,6 +73,28 @@ class LlmSpec extends AnyFunSuite {
       s"top-10 sets diverged: linear-only=${l5 -- l5b}, log-only=${l5b -- l5}")
   }
 
+  test("L10b: tuned banding prunes candidates far below all-pairs " +
+       "and still finds every designed Jaccard-1.0 near-dup") {
+    val sf = TestSpark.Sf
+    val nDocs = graft.core.Tables.documents(s, sf).count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    val cands = graft.llm.DedupExt.minhashTunedCandidates(s, sf).count()
+    // measured ~5% on this corpus; 20% is the regression bound — L10's
+    // untuned r=2 banding sits at ~78% (the all-pairs collapse)
+    assert(cands.toDouble / allPairs < 0.2,
+      s"banding stopped pruning: $cands of $allPairs candidate pairs")
+    // every pair inside an l2 token-set cluster has Jaccard exactly 1.0
+    // and identical MinHash signatures — l10b must report all of them
+    val clusters = SparkEntry.queries("l2_tokenset_neardup")(s, sf)
+      .collect().map(_.getString(1).split(",").map(_.toLong).sorted)
+    val designed = clusters.flatMap(c =>
+      for (i <- c.indices; j <- i + 1 until c.length) yield (c(i), c(j))).toSet
+    val found = SparkEntry.queries("l10b_minhash_tuned")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(designed.nonEmpty && (designed -- found).isEmpty,
+      s"missed designed near-dups: ${(designed -- found).take(5)}")
+  }
+
   test("L5b: scores are positive and non-increasing in rank order") {
     val rows = SparkEntry.queries("l5b_tfidf_log")(s, TestSpark.Sf)
       .collect().map(_.getDouble(2))

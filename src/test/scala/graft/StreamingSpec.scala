@@ -33,6 +33,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(out(0) == (50L, 2550L) && out(1) == (50L, 2500L))
   }
 
+  test("SRC5: rate source produces rows under a processing-time trigger") {
+    import graft.streaming.RateSource
+    val name = "src5_rate_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = RateSource(rowsPerSecond = 200).stream(s)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (s.table(name).isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    val rows = s.table(name).collect()
+    assert(rows.nonEmpty, "rate source produced no rows in 30 s")
+    // schema contract: (timestamp, value) with gap-free value sequence
+    val vals = rows.map(_.getLong(1)).sorted
+    assert(vals.head == 0L && vals.last == vals.length - 1,
+      s"rate values not gap-free from 0: head=${vals.head} last=${vals.last} n=${vals.length}")
+  }
+
+  test("StreamSource: the same aggregation runs unchanged over file-replay" +
+       " and memory sources") {
+    import graft.streaming.{FileReplaySource, StreamSource, WrappedSource}
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    // source-agnostic query: counts per event_type
+    def counts(src: StreamSource) = src.stream(s)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    def drain(df: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val name = "srctrait_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val fromFiles = drain(counts(FileReplaySource(sf)))
+    val mem = MemoryStream[(Long, String)]
+    Tables.events(s, sf).select(col("event_id"), col("event_type"))
+      .collect().grouped(500).foreach { chunk =>
+        mem.addData(chunk.map(r => (r.getLong(0), r.getString(1))).toSeq)
+      }
+    val fromMemory = drain(counts(
+      WrappedSource(mem.toDF().toDF("event_id", "event_type"))))
+    assert(fromFiles == fromMemory && fromFiles.nonEmpty,
+      s"file=$fromFiles vs memory=$fromMemory")
+  }
+
   test("SNK2: kill-and-restart from checkpoint is exactly-once") {
     val dir = Replayer.ensure(s, sf, "clean")
     val schema = s.read.parquet(dir).schema
