@@ -1,0 +1,181 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Training-data curation operators L17–L19: the selection/filtering
+  * stages that sit between the dedup family (L1/L10–L13) and a training
+  * run. All three are map-side or 2-phase-aggregate shapes — no
+  * all-pairs, no driver loops — and every score stays integer-exact
+  * until one final IEEE division, so each query is fully oracle-hashed.
+  *
+  *  - L17 stratified sampling: DETERMINISTIC hash-threshold sampling
+  *    (md5(doc_id) % 100 < per-language rate). Unlike `DataFrame.sample`
+  *    (partition-local RNG: resample on retry, engine-private), the keep
+  *    decision is a pure function of the row — reproducible across
+  *    engines, retries, and re-runs, which is what a 100 TB pipeline
+  *    needs for auditable data lineage. The per-language rate table is a
+  *    broadcast dim (upsample low-resource languages, downsample the
+  *    head — the standard LLM-corpus rebalancing move).
+  *  - L18 repetition filter (Gopher-style): duplicate-token ratio +
+  *    top-bigram fraction per document; keep = both under threshold.
+  *    Bigram construction is a per-doc window (bounded partitions, same
+  *    argument as L16); everything else is 2-phase groupBy.
+  *  - L19 the composed pipeline: exact-dedup survivors → repetition
+  *    filter → stratified sample → per-language corpus stats. One
+  *    declarative plan, so Catalyst fuses the stages (scan once, no
+  *    materialization between them) — the point of expressing a
+  *    curation pipeline as DataFrames rather than scripted passes.
+  */
+object Curation {
+
+  /** Deterministic sampling bucket in [0, 100): 48-bit md5 prefix of the
+    * decimal doc_id, mod 100 — portable integer arithmetic (same
+    * construction as DedupExt's token hash). */
+  private def sampleBucket: Column =
+    conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
+      .cast(LongType) % 100
+
+  /** Per-language sampling rates (percent kept): downsample the English
+    * head, upsample the low-resource tail. Tiny broadcast dim. */
+  private def rates(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("en", 10L), ("de", 40L), ("es", 40L), ("fr", 40L), ("zh", 60L))
+      .toDF("lang", "rate")
+  }
+
+  /** Per-document repetition metrics (L18 core, shared with L19):
+    * (doc_id, lang, n_tok, dup_ratio, top_bigram_frac, keep). Thresholds
+    * 0.55 / 0.05 straddle the corpus medians (0.54 / 0.033), so both
+    * keep outcomes are populated at every sf. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = split(col("text"), " ")
+    val base = docs.filter(size(toks) > 1)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast(LongType).as("n_tok"),
+        size(array_distinct(toks)).cast(LongType).as("n_uniq"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = docs.select(col("doc_id"), posexplode(toks))
+      .withColumn("nxt", lead(col("col"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("|", col("col"), col("nxt")).as("bigram"))
+    val top = bigrams.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.join(top, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (lit(1.0) - col("n_uniq").cast(DoubleType) /
+          col("n_tok").cast(DoubleType)).as("dup_ratio"),
+        (col("top_c").cast(DoubleType) /
+          (col("n_tok") - 1).cast(DoubleType)).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("dup_ratio") <= 0.55 && col("top_bigram_frac") <= 0.05)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L17 — deterministic stratified sample. 100 TB: the filter is pure
+    // map-side row arithmetic against a broadcast rate table — zero
+    // shuffle, and the sample is stable under task retries (a partition-
+    // local RNG sample is not).
+    "l17_stratified_sample" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", sampleBucket)
+        .join(broadcast(rates(s)), "lang")
+        .filter(col("bucket") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy(col("doc_id"))),
+
+    // L18 — repetition-based quality filter (Gopher-style duplicate-token
+    // ratio + top-bigram fraction).
+    "l18_repetition" -> ((s, d) =>
+      repetition(s, d)
+        .select(col("doc_id"), col("n_tok"), col("dup_ratio"),
+          col("top_bigram_frac"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // L19 — the composed curation pipeline: dedup → quality → sample →
+    // per-language corpus stats. Each stage reuses the canonical
+    // operator's exact rule (L1 survivor = min doc_id per sha256; L18
+    // keep; L17 bucket<rate), so this query also pins that the operators
+    // COMPOSE without re-materialization.
+    "l19_curation_pipeline" -> ((s, d) => {
+      val survivors = Tables.documents(s, d)
+        .withColumn("hsh", sha2(lower(trim(col("text"))), 256))
+        .groupBy(col("hsh")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      repetition(s, d)
+        .join(survivors, "doc_id")
+        .filter(col("keep"))
+        .withColumn("bucket", sampleBucket)
+        .join(broadcast(rates(s)), "lang")
+        .filter(col("bucket") < col("rate"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  private val bucketSql =
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100"
+
+  private val ratesSql =
+    "r(lang, rate) AS (SELECT * FROM (VALUES ('en', 10), ('de', 40), ('es', 40), ('fr', 40), ('zh', 60)) v(lang, rate))"
+
+  /** Shared metric CTE chain (mirrors `repetition` column-for-column). */
+  private val repSql =
+    """d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |       FROM documents WHERE len(string_split(text, ' ')) > 1),
+      |base AS (
+      |  SELECT doc_id, lang, len(toks) AS n_tok,
+      |         len(list_distinct(toks)) AS n_uniq
+      |  FROM d),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                          i -> toks[i] || '|' || toks[i + 1])) AS bigram
+      |  FROM d),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_c
+      |  FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |m AS (
+      |  SELECT b.doc_id, b.lang, b.n_tok,
+      |    1.0 - CAST(b.n_uniq AS DOUBLE) / CAST(b.n_tok AS DOUBLE) AS dup_ratio,
+      |    CAST(t.top_c AS DOUBLE) / CAST(b.n_tok - 1 AS DOUBLE) AS top_bigram_frac
+      |  FROM base b JOIN top t USING (doc_id)),
+      |k AS (
+      |  SELECT *, dup_ratio <= 0.55 AND top_bigram_frac <= 0.05 AS keep
+      |  FROM m)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "l17_stratified_sample" ->
+      s"""WITH $ratesSql
+        |SELECT d.doc_id, d.lang, d.source, $bucketSql AS bucket
+        |FROM documents d JOIN r USING (lang)
+        |WHERE $bucketSql < r.rate
+        |ORDER BY doc_id""".stripMargin,
+    "l18_repetition" ->
+      s"""WITH $repSql
+        |SELECT doc_id, n_tok, dup_ratio, top_bigram_frac, keep
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "l19_curation_pipeline" ->
+      s"""WITH $repSql,
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id, md5(lower(trim(text))) AS hsh FROM documents)
+        |  GROUP BY hsh),
+        |$ratesSql
+        |SELECT k.lang, count(*) AS n_docs,
+        |  CAST(sum(k.n_tok) AS BIGINT) AS n_tokens
+        |FROM k
+        |JOIN surv USING (doc_id)
+        |JOIN r ON r.lang = k.lang
+        |WHERE k.keep AND $bucketSql < r.rate
+        |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+  )
+}
