@@ -44,10 +44,18 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    // Compact per-query timings (ms precision keeps the line short enough
+    // that no log-buffer truncation can eat the tail) — and the same JSON
+    // is ALSO written to BENCH.json so the driver can read it whole even
+    // if stdout capture clips.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"${q(k)}:${ms(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line)
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

@@ -127,21 +127,25 @@ object Aggregates {
           |""".stripMargin)
     }),
 
-    // A7 — stats aggs. Spark's stddev/corr builtins fold doubles in
-    // partition order (non-deterministic bit patterns run-to-run), so the
-    // canonical form computes exact integer power sums and applies one
+    // A7 — stats aggs. Spark's stddev/corr/skewness builtins fold doubles
+    // in partition order (non-deterministic bit patterns run-to-run), so
+    // the canonical form computes exact integer power sums and applies one
     // IEEE formula — bit-stable in any engine. Property tests in
-    // AggregatesSpec check the builtins (stddev_samp/corr) against these
-    // exact values within tolerance.
+    // AggregatesSpec check the builtins (stddev_samp/corr/var_samp/
+    // covar_samp/skewness) against these exact values within tolerance.
     // Moment COMBINATION is done in DECIMAL(38,0): at ~1e12 rows,
     // n*sxx - sx*sx exceeds Long range (ANSI mode would throw); the
-    // per-row power sums themselves stay comfortably in BIGINT.
+    // per-row power sums themselves stay comfortably in BIGINT (q ≤ 50 →
+    // q³ ≤ 1.25e5, so sum(q³) fits to ~7e13 rows). The cubic skewness
+    // numerator n²·sxxx − 3n·sx·sxx + 2·sx³ fits DECIMAL(38,0) to
+    // n ≈ 9e10 rows; past that scale the production path is the builtin
+    // single-pass `skewness` (this query's job is the exact oracle form).
     "a7_stats" -> ((s, dir) => {
       val q = asLong(col("l_quantity"))
       val dc = (money(col("l_discount")) * 100).cast(LongType) // cents, exact
       val sums = li(s, dir).agg(
         count(lit(1)).as("n"),
-        sum(q).as("sx"), sum(q * q).as("sxx"),
+        sum(q).as("sx"), sum(q * q).as("sxx"), sum(q * q * q).as("sxxx"),
         sum(dc).as("sy"), sum(dc * dc).as("syy"),
         sum(q * dc).as("sxy"))
       val big = DecimalType(38, 0)
@@ -150,12 +154,23 @@ object Aggregates {
       val varXNum = n * b(col("sxx")) - b(col("sx")) * b(col("sx"))
       val varYNum = n * b(col("syy")) - b(col("sy")) * b(col("sy"))
       val covNum  = n * b(col("sxy")) - b(col("sx")) * b(col("sy"))
+      // n²·Σ(x−μ)³ expanded in exact integer sums; population skewness
+      // g1 = m3/m2^1.5 collapses to M3/M2^1.5 (the n³ cancels). m2^1.5 is
+      // computed as m2·sqrt(m2) — sqrt and multiply are IEEE-exact, unlike
+      // libm pow(x, 1.5).
+      val m3Num = n * n * b(col("sxxx")) -
+        lit(3).cast(big) * n * b(col("sx")) * b(col("sxx")) +
+        lit(2).cast(big) * b(col("sx")) * b(col("sx")) * b(col("sx"))
+      val nn1 = n * (n - lit(1).cast(big))
       sums.select(
         col("n"),
         ratio(col("sx"), col("n")).as("mean_qty"),
-        sqrt(ratio(varXNum, n * (n - lit(1).cast(big)))).as("stddev_qty"),
+        sqrt(ratio(varXNum, nn1)).as("stddev_qty"),
         (d(covNum) / (sqrt(d(varXNum)) * sqrt(d(varYNum))))
-          .as("corr_qty_disc"))
+          .as("corr_qty_disc"),
+        ratio(varXNum, nn1).as("var_qty"),
+        ratio(covNum, nn1).as("covar_qty_disc"),
+        (d(m3Num) / (d(varXNum) * sqrt(d(varXNum)))).as("skew_qty"))
     }),
 
     // A8 — exact interpolated percentiles (p50/p90/p99 of o_totalprice),
@@ -281,6 +296,7 @@ object Aggregates {
         |), sums AS (
         |  SELECT count(*) AS n,
         |    CAST(sum(q) AS BIGINT) AS sx, CAST(sum(q*q) AS BIGINT) AS sxx,
+        |    CAST(sum(q*q*q) AS BIGINT) AS sxxx,
         |    CAST(sum(dc) AS BIGINT) AS sy, CAST(sum(dc*dc) AS BIGINT) AS syy,
         |    CAST(sum(q*dc) AS BIGINT) AS sxy
         |  FROM t)
@@ -288,7 +304,12 @@ object Aggregates {
         |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
         |  sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS stddev_qty,
         |  (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(1 AS DOUBLE)) /
-        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_disc
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_disc,
+        |  CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS var_qty,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS covar_qty_disc,
+        |  CAST(CAST(n AS HUGEINT)*n*sxxx - 3*CAST(n AS HUGEINT)*sx*sxx
+        |       + 2*CAST(sx AS HUGEINT)*sx*sx AS DOUBLE) /
+        |    (CAST(n*sxx - sx*sx AS DOUBLE) * sqrt(CAST(n*sxx - sx*sx AS DOUBLE))) AS skew_qty
         |FROM sums""".stripMargin,
     // f is computed in DOUBLE on both sides ((n-1) exact in double, one
     // IEEE multiply) so the interpolation fraction is bit-identical to the

@@ -115,8 +115,11 @@ object Functions {
         size(toks).cast(LongType).as("n_tokens"),
         size(array_distinct(toks)).cast(LongType).as("n_distinct"),
         element_at(array_sort(toks), 1).as("first_sorted"),
+        // sort_array with asc=false — the descending sibling of array_sort
+        element_at(sort_array(toks, asc = false), 1).as("last_sorted"),
         array_contains(toks, "the").as("has_the"),
         array_max(transform(toks, t => length(t))).cast(LongType).as("max_len"),
+        array_min(transform(toks, t => length(t))).cast(LongType).as("min_len"),
         aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
         array_join(slice(array_sort(toks), 1, 3), "_").as("first3"),
         exists(toks, t => length(t) > 8).as("has_long"),
@@ -301,8 +304,10 @@ object Functions {
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         |  list_sort(toks)[1] AS first_sorted,
+        |  list_reverse_sort(toks)[1] AS last_sorted,
         |  list_contains(toks, 'the') AS has_the,
         |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'max') AS BIGINT) AS max_len,
+        |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'min') AS BIGINT) AS min_len,
         |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
         |  array_to_string(list_sort(toks)[1:3], '_') AS first3,
         |  len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_long,

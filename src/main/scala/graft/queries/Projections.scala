@@ -39,15 +39,17 @@ object Projections {
           $("o_orderpriority").like("1-%"))
         .orderBy($("o_orderkey"))),
 
-    // P3 — conditional expressions (CASE bucketing).
+    // P3 — conditional expressions (CASE bucketing + nullif): 'P'-status
+    // orders are nulled out by nullif and surface as a NULL group.
     "p3_case" -> ((s, d) =>
       Tables.orders(s, d)
         .withColumn("band",
           when($("o_totalprice") < 50000, "low")
             .when($("o_totalprice") < 150000, "mid")
             .otherwise("high"))
-        .groupBy($("band")).agg(count(lit(1)).as("n"))
-        .orderBy($("band")))
+        .withColumn("status_np", nullif($("o_orderstatus"), lit("P")))
+        .groupBy($("band"), $("status_np")).agg(count(lit(1)).as("n"))
+        .orderBy($("band"), $("status_np").asc_nulls_first))
   )
 
   val oracle: Map[String, String] = Map(
@@ -66,8 +68,10 @@ object Projections {
     "p3_case" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
         |            WHEN o_totalprice < 150000 THEN 'mid'
-        |            ELSE 'high' END AS band, count(*) AS n
-        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin
+        |            ELSE 'high' END AS band,
+        |  nullif(o_orderstatus, 'P') AS status_np, count(*) AS n
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY band, status_np NULLS FIRST""".stripMargin
   )
 
   /** Shorthand: column by name without needing spark.implicits in scope. */

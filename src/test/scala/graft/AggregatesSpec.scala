@@ -27,14 +27,20 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
-  test("a7_stats exact formulas match Spark's stddev_samp/corr builtins") {
+  test("a7_stats exact formulas match Spark's stats builtins " +
+       "(stddev_samp/corr/var_samp/covar_samp/skewness)") {
     val exact = SparkEntry.queries("a7_stats")(s, sf).collect()(0)
+    val q = col("l_quantity").cast("long")
+    val dc = (col("l_discount") * 100).cast("long")
     val builtin = Tables.lineitem(s, sf).agg(
-      stddev_samp(col("l_quantity").cast("long")).as("sd"),
-      corr(col("l_quantity").cast("long"),
-           (col("l_discount") * 100).cast("long")).as("c")).collect()(0)
+      stddev_samp(q).as("sd"), corr(q, dc).as("c"),
+      var_samp(q).as("v"), covar_samp(q, dc).as("cv"),
+      skewness(q).as("sk")).collect()(0)
     assert(math.abs(exact.getDouble(2) - builtin.getDouble(0)) < 1e-9)
     assert(math.abs(exact.getDouble(3) - builtin.getDouble(1)) < 1e-6)
+    assert(math.abs(exact.getDouble(4) - builtin.getDouble(2)) < 1e-6)
+    assert(math.abs(exact.getDouble(5) - builtin.getDouble(3)) < 1e-6)
+    assert(math.abs(exact.getDouble(6) - builtin.getDouble(4)) < 1e-6)
   }
 
   test("L10 and L12 find the same verified near-dup pairs") {
