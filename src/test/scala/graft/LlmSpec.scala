@@ -6,13 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * (SURVEY §5.2 t3):
   *
   *  - l3c (IVF-bucketed ANN, the declared 100 TB similarity path) is
-  *    oracle-hashed for its DECLARED semantics (probe 3 of 10 buckets),
-  *    but that says nothing about how good those semantics are — this
-  *    spec measures recall@5 against the exact brute-force baseline l3.
-  *    Measured recall: 0.40 at sf0.001, 0.53 at sf0.01 (nprobe=3 of 10
-  *    buckets whose labels do NOT encode cosine neighborhoods — the
-  *    corpus labels are class labels, so this is a recall floor, not a
-  *    tuned ANN). The asserted bound (≥ 0.3) is the regression guard.
+  *    oracle-hashed for its DECLARED semantics (k-means cells, probe 3 of
+  *    10, 2-cell multi-assignment), but that says nothing about how good
+  *    those semantics are — this spec measures recall@5 against the exact
+  *    brute-force baseline. With the deterministic k-means quantizer
+  *    (5 Lloyd iterations from label-mean seeds) + rassign=2, measured
+  *    recall on the canonical queries: 1.00 at sf0.001, 0.93 at sf0.01
+  *    (bound ≥ 0.8); over a 30-query pool: 0.93 / 0.81 (bound ≥ 0.7).
+  *    Round-3's label-cell quantizer sat at 0.40/0.53 — the k-means
+  *    refit plus multi-probe assignment is what closed the gap.
   *  - l5b (log-idf TF-IDF) is declared oracle-less because libm `ln` is
   *    not bit-portable; its ranking must still agree with the hashed
   *    linear-idf l5 on this corpus (identical top-10 id/token sets).
@@ -25,23 +27,39 @@ class LlmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
-  private def recallAt5(sf: String): Double = {
-    val exact = topkPairs("l3_cosine_topk", sf)
-    val ivf = topkPairs("l3c_ivf_topk", sf)
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def recallOf(exact: Map[Long, Set[Long]],
+                       approx: Map[Long, Set[Long]]): Double = {
     val hits = exact.map { case (q, vids) =>
-      (ivf.getOrElse(q, Set.empty) & vids).size
+      (approx.getOrElse(q, Set.empty) & vids).size
     }.sum
     hits.toDouble / exact.values.map(_.size).sum
   }
 
+  private def recallAt5(sf: String): Double =
+    recallOf(topkPairs("l3_cosine_topk", sf), topkPairs("l3c_ivf_topk", sf))
+
   test("L3c: IVF recall@5 vs the exact l3 baseline at sf0.001") {
     val r = recallAt5("/root/testdata/sf0.001")
-    assert(r >= 0.3, f"recall@5 regressed: $r%.3f < 0.3")
+    assert(r >= 0.8, f"recall@5 regressed: $r%.3f < 0.8")
   }
 
   test("L3c: IVF recall@5 vs the exact l3 baseline at sf0.01") {
     val r = recallAt5("/root/testdata/sf0.01")
-    assert(r >= 0.3, f"recall@5 regressed: $r%.3f < 0.3")
+    assert(r >= 0.8, f"recall@5 regressed: $r%.3f < 0.8")
+  }
+
+  test("L3c: IVF recall@5 holds over a 30-query pool (not just the " +
+       "3 canonical queries) at sf0.01") {
+    val sf = TestSpark.Sf
+    val qids = 0 until 30
+    val exact = pairsOf(graft.llm.Llm.exactTopK(s, sf, qids))
+    val ivf = pairsOf(graft.llm.Llm.ivfTopK(s, sf, qids = qids))
+    val r = recallOf(exact, ivf)
+    assert(r >= 0.7, f"broad recall@5 regressed: $r%.3f < 0.7")
   }
 
   test("L3c: every IVF hit is scored identically to the exact baseline") {
