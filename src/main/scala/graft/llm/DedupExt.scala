@@ -73,19 +73,58 @@ object DedupExt {
               explode(array_distinct(split(col("text"), " "))).as("token"))
       .withColumn("th", tokenHash(col("token")))
 
-  /** Exact token-set Jaccard for candidate pairs (d1 < d2). */
-  private def jaccard(cand: DataFrame, tok: DataFrame): DataFrame = {
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(tok.select(col("doc_id").as("d1"), col("token")), Seq("d1"))
-      .join(tok.select(col("doc_id").as("d2"), col("token")), Seq("d2", "token"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("n1")), Seq("d1"))
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("n2")), Seq("d2"))
+  /** Verified ≥ jacNum/jacDen exact token-set Jaccard for candidate pairs
+    * (d1 < d2), with verify-cost cuts that cannot change the result set:
+    *
+    *  1. SIZE PRE-FILTER — J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so a pair
+    *     failing `min·jacDen ≥ jacNum·max` (exact integer arithmetic, no
+    *     float boundary drift between engines) cannot reach the
+    *     threshold and is dropped before any token work (~40% of l10b's
+    *     candidates at sf0.1).
+    *  2. IDENTICAL-SET SHORTCUT — equal sorted token lists mean J = 1.0
+    *     by definition; the intersection is skipped.
+    *  3. The intersection itself is `array_intersect` on the two per-doc
+    *     sorted token lists — PAIR-LOCAL and map-side, replacing round
+    *     3's exploded double token join (candidates × tokens rows
+    *     through a shuffle+groupBy).
+    *
+    * The threshold filter is the integer form `(num+den)·i ≥ num·(n1+n2)`
+    * (⟺ i/(n1+n2−i) ≥ num/den; ratios are never within an ulp of the
+    * boundary except at exact equality, where both forms agree) so that
+    * when Catalyst pushes it into the broadcast-join condition — where
+    * subexpressions are NOT eliminated — the intersect is evaluated once
+    * per candidate, not once per reference to `jac`.
+    *
+    * 100 TB shape: the verify stage shuffles only the candidate pairs
+    * themselves; per-doc lists ride along via two hash joins on doc_id,
+    * and documents are bounded (a token list fits in a row — the same
+    * boundedness every MinHash signature already assumes). */
+  private def jaccard(cand: DataFrame, tok: DataFrame,
+                      jacNum: Int = 19, jacDen: Int = 20): DataFrame = {
+    val st = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("sz"),
+      array_sort(collect_list(col("token"))).as("ts"))
+    // AQE coalesces the candidate exchange by BYTE size (~11 MB at sf0.1
+    // → 1 partition), but verify cost is CPU per row — pin the stage
+    // width with an explicit repartition so the intersects parallelize
+    val nPart = cand.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    cand.repartition(nPart, col("d1"), col("d2"))
+      .join(st.select(col("doc_id").as("d1"), col("sz").as("n1"),
+                      col("ts").as("t1")), Seq("d1"))
+      .join(st.select(col("doc_id").as("d2"), col("sz").as("n2"),
+                      col("ts").as("t2")), Seq("d2"))
+      .filter(least(col("n1"), col("n2")) * lit(jacDen) >=
+              lit(jacNum) * greatest(col("n1"), col("n2")))
+      .withColumn("i",
+        when(col("t1") === col("t2"), col("n1"))
+          .otherwise(size(array_intersect(col("t1"), col("t2")))
+            .cast(LongType)))
+      .filter(col("i") * lit(jacNum + jacDen) >=
+              lit(jacNum) * (col("n1") + col("n2")))
       .select(col("d1"), col("d2"),
-        (col("inter").cast(DoubleType) /
-          (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jac"))
+        (col("i").cast(DoubleType) /
+          (col("n1") + col("n2") - col("i")).cast(DoubleType)).as("jac"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -119,8 +158,7 @@ object DedupExt {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      jaccard(cand, tok).filter(col("jac") >= 0.95)
-        .orderBy(col("d1"), col("d2"))
+      jaccard(cand, tok).orderBy(col("d1"), col("d2"))
     }),
 
     // L11 — SimHash (16-bit) per document + collision-group size.
@@ -155,7 +193,6 @@ object DedupExt {
     // 16 rows from 32 permutations, vs 4 × 2 from 8).
     "l10b_minhash_tuned" -> ((s, d) =>
       jaccard(minhashTunedCandidates(s, d), tokens(s, d))
-        .filter(col("jac") >= 0.95)
         .orderBy(col("d1"), col("d2"))),
 
     // L12 — near-dup via rare-token prefix blocking: each doc is keyed by
@@ -179,8 +216,7 @@ object DedupExt {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .distinct()
-      jaccard(cand, tok).filter(col("jac") >= 0.95)
-        .orderBy(col("d1"), col("d2"))
+      jaccard(cand, tok).orderBy(col("d1"), col("d2"))
     }),
 
     // L13 — embedding near-dup via random-hyperplane LSH: 8 deterministic
@@ -313,20 +349,24 @@ object DedupExt {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
       |        FROM documents WHERE doc_id < 1000))""".stripMargin
 
+  // mirrors jaccard() above: exact-integer size pre-filter, identical-set
+  // shortcut, pair-local list_intersect (no exploded token join), and the
+  // integer-form threshold 39·i ≥ 19·(n1+n2) ⟺ J ≥ 19/20
   private val jacSql =
-    """sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
-      |inter AS (
-      |  SELECT c.d1, c.d2, count(*) AS i
+    """st AS (SELECT doc_id, count(*) AS sz, list_sort(list(token)) AS ts
+      |       FROM tok GROUP BY doc_id),
+      |ws AS (
+      |  SELECT c.d1, c.d2, s1.sz AS n1, s2.sz AS n2,
+      |    CASE WHEN s1.ts = s2.ts THEN s1.sz
+      |         ELSE len(list_intersect(s1.ts, s2.ts)) END AS i
       |  FROM cand c
-      |  JOIN tok t1 ON t1.doc_id = c.d1
-      |  JOIN tok t2 ON t2.doc_id = c.d2 AND t2.token = t1.token
-      |  GROUP BY c.d1, c.d2),
+      |  JOIN st s1 ON s1.doc_id = c.d1
+      |  JOIN st s2 ON s2.doc_id = c.d2
+      |  WHERE least(s1.sz, s2.sz) * 20 >= 19 * greatest(s1.sz, s2.sz)),
       |jac AS (
-      |  SELECT i.d1, i.d2,
-      |    CAST(i.i AS DOUBLE) / CAST(s1.sz + s2.sz - i.i AS DOUBLE) AS jac
-      |  FROM inter i
-      |  JOIN sizes s1 ON s1.doc_id = i.d1
-      |  JOIN sizes s2 ON s2.doc_id = i.d2)""".stripMargin
+      |  SELECT d1, d2,
+      |    CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) AS jac
+      |  FROM ws WHERE i * 39 >= 19 * (n1 + n2))""".stripMargin
 
   /** l10b oracle fragments are GENERATED from the same AB32 constants the
     * Spark pipeline uses — one source of truth for the permutations. */
@@ -351,7 +391,7 @@ object DedupExt {
         |  FROM bands x JOIN bands y
         |    ON x.bk = y.bk AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
         |$jacSql
-        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.95
+        |SELECT d1, d2, jac FROM jac
         |ORDER BY d1, d2""".stripMargin,
     "l10_minhash_lsh" ->
       s"""WITH $tokSql1k,
@@ -376,7 +416,7 @@ object DedupExt {
         |  FROM bands x JOIN bands y
         |    ON x.bk = y.bk AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
         |$jacSql
-        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.95
+        |SELECT d1, d2, jac FROM jac
         |ORDER BY d1, d2""".stripMargin,
     "l11_simhash" ->
       s"""WITH $tokSql,
@@ -409,7 +449,7 @@ object DedupExt {
         |  FROM rare x JOIN rare y
         |    ON x.token = y.token AND x.doc_id < y.doc_id),
         |$jacSql
-        |SELECT d1, d2, jac FROM jac WHERE jac >= 0.95
+        |SELECT d1, d2, jac FROM jac
         |ORDER BY d1, d2""".stripMargin,
     "l13_embed_neardup" ->
       """WITH e AS (

@@ -113,6 +113,38 @@ class LlmSpec extends AnyFunSuite {
       s"missed designed near-dups: ${(designed -- found).take(5)}")
   }
 
+  test("L10b: the verify-stage size pre-filter and identical-set " +
+       "shortcut drop no pair with Jaccard >= 0.95") {
+    // independent naive recomputation: exact Jaccard on ALL band
+    // candidates via the exploded token join (round 3's formulation,
+    // no pre-filter) must yield exactly the pair set the optimized
+    // pair-local verify reports
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.Sf
+    val tok = graft.core.Tables.documents(s, sf)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val cand = graft.llm.DedupExt.minhashTunedCandidates(s, sf)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val naive = cand
+      .join(tok.select(col("doc_id").as("d1"), col("token")), Seq("d1"))
+      .join(tok.select(col("doc_id").as("d2"), col("token")),
+            Seq("d2", "token"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("n2")), Seq("d2"))
+      .filter(col("i").cast("double") /
+        (col("n1") + col("n2") - col("i")).cast("double") >= 0.95)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = SparkEntry.queries("l10b_minhash_tuned")(s, sf)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive == fast,
+      s"pre-filter broke verify: missing=${(naive -- fast).take(5)}, " +
+      s"extra=${(fast -- naive).take(5)}")
+  }
+
   test("L5b: scores are positive and non-increasing in rank order") {
     val rows = SparkEntry.queries("l5b_tfidf_log")(s, TestSpark.Sf)
       .collect().map(_.getDouble(2))
