@@ -254,7 +254,8 @@ object Functions {
         |  starts_with(c_name, 'Customer') AS is_cust,
         |  c_name LIKE '%1%' AS has1,
         |  upper(substring(lower(c_mktsegment), 1, 1))
-        |    || substring(lower(c_mktsegment), 2) AS cap,
+        |    || substring(lower(c_mktsegment), 2) AS cap, -- initcap emulation: valid because c_mktsegment is single-word; Spark's initcap capitalizes PER WORD, so a multi-word column would need per-word emulation here
+        |
         |  repeat(c_mktsegment, 2) AS doubled,
         |  translate(c_name, '123', 'abc') AS trans,
         |  printf('%s-%05d', c_mktsegment, c_custkey) AS fmt,

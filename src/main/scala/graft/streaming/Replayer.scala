@@ -29,7 +29,7 @@ import graft.core.Tables
   *           exercises streaming dedup.
   *  - funnel: rows with event_id % 211 ∈ {0, 95, 190} are rewritten into
   *           synthetic view→click→purchase chains (chain g = event_id/211
-  *           gets user 100000+g and timestamps base + 2h·g + 10min·member)
+  *           gets user FunnelUserBase+g, timestamps base + 2h·g + 10min·member)
   *           so the S8 funnel provably fires: the natural corpus has ZERO
   *           conversions below sf0.1, which made the round-2 S8 oracle
   *           match vacuous (0 = 0). Pure per-row arithmetic on event_id —
@@ -41,10 +41,13 @@ object Replayer {
   val NumFiles = 5
   val WatermarkDelay = "10 minutes"
 
-  /** Root for derived fixtures; keyed by sf dir so scales don't collide. */
+  /** Root for derived fixtures; keyed by sf dir so scales don't collide.
+    * The version suffix invalidates fixtures derived by earlier builds
+    * whenever a variant's rewrite rule changes (the _DONE marker would
+    * otherwise happily serve stale data). */
   private def root(sfDir: String): Path = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures", key)
+    Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures_v2", key)
   }
 
   /** Batch index of an event in the given variant (same rule as oracle
@@ -59,8 +62,17 @@ object Replayer {
     else least(base, lit(NumFiles - 1))
   }
 
+  /** Synthetic funnel-chain user-id offset: provably above any natural
+    * user_id at any scale factor (natural ids ≈ n/66, so 1e9 is safe past
+    * sf100000) — a collision would let natural far-future events prune an
+    * injected chain's state mid-batch, diverging from the
+    * order-independent oracle SQL. */
+  val FunnelUserBase = 1000000000L
+
   /** Ensure a fixture variant exists; returns its directory. */
   def ensure(s: SparkSession, sfDir: String, variant: String): String = synchronized {
+    require(Set("clean", "late", "dup", "funnel")(variant),
+      s"unknown replay variant: $variant")
     val dir = root(sfDir).resolve(variant)
     val done = dir.resolve("_DONE")
     if (!Files.exists(done)) {
@@ -78,13 +90,13 @@ object Replayer {
           base.unionByName(dups)
         case "funnel" =>
           // chain g = event_id/211; members at offsets {0,95,190} become
-          // view/click/purchase of synthetic user 100000+g at
+          // view/click/purchase of synthetic user FunnelUserBase+g at
           // 2024-03-01 + 2h·g + 10min·(offset/95) — epoch 1709251200.
           val m = col("event_id") % 211
           val g = floor(col("event_id") / 211).cast("long")
           val isChain = m.isin(0, 95, 190)
           ev.withColumn("user_id",
-              when(isChain, lit(100000L) + g).otherwise(col("user_id")))
+              when(isChain, lit(FunnelUserBase) + g).otherwise(col("user_id")))
             .withColumn("ts",
               when(isChain, timestamp_seconds(
                 lit(1709251200L) + g * 7200L +
@@ -101,20 +113,29 @@ object Replayer {
           val tmp = dir.resolve(s"stage$i").toString
           batched.filter(col("b") === i).drop("b")
             .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+          val listed = Files.list(Paths.get(tmp))
+          val part = try listed.filter(_.toString.endsWith(".parquet"))
             .findFirst().get()
+          finally listed.close()
           val target = dir.resolve(f"batch$i%02d.parquet")
           Files.move(part, target)
           // pin replay order: FileStreamSource sorts by mtime
           Files.setLastModifiedTime(target, FileTime.fromMillis(1000000000000L + i * 1000L))
-          // clean staging dir
-          Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
+          deleteTree(Paths.get(tmp)) // clean staging dir
         }
       } finally batched.unpersist()
       Files.createFile(done)
     }
     dir.toString
+  }
+
+  /** Recursively delete, closing the walk stream (a leaked stream holds a
+    * directory fd until GC). */
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
   }
 
   /** Open a fixture dir as a file-source stream (SRC4), one file per
@@ -147,10 +168,5 @@ object Replayer {
   }
 
   /** Recursively delete a checkpoint dir created by [[checkpoint]]. */
-  def dropCheckpoint(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-  }
+  def dropCheckpoint(dir: String): Unit = deleteTree(Paths.get(dir))
 }

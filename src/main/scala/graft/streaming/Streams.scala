@@ -411,7 +411,7 @@ object Streams {
         |              + ((event_id % 211) // 95) * 600) * INTERVAL 1 SECOND
         |      ELSE ts END AS ts,
         |    CASE WHEN event_id % 211 IN (0, 95, 190)
-        |      THEN 100000 + event_id // 211 ELSE user_id END AS user_id,
+        |      THEN 1000000000 + event_id // 211 ELSE user_id END AS user_id,
         |    CASE WHEN event_id % 211 = 0 THEN 'view'
         |         WHEN event_id % 211 = 95 THEN 'click'
         |         WHEN event_id % 211 = 190 THEN 'purchase'

@@ -47,6 +47,77 @@ class ScaleSpec extends AnyFunSuite {
     assert(rocks == hdfs && rocks.nonEmpty)
   }
 
+  test("RocksDB-backed dedup state survives a mid-stream kill and " +
+       "restart exactly-once") {
+    // the "dup" replay copies every 101st event one file later, so the
+    // dedup state built in phase 1 is what prevents double-counting in
+    // phase 2 — losing it across the restart would break the checksum
+    val sf = TestSpark.Sf
+    val dir = Replayer.ensure(s, sf, "dup")
+    val schema = s.read.parquet(dir).schema
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft_rocks_ckpt").toString
+    val out = Files.createTempDirectory("graft_rocks_out").toString
+    def stream() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"))
+    try {
+      // phase 1: process a prefix, then "crash"
+      val q1 = stream().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      q1.stop()
+      // phase 2: restart from the same checkpoint (and RocksDB state)
+      val q2 = stream().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+    } finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
+    val fin = s.read.parquet(out)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val exp = Tables.events(s, sf)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(fin.getLong(0) == exp.getLong(0),
+      s"dedup broke across restart: ${fin.getLong(0)} vs ${exp.getLong(0)} rows")
+    assert(fin.getLong(1) == exp.getLong(1), "content checksum diverged")
+  }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true)") {
+    // makes §4's "AQE handles skew" claim executable: 90% of the left
+    // rows share one key; with broadcast disabled and the skew threshold
+    // lowered to test scale, OptimizeSkewedJoin must split that partition
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val olds = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val left = s.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id"))
+          .as("k"), col("id").as("payload"))
+      val right = s.range(0, 2000)
+        .select(col("id").as("k"), (col("id") * 2).as("rv"))
+      val j = left.join(right, "k")
+      // collect() runs THIS Dataset's QueryExecution (foreach/write would
+      // clone it and the finalized AQE plan would be invisible here)
+      assert(j.collect().length == 180200) // 180001 key-0 rows + 199 others
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split join:\n${plan.take(3000)}")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // note: builder configs are ignored when getOrCreate returns the
     // shared test session — use it directly and clean both catalog
