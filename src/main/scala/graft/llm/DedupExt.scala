@@ -62,6 +62,31 @@ object DedupExt {
       .distinct()
   }
 
+  /** L12b candidates: full-corpus rare-token blocking with a df
+    * threshold — docs sharing any token whose document frequency is
+    * ≤ ceil(n/20) (5% of the corpus) become candidates. Exposed so the
+    * candidate-reduction and designed-pair-recall properties can be
+    * asserted in LlmSpec. On this corpus's deliberately tiny (31-token)
+    * vocabulary only the single rarest token qualifies, so coverage is
+    * the 5%-of-docs block it defines — a data property; on a Zipfian
+    * real-corpus vocabulary most docs carry several sub-threshold tokens
+    * and coverage is near-total. 100 TB: freq is vocabulary-sized
+    * (broadcast); block sizes are bounded by K by construction. */
+  def raretokenFullCandidates(s: SparkSession, d: String): DataFrame = {
+    val tok = tokens(s, d)
+    val nDocs = Tables.documents(s, d).count()
+    val k = (nDocs + 19) / 20 // ceil(n/20): "rare" = in ≤5% of docs
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+    val rare = tok
+      .join(broadcast(freq.filter(col("f") <= k)), "token")
+      .select(col("doc_id"), col("token"))
+    rare.as("x")
+      .join(rare.as("y"), col("x.token") === col("y.token") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** 48-bit integer hash of a token via md5 prefix — portable + stable. */
   private def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
@@ -218,6 +243,17 @@ object DedupExt {
         .distinct()
       jaccard(cand, tok).orderBy(col("d1"), col("d2"))
     }),
+
+    // L12b — rare-token blocking run on the FULL corpus with a df
+    // threshold (mirror of the L10→L10b move): instead of L12's
+    // per-doc-3-rarest keys (which on a tiny vocabulary select tokens in
+    // ~all docs and need the slice bound), blocking keys are tokens in
+    // ≤ 5% of the corpus — block sizes are bounded BY CONSTRUCTION, so
+    // the query runs corpus-wide with candidates at ~0.2% of all-pairs
+    // (asserted in LlmSpec, with designed-pair recall on covered docs).
+    "l12b_raretoken_full" -> ((s, d) =>
+      jaccard(raretokenFullCandidates(s, d), tokens(s, d))
+        .orderBy(col("d1"), col("d2"))),
 
     // L13 — embedding near-dup via random-hyperplane LSH: 8 deterministic
     // hyperplanes v_k[i] = ((i+1)(k+3)) mod 7 − 3 give an 8-bit sign
@@ -444,6 +480,23 @@ object DedupExt {
         |                         ORDER BY f.f ASC, t.token ASC) AS rn
         |    FROM tok t JOIN freq f ON f.token = t.token)
         |  WHERE rn <= 3),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM rare x JOIN rare y
+        |    ON x.token = y.token AND x.doc_id < y.doc_id),
+        |$jacSql
+        |SELECT d1, d2, jac FROM jac
+        |ORDER BY d1, d2""".stripMargin,
+    // l12b — df-threshold K = ceil(n/20) mirrors raretokenFullCandidates
+    "l12b_raretoken_full" ->
+      s"""WITH $tokSql,
+        |k AS (SELECT CAST(ceil(count(DISTINCT doc_id) / 20.0) AS BIGINT) AS kk
+        |      FROM tok),
+        |freq AS (SELECT token, count(*) AS f FROM tok GROUP BY token),
+        |rare AS (
+        |  SELECT t.doc_id, t.token
+        |  FROM tok t JOIN freq f ON f.token = t.token CROSS JOIN k
+        |  WHERE f.f <= k.kk),
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         |  FROM rare x JOIN rare y

@@ -145,6 +145,40 @@ class LlmSpec extends AnyFunSuite {
       s"extra=${(fast -- naive).take(5)}")
   }
 
+  test("L12b: df-threshold blocking runs corpus-wide, prunes candidates " +
+       "below 1% of all-pairs, and reports every designed near-dup " +
+       "whose docs carry a blocking token") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.Sf
+    val nDocs = graft.core.Tables.documents(s, sf).count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    val nCand = graft.llm.DedupExt.raretokenFullCandidates(s, sf).count()
+    assert(nCand > 0 && nCand.toDouble / allPairs < 0.01,
+      s"df-threshold blocking stopped pruning: $nCand of $allPairs pairs")
+    // independent coverage computation: a doc is covered iff it carries
+    // a token with df <= ceil(n/20); designed (token-set-equal) pairs
+    // share every token, so pair coverage = first member's coverage
+    val tok = graft.core.Tables.documents(s, sf)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val k = (nDocs + 19) / 20
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+    val rareDocs = tok.join(freq.filter(col("f") <= k), "token")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val clusters = SparkEntry.queries("l2_tokenset_neardup")(s, sf)
+      .collect().map(_.getString(1).split(",").map(_.toLong).sorted)
+    val designed: Set[(Long, Long)] = clusters.flatMap(c =>
+      for (i <- c.indices; j <- i + 1 until c.length) yield (c(i), c(j))).toSet
+    val expected = designed.filter(p => rareDocs(p._1))
+    assert(expected.nonEmpty,
+      "test corpus has no rare-token-covered designed pair — vacuous")
+    val found = SparkEntry.queries("l12b_raretoken_full")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((expected -- found).isEmpty,
+      s"missed covered designed near-dups: ${(expected -- found).take(5)}")
+  }
+
   test("L5b: scores are positive and non-increasing in rank order") {
     val rows = SparkEntry.queries("l5b_tfidf_log")(s, TestSpark.Sf)
       .collect().map(_.getDouble(2))
