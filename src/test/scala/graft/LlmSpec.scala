@@ -179,6 +179,42 @@ class LlmSpec extends AnyFunSuite {
       s"missed covered designed near-dups: ${(expected -- found).take(5)}")
   }
 
+  test("L20: shingle banding finds exactly the naive all-pairs " +
+       "J >= 0.5 shingle near-dups, from <1% of all-pairs candidates") {
+    import org.apache.spark.sql.functions._
+    val sf = TestSpark.Sf
+    val nDocs = graft.core.Tables.documents(s, sf).count()
+    val allPairs = nDocs * (nDocs - 1) / 2
+    val nCand = graft.llm.DedupExt.shingleBandCandidates(s, sf).count()
+    assert(nCand > 0 && nCand.toDouble / allPairs < 0.01,
+      s"shingle banding stopped pruning: $nCand of $allPairs")
+    // naive reference: exact shingle Jaccard over ALL pairs (no banding,
+    // exploded join) — the banded path must reproduce it exactly on this
+    // corpus (28 true pairs at sf0.001, all caught by 16x2 banding)
+    val toks = split(col("text"), " ")
+    val sh = graft.core.Tables.documents(s, sf)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+                         element_at(toks, i + 2))))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val naive = sh.select(col("doc_id").as("d1"), col("sh"))
+      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("sh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("n2")), Seq("d2"))
+      .filter(col("i") * 3 >= col("n1") + col("n2"))
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = SparkEntry.queries("l20_shingle_neardup")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.nonEmpty && found == naive,
+      s"banded != naive: missing=${(naive -- found).take(5)}, " +
+      s"extra=${(found -- naive).take(5)}")
+  }
+
   test("L5b: scores are positive and non-increasing in rank order") {
     val rows = SparkEntry.queries("l5b_tfidf_log")(s, TestSpark.Sf)
       .collect().map(_.getDouble(2))
