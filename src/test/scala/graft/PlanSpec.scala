@@ -64,6 +64,38 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("L10b: verify stage is pair-local (no exploded-token shuffle) " +
+       "with pinned parallelism") {
+    val df = SparkEntry.queries("l10b_minhash_tuned")(
+      TestSpark.spark, TestSpark.Sf)
+    df.collect() // finalize AQE on this QueryExecution
+    val p = df.queryExecution.executedPlan.toString
+    // the intersect happens inside a join/projection over candidate
+    // pairs — round 3's exploded double token join would show a
+    // HashAggregate keyed by (d1, d2) counting matched tokens
+    assert(p.contains("array_intersect"),
+      s"expected pair-local array_intersect verify:\n${p.take(2000)}")
+    assert(!p.linesIterator.exists(l =>
+        l.contains("keys=[d1#") && l.contains("count(1)")),
+      "verify regressed to the exploded token-join + count-per-pair shape")
+    // the explicit repartition that keeps the CPU-heavy verify parallel
+    // (AQE would coalesce the small-by-bytes candidate exchange)
+    assert(p.contains("REPARTITION_BY_NUM") ||
+           p.contains("hashpartitioning(d1"),
+      s"verify stage lost its pinned parallelism:\n${p.take(2000)}")
+  }
+
+  test("L3c: IVF search broadcasts the trained centroids and index " +
+       "lookups (no cartesian product)") {
+    val df = SparkEntry.queries("l3c_ivf_topk")(TestSpark.spark, TestSpark.Sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"),
+      s"expected broadcast centroid/index joins:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF search must never form an all-pairs product:\n${p.take(2000)}")
+  }
+
   test("a8_percentile: no unpartitioned global window in the plan") {
     // the scale-safe rewrite keeps every window partitioned by pid
     val df = SparkEntry.queries("a8_percentile")(TestSpark.spark, TestSpark.Sf)
