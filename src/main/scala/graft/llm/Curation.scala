@@ -117,6 +117,37 @@ object Curation {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // L19b — the pipeline with a NEAR-dup removal stage composed in
+    // (added r4): exact-dedup survivors ∩ token-set-near-dup survivors
+    // (L2's order-insensitive signature, survivor = min doc_id per
+    // cluster) → repetition filter → stratified sample → stats. Both
+    // dedup stages are plain hash-groupBys, so the whole pipeline is
+    // still ONE declarative plan; at 100 TB the banded MinHash verify
+    // (l10b) slots into the same survivor position when near-dup means
+    // J ≥ t rather than exact-set equality.
+    "l19b_curation_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val exactSurv = docs
+        .withColumn("hsh", sha2(lower(trim(col("text"))), 256))
+        .groupBy(col("hsh")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val nearSurv = docs
+        .withColumn("sig", sha2(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " ")))), 256))
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      repetition(s, d)
+        .join(exactSurv, "doc_id")
+        .join(nearSurv, "doc_id")
+        .filter(col("keep"))
+        .withColumn("bucket", sampleBucket)
+        .join(broadcast(rates(s)), "lang")
+        .filter(col("bucket") < col("rate"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -174,6 +205,27 @@ object Curation {
         |  CAST(sum(k.n_tok) AS BIGINT) AS n_tokens
         |FROM k
         |JOIN surv USING (doc_id)
+        |JOIN r ON r.lang = k.lang
+        |WHERE k.keep AND $bucketSql < r.rate
+        |GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+    "l19b_curation_neardup" ->
+      s"""WITH $repSql,
+        |surv AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id, md5(lower(trim(text))) AS hsh FROM documents)
+        |  GROUP BY hsh),
+        |nsurv AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM (SELECT doc_id,
+        |          sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+        |        FROM documents)
+        |  GROUP BY sig),
+        |$ratesSql
+        |SELECT k.lang, count(*) AS n_docs,
+        |  CAST(sum(k.n_tok) AS BIGINT) AS n_tokens
+        |FROM k
+        |JOIN surv USING (doc_id)
+        |JOIN nsurv USING (doc_id)
         |JOIN r ON r.lang = k.lang
         |WHERE k.keep AND $bucketSql < r.rate
         |GROUP BY k.lang ORDER BY k.lang""".stripMargin
