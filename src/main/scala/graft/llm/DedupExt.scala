@@ -87,19 +87,30 @@ object DedupExt {
       .distinct()
   }
 
-  /** Distinct positional word-trigram shingles per doc (doc_id, token=
-    * "w_i w_i+1 w_i+2", th) — the n-gram analogue of [[tokens]]. Docs
-    * under 3 tokens have no shingles in either engine (Spark filter;
-    * DuckDB's empty generate_series). */
+  /** Distinct positional word-trigram shingle HASHES per doc (doc_id,
+    * token=th, th) — the n-gram analogue of [[tokens]]. The shingle id
+    * is pure arithmetic over the per-word 48-bit hashes
+    * (961·h_i + 31·h_{i+1} + h_{i+2}, masked to 53 bits so the MinHash
+    * permutation h·131+b stays far inside BIGINT) — no shingle string is
+    * ever materialized and each word is md5-hashed once, which halves
+    * the signature-build cost vs hashing every 3-word string. Collisions
+    * in the 2⁵³ space are ~1e-6-rare and engine-identical; LlmSpec's
+    * naive STRING-shingle reference doubles as the guard that none
+    * changed the result set. Docs under 3 tokens have no shingles in
+    * either engine (Spark filter; DuckDB's empty generate_series). */
   private def shingleTokens(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
+    val mask = (1L << 53) - 1
     Tables.documents(s, d)
       .filter(size(toks) >= 3)
+      .withColumn("ths", transform(toks, t => tokenHash(t)))
       .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-                         element_at(toks, i + 2))))).as("token"))
-      .withColumn("th", tokenHash(col("token")))
+        transform(sequence(lit(1), size(col("ths")) - 2),
+          i => (element_at(col("ths"), i) * 961 +
+                element_at(col("ths"), i + 1) * 31 +
+                element_at(col("ths"), i + 2)).bitwiseAND(mask))))
+        .as("th"))
+      .withColumn("token", col("th"))
   }
 
   /** L20 candidates: MinHash banding over SHINGLE sets, 16 bands × 2 rows
@@ -564,13 +575,16 @@ object DedupExt {
       val bandUnion = (0 until 16).map(bk =>
         s"SELECT doc_id, $bk AS bk, h${2 * bk} || '_' || h${2 * bk + 1} AS bsig FROM sig")
         .mkString("\n        |  UNION ALL ")
-      s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |u AS (SELECT doc_id, toks,
-        |        unnest(generate_series(1, len(toks) - 2)) AS i FROM dd),
+      s"""WITH dd AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    w -> CAST('0x' || substring(md5(w), 1, 12) AS BIGINT)) AS ths
+        |  FROM documents),
+        |u AS (SELECT doc_id, ths,
+        |        unnest(generate_series(1, len(ths) - 2)) AS i FROM dd),
         |tok AS (
         |  SELECT DISTINCT doc_id,
-        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS token,
-        |    CAST('0x' || substring(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 12) AS BIGINT) AS th
+        |    (ths[i] * 961 + ths[i+1] * 31 + ths[i+2]) & 9007199254740991 AS token,
+        |    (ths[i] * 961 + ths[i+1] * 31 + ths[i+2]) & 9007199254740991 AS th
         |  FROM u),
         |sig AS (
         |  SELECT doc_id,
