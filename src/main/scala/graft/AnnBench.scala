@@ -31,18 +31,19 @@ object AnnBench {
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
 
     val exact = topSet(SparkEntry.queries("l3_cosine_topk")(spark, sfDir))
-    val rows = (1 to 10).map { nprobe =>
+    val rows = for (rassign <- 1 to 2; nprobe <- 1 to 10) yield {
       def once(): Double = {
         val t0 = System.nanoTime()
-        graft.llm.Llm.ivfTopK(spark, sfDir, nprobe)
+        graft.llm.Llm.ivfTopK(spark, sfDir, nprobe, rassign = rassign)
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up
       val p50 = Seq(once(), once(), once()).sorted.apply(1)
-      val approx = topSet(graft.llm.Llm.ivfTopK(spark, sfDir, nprobe))
+      val approx = topSet(
+        graft.llm.Llm.ivfTopK(spark, sfDir, nprobe, rassign = rassign))
       val recall = (exact & approx).size.toDouble / exact.size
-      f"""{"nprobe":$nprobe,"recall_at_5":$recall%.3f,"p50_sec":$p50%.3f}"""
+      f"""{"rassign":$rassign,"nprobe":$nprobe,"recall_at_5":$recall%.3f,"p50_sec":$p50%.3f}"""
     }
     println(s"""{"metric":"ann_sweep","sf":"$sfDir","baseline":"l3_cosine_topk","sweep":[${rows.mkString(",")}]}""")
     spark.stop()
