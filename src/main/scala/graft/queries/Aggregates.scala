@@ -226,6 +226,20 @@ object Aggregates {
       } finally ranged.unpersist()
     }),
 
+    // A11 — pivot (long→wide): order counts by status across priorities.
+    // The pivot value list is FIXED (not inferred) — deterministic column
+    // set, no extra distinct-values job, and the exact shape DuckDB's
+    // CASE-sum oracle reproduces. 100 TB: compiles to one 2-phase
+    // aggregation with |priorities|·|statuses| cells — no shuffle beyond
+    // the groupBy.
+    "a11_pivot" -> ((s, dir) =>
+      ord(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority"))),
+
     // A10 — custom typed Aggregator (weighted average) via udaf().
     "a10_wavg" -> ((s, dir) =>
       li(s, dir).select(col("l_returnflag"),
@@ -332,6 +346,13 @@ object Aggregates {
         |FROM ix JOIN s lo ON lo.rn = ix.h
         |LEFT JOIN s hi ON hi.rn = ix.h + 1
         |ORDER BY pct""".stripMargin,
+    "a11_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "a10_wavg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)

@@ -54,7 +54,22 @@ object SortsSetOps {
     // U3 — except (distinct): nations with customers but NO
     // negative-balance supplier.
     "u3_except" -> ((s, d) =>
-      custNk(s, d).except(suppNegNk(s, d)).orderBy(col("nk")))
+      custNk(s, d).except(suppNegNk(s, d)).orderBy(col("nk"))),
+
+    // U4 — unpivot/melt (wide→long), the inverse of A11's pivot: part
+    // numeric attributes melted into (metric, val) rows via the typed
+    // Dataset.unpivot API (Spark 3.4+; same lowering as SQL UNPIVOT).
+    // 100 TB: pure map-side row expansion, no shuffle beyond the
+    // contract's final sort.
+    "u4_unpivot" -> ((s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast(org.apache.spark.sql.types.DoubleType)
+            .as("size"),
+          col("p_retailprice").as("price"))
+        .unpivot(Array(col("p_partkey")),
+                 Array(col("size"), col("price")), "metric", "val")
+        .orderBy(col("p_partkey"), col("metric")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -81,6 +96,12 @@ object SortsSetOps {
       """SELECT c_nationkey AS nk FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0
-        |ORDER BY nk""".stripMargin
+        |ORDER BY nk""".stripMargin,
+    "u4_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'price', p_retailprice FROM part
+        |ORDER BY p_partkey, metric""".stripMargin
   )
 }
