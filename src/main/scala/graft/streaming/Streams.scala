@@ -188,6 +188,38 @@ object Streams {
         .orderBy(col("user_id"))
     }),
 
+    // S5b — stream-stream LEFT OUTER interval join: same pairing as S5,
+    // but unmatched purchases surface as null-extended rows. Outer rows
+    // are watermark-driven state evictions: a purchase can match clicks
+    // with c_ts ≤ p_ts, so its null row is emitted only once the
+    // watermark passes p_ts — purchases inside the final watermark
+    // horizon stay in state and never emit (the oracle models exactly
+    // that eligibility rule; matched rows emit immediately as in S5).
+    "s5b_interval_left" -> ((s, d) => {
+      val src = Replayer.stream(s, d, "clean")
+      val p = src
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+                col("user_id").as("p_user"))
+        .withWatermark("p_ts", WatermarkDelay)
+      val c = src
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+                col("user_id").as("c_user"))
+        .withWatermark("c_ts", WatermarkDelay)
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"), "leftOuter")
+      runToMemory(s, joined, "append")
+        .groupBy(col("p_user").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("c_id")).as("n_matched"),
+             sum(when(col("c_id").isNull, 1L).otherwise(0L))
+               .as("n_unmatched"))
+        .orderBy(col("user_id"))
+    }),
+
     // S6 — streaming dedup on a duplicate-injected replay; final rows
     // must equal the clean batch table.
     "s6_dedup" -> ((s, d) => {
@@ -368,6 +400,46 @@ object Streams {
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    // s5b — matched pairs all emit; null-extended rows only for purchases
+    // the watermark evicted. Two calibrated facts make the horizon exact
+    // (both verified empirically, each off by specific rows otherwise):
+    // (1) the query-global watermark is the MIN over BOTH withWatermark
+    // columns — the click side's max event time lags the purchase
+    // side's, so clicks set the horizon; (2) Spark tracks event-time
+    // stats in MILLISECONDS, so the horizon is trunc_ms(min of the two
+    // side maxima) − delay. AvailableNow does run a final
+    // watermark-advance batch, so no additional one-batch lag applies.
+    "s5b_interval_left" ->
+      """WITH p AS (SELECT event_id AS p_id, ts AS p_ts, user_id AS p_user
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, ts AS c_ts, user_id AS c_user
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.p_user, p.p_id, c.c_id
+        |  FROM p JOIN c ON c.c_user = p.p_user
+        |    AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts),
+        |wm AS (
+        |  SELECT date_trunc('milliseconds',
+        |           least(max(CASE WHEN event_type = 'click' THEN ts END),
+        |                 max(CASE WHEN event_type = 'purchase' THEN ts END)))
+        |         - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |um AS (
+        |  SELECT p.p_user FROM p CROSS JOIN wm
+        |  WHERE p.p_ts < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM c
+        |      WHERE c.c_user = p.p_user
+        |        AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |        AND c.c_ts <= p.p_ts)),
+        |g AS (
+        |  SELECT p_user AS user_id, count(*) AS nm, 0 AS nu FROM m GROUP BY 1
+        |  UNION ALL
+        |  SELECT p_user, 0, count(*) FROM um GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(sum(nm + nu) AS BIGINT) AS n_rows,
+        |  CAST(sum(nm) AS BIGINT) AS n_matched,
+        |  CAST(sum(nu) AS BIGINT) AS n_unmatched
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s6_dedup" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id
