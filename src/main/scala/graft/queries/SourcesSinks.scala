@@ -48,6 +48,28 @@ object SourcesSinks {
              max(col("l_shipdate")).as("max_ship"))
     }),
 
+    // SNK3 + SRC6 — hive-style PARTITIONED parquet write + partition-
+    // pruned read-back: lineitem written partitionBy(l_returnflag), then
+    // re-read with a partition-key filter. At 100 TB this is THE layout
+    // move: the filtered scan lists and reads only the matching
+    // directories (PartitionFilters in the plan — asserted in PlanSpec),
+    // so a returnflag query touches 1/3 of the files no matter the total
+    // size. The checksum proves the partition columns round-trip exactly
+    // (they're encoded in directory names, not data files).
+    "snk3_partitioned_roundtrip" -> ((s, dir) => {
+      val src = Tables.lineitem(s, dir)
+      val tmp = Files.createTempDirectory("graft_part").toString
+      src.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_orderkey")).as("sum_okey"),
+             sum(asLong(col("l_quantity"))).as("sum_qty"),
+             d(sum(money(col("l_extendedprice")))).as("sum_price"),
+             min(col("l_shipdate")).as("min_ship"),
+             max(col("l_shipdate")).as("max_ship"))
+    }),
+
     // SRC3 + SNK1 — JSON-lines round-trip of events (µs timestamps).
     "src3_json_roundtrip" -> ((s, dir) => {
       val src = Tables.events(s, dir)
@@ -72,6 +94,13 @@ object SourcesSinks {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem""".stripMargin,
+    "snk3_partitioned_roundtrip" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
     "src3_json_roundtrip" ->
       """SELECT count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id,

@@ -96,6 +96,26 @@ class PlanSpec extends AnyFunSuite {
       s"IVF search must never form an all-pairs product:\n${p.take(2000)}")
   }
 
+  test("SNK3: the partition-key filter prunes directories " +
+       "(PartitionFilters, not a data filter)") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.core.Tables.lineitem(s, TestSpark.Sf)
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+    val df = s.read.parquet(tmp).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+           p.split("PartitionFilters:")(1).takeWhile(_ != ']')
+             .contains("l_returnflag"),
+      s"partition-key filter did not reach PartitionFilters:\n${p.take(2000)}")
+    // the filter must NOT degrade to a post-scan data filter
+    assert(!p.split("\n").exists(l =>
+        l.trim.startsWith("+- Filter") && l.contains("l_returnflag")),
+      s"partition filter evaluated per-row instead of pruning:\n${p.take(2000)}")
+  }
+
   test("a8_percentile: no unpartitioned global window in the plan") {
     // the scale-safe rewrite keeps every window partitioned by pid
     val df = SparkEntry.queries("a8_percentile")(TestSpark.spark, TestSpark.Sf)
