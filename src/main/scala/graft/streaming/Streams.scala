@@ -220,6 +220,42 @@ object Streams {
         .orderBy(col("user_id"))
     }),
 
+    // S5c — stream-stream FULL OUTER interval join: both unmatched sides
+    // surface. The two sides have DIFFERENT eviction horizons derived
+    // from the same global watermark wm (= min across both sides, ms-
+    // truncated — the s5b calibration): an unmatched purchase can stop
+    // waiting once wm > p_ts (future clicks have c_ts > wm ≥ p_ts >
+    // allowed c_ts), but an unmatched click must wait until
+    // wm > c_ts + 1h (a future purchase with p_ts ∈ (wm, c_ts + 1h]
+    // could still match it). The oracle encodes both horizons.
+    "s5c_interval_full" -> ((s, d) => {
+      val src = Replayer.stream(s, d, "clean")
+      val p = src
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+                col("user_id").as("p_user"))
+        .withWatermark("p_ts", WatermarkDelay)
+      val c = src
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+                col("user_id").as("c_user"))
+        .withWatermark("c_ts", WatermarkDelay)
+      val joined = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"), "fullOuter")
+      runToMemory(s, joined, "append")
+        .groupBy(coalesce(col("p_user"), col("c_user")).as("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("p_id").isNotNull && col("c_id").isNotNull, 1L)
+               .otherwise(0L)).as("n_matched"),
+             sum(when(col("c_id").isNull, 1L).otherwise(0L))
+               .as("n_p_only"),
+             sum(when(col("p_id").isNull, 1L).otherwise(0L))
+               .as("n_c_only"))
+        .orderBy(col("user_id"))
+    }),
+
     // S6 — streaming dedup on a duplicate-injected replay; final rows
     // must equal the clean batch table.
     "s6_dedup" -> ((s, d) => {
@@ -439,6 +475,49 @@ object Streams {
         |  CAST(sum(nm + nu) AS BIGINT) AS n_rows,
         |  CAST(sum(nm) AS BIGINT) AS n_matched,
         |  CAST(sum(nu) AS BIGINT) AS n_unmatched
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // s5c — full-outer: matched rows all emit; purchase-only rows below
+    // wm, click-only rows below wm − 1h (per-side horizons; see the
+    // query's scaladoc). wm = ms-truncated min of the two sides' maxima
+    // − delay, exactly as calibrated for s5b.
+    "s5c_interval_full" ->
+      """WITH p AS (SELECT event_id AS p_id, ts AS p_ts, user_id AS p_user
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, ts AS c_ts, user_id AS c_user
+        |      FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT p.p_user AS user_id, p.p_id, c.c_id
+        |  FROM p JOIN c ON c.c_user = p.p_user
+        |    AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts),
+        |wm AS (
+        |  SELECT date_trunc('milliseconds',
+        |           least(max(CASE WHEN event_type = 'click' THEN ts END),
+        |                 max(CASE WHEN event_type = 'purchase' THEN ts END)))
+        |         - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |po AS (
+        |  SELECT p.p_user AS user_id FROM p CROSS JOIN wm
+        |  WHERE p.p_ts < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM c
+        |      WHERE c.c_user = p.p_user
+        |        AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |        AND c.c_ts <= p.p_ts)),
+        |co AS (
+        |  SELECT c.c_user AS user_id FROM c CROSS JOIN wm
+        |  WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM p
+        |      WHERE p.p_user = c.c_user
+        |        AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |        AND c.c_ts <= p.p_ts)),
+        |g AS (
+        |  SELECT user_id, count(*) AS nm, 0 AS np, 0 AS nc FROM m GROUP BY 1
+        |  UNION ALL SELECT user_id, 0, count(*), 0 FROM po GROUP BY 1
+        |  UNION ALL SELECT user_id, 0, 0, count(*) FROM co GROUP BY 1)
+        |SELECT user_id,
+        |  CAST(sum(nm + np + nc) AS BIGINT) AS n_rows,
+        |  CAST(sum(nm) AS BIGINT) AS n_matched,
+        |  CAST(sum(np) AS BIGINT) AS n_p_only,
+        |  CAST(sum(nc) AS BIGINT) AS n_c_only
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s6_dedup" ->
       """SELECT event_type, count(*) AS n,
