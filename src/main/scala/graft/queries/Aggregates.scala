@@ -226,6 +226,18 @@ object Aggregates {
       } finally ranged.unpersist()
     }),
 
+    // A12 — approx percentile sketch (the quantile analogue of A4's HLL):
+    // engine-private digest → declared ORACLE-LESS; AggregatesSpec bounds
+    // it against a8's exact interpolated percentiles. 100 TB: a
+    // fixed-size mergeable sketch per partition — the right answer when
+    // a8's exact two-pass rank machinery isn't worth the extra job.
+    "a12_approx_percentile" -> ((s, dir) =>
+      ord(s, dir).agg(
+        percentile_approx(col("o_totalprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+        .select(posexplode(col("pcts")))
+        .select(col("pos"), col("col").as("approx_val"))),
+
     // A11 — pivot (long→wide): order counts by status across priorities.
     // The pivot value list is FIXED (not inferred) — deterministic column
     // set, no extra distinct-values job, and the exact shape DuckDB's

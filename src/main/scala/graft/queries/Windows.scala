@@ -35,7 +35,10 @@ object Windows {
         row_number().over(w).as("rn"),
         rank().over(w).as("rnk"),
         dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"))
+        ntile(4).over(w).as("quartile"),
+        // exact small-integer ratios — bit-identical in any engine
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"))
         .orderBy(col("c_nationkey"), col("rn"))
     }),
 
@@ -114,7 +117,9 @@ object Windows {
         |  CAST(row_number() OVER w AS INT) AS rn,
         |  CAST(rank() OVER w AS INT) AS rnk,
         |  CAST(dense_rank() OVER w AS INT) AS drnk,
-        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS prnk,
+        |  cume_dist() OVER w AS cdist
         |FROM cr
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY rev DESC, c_custkey ASC)
         |ORDER BY c_nationkey, rn""".stripMargin,

@@ -43,6 +43,18 @@ class AggregatesSpec extends AnyFunSuite {
     assert(math.abs(exact.getDouble(6) - builtin.getDouble(4)) < 1e-6)
   }
 
+  test("A12 approx percentiles within 1% of A8's exact interpolated values") {
+    val exact = SparkEntry.queries("a8_percentile")(s, sf).collect()
+      .map(r => r.getDouble(1))
+    val approx = SparkEntry.queries("a12_approx_percentile")(s, sf)
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(exact.length == 3 && approx.length == 3)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a - e) / e <= 0.01,
+        f"approx percentile off: exact=$e%.2f approx=$a%.2f")
+    }
+  }
+
   test("L10 and L12 find the same verified near-dup pairs") {
     // two independent candidate generators (MinHash-LSH bands vs
     // rare-token blocking) must agree on the >= 0.95-Jaccard pairs
