@@ -269,6 +269,35 @@ object Llm {
         .select(col("doc_id"),
           slugifyUdf(concat_ws("_", col("lang"), col("source"))).as("slug"))
         .orderBy(col("doc_id")))
+    ,
+
+    // X4 — typed imperative per-group computation via mapGroups: the
+    // batch analogue of Flink's KeyedProcessFunction (arbitrary Scala
+    // over one key's rows). Exact per-nation median of customer balances,
+    // interpolating the even case as lo + (hi − lo)·0.5 — the SAME IEEE
+    // expression the oracle SQL spells out (a builtin `median` could
+    // round the last bit differently). 100 TB: mapGroups shuffles by key
+    // and holds ONE group in memory — correct here because groups are
+    // dimension-bounded (customers per nation); unbounded keys belong in
+    // aggregate/window shapes instead, which is exactly why the rest of
+    // the engine prefers them.
+    "x4_mapgroups" -> ((s, d) => {
+      import s.implicits._
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_acctbal"))
+        .as[(Int, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (nk: Int, it: Iterator[(Int, Double)]) =>
+          val xs = it.map(_._2).toArray.sorted
+          val n = xs.length
+          val med =
+            if (n % 2 == 1) xs(n / 2)
+            else xs(n / 2 - 1) + (xs(n / 2) - xs(n / 2 - 1)) * 0.5
+          (nk, n.toLong, med)
+        }
+        .toDF("c_nationkey", "n", "median_bal")
+        .orderBy(col("c_nationkey"))
+    })
   )
 
   /** The quantized vector table shared by the exact and IVF paths. */
@@ -596,6 +625,25 @@ object Llm {
     "x1_udf" ->
       """SELECT doc_id,
         |  lower(regexp_replace(lang || '_' || source, '[^a-zA-Z0-9]+', '-', 'g')) AS slug
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // x4 — the median is spelled out (row_number + explicit lo/hi
+    // interpolation) rather than DuckDB's builtin median, so both
+    // engines execute the identical IEEE expression
+    "x4_mapgroups" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal) AS rn,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer),
+        |m AS (
+        |  SELECT c_nationkey, max(n) AS n,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN c_acctbal END) AS lo,
+        |    max(CASE WHEN rn = n // 2 + 1 THEN c_acctbal END) AS hi
+        |  FROM r GROUP BY c_nationkey)
+        |SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n % 2 = 1 THEN lo
+        |       ELSE lo + (hi - lo) * 0.5 END AS median_bal
+        |FROM m ORDER BY c_nationkey""".stripMargin
   )
 }
