@@ -48,7 +48,10 @@ object Bench {
     // that no log-buffer truncation can eat the tail) — and the same JSON
     // is ALSO written to BENCH.json so the driver can read it whole even
     // if stdout capture clips.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale formatter would emit comma
+    // decimals (invalid JSON) on e.g. de_DE JVMs
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"${q(k)}:${ms(v)}" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

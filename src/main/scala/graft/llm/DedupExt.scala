@@ -325,15 +325,18 @@ object DedupExt {
     // pieces, single punctuation) — the standard cheap estimator for LLM
     // token budgets. Pure per-row projection: map-side at any scale.
     "l21_token_count" -> ((s, d) => {
-      val pat = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+      // explicit whitespace set (not \s — Java includes \x0B where RE2
+      // does not); nullif guards the 0-token case so both engines yield
+      // NULL instead of engine-specific NaN/Inf/error on division
+      val pat = "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 \t\n\r]"
       val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
       Tables.documents(s, d).select(
         col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_ws"),
         nBpe.cast(LongType).as("n_bpe"),
         length(col("text")).cast(LongType).as("n_chars"),
-        (length(col("text")).cast(DoubleType) / nBpe.cast(DoubleType))
-          .as("chars_per_tok"))
+        (length(col("text")).cast(DoubleType) /
+          nullif(nBpe, lit(0)).cast(DoubleType)).as("chars_per_tok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -601,13 +604,14 @@ object DedupExt {
         |ORDER BY d1, d2""".stripMargin
     },
     "l21_token_count" ->
-      """SELECT doc_id,
+      ("""SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_extract_all(text, 'PAT')) AS BIGINT) AS n_bpe,
         |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(length(text) AS DOUBLE) /
-        |    CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS DOUBLE) AS chars_per_tok
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |    CAST(nullif(len(regexp_extract_all(text, 'PAT')), 0) AS DOUBLE) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin
+        .replace("PAT", "[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9 \t\n\r]")),
     // l12b — df-threshold K = ceil(n/20) mirrors raretokenFullCandidates
     "l12b_raretoken_full" ->
       s"""WITH $tokSql,

@@ -353,7 +353,15 @@ object Llm {
 
   private def trainCentroidsUncached(s: SparkSession, d: String,
                                      iters: Int): Seq[(Int, Seq[Long])] = {
-    val e = qvecs(s, d)
+    // persist the quantized vectors for the duration of training — each
+    // Lloyd iteration launches 2 jobs and would otherwise re-scan and
+    // re-quantize the corpus every time (~2·iters redundant scans)
+    val e = qvecs(s, d).persist()
+    try trainLoop(s, d, e, iters) finally e.unpersist()
+  }
+
+  private def trainLoop(s: SparkSession, d: String, e: DataFrame,
+                        iters: Int): Seq[(Int, Seq[Long])] = {
     def collectCells(df: DataFrame): Map[Int, Seq[Long]] =
       df.groupBy(col("cell"), col("pos"))
         .agg(sum(col("col")).as("sv"), count(lit(1)).as("cnt"))

@@ -29,11 +29,23 @@ object SourcesSinks {
     * and the checksum would catch it. */
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
+  /** FIXED round-trip staging dir per (format, sf) — `mode("overwrite")`
+    * replaces it on every run, so repeated bench/verify runs reuse one
+    * bounded location instead of leaking a fresh createTempDirectory
+    * copy of the table each invocation. */
+  private def stagingDir(kind: String, sfDir: String): String = {
+    val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_roundtrip", s"${kind}_$key")
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SRC2 + SNK1 — CSV round-trip of lineitem.
     "src2_csv_roundtrip" -> ((s, dir) => {
       val src = Tables.lineitem(s, dir)
-      val tmp = Files.createTempDirectory("graft_csv").toString
+      val tmp = stagingDir("csv", dir)
       src.write.mode("overwrite")
         .option("header", "true").option("timestampFormat", TsFmt)
         .csv(tmp)
@@ -58,7 +70,7 @@ object SourcesSinks {
     // (they're encoded in directory names, not data files).
     "snk3_partitioned_roundtrip" -> ((s, dir) => {
       val src = Tables.lineitem(s, dir)
-      val tmp = Files.createTempDirectory("graft_part").toString
+      val tmp = stagingDir("part", dir)
       src.write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
       s.read.parquet(tmp)
         .filter(col("l_returnflag") === "R")
@@ -73,7 +85,7 @@ object SourcesSinks {
     // SRC3 + SNK1 — JSON-lines round-trip of events (µs timestamps).
     "src3_json_roundtrip" -> ((s, dir) => {
       val src = Tables.events(s, dir)
-      val tmp = Files.createTempDirectory("graft_json").toString
+      val tmp = stagingDir("json", dir)
       src.write.mode("overwrite").option("timestampFormat", TsFmt).json(tmp)
       s.read.schema(src.schema)
         .option("timestampFormat", TsFmt).json(tmp)

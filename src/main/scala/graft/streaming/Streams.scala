@@ -554,7 +554,7 @@ object Streams {
     // s8b — identical funnel semantics over the arithmetically-rewritten
     // events (mirrors Replayer's "funnel" variant row-for-row).
     "s8b_funnel_injected" ->
-      """WITH rt AS (
+      s"""WITH rt AS (
         |  SELECT event_id,
         |    CASE WHEN event_id % 211 IN (0, 95, 190)
         |      THEN TIMESTAMP '2024-03-01 00:00:00'
@@ -562,7 +562,7 @@ object Streams {
         |              + ((event_id % 211) // 95) * 600) * INTERVAL 1 SECOND
         |      ELSE ts END AS ts,
         |    CASE WHEN event_id % 211 IN (0, 95, 190)
-        |      THEN 1000000000 + event_id // 211 ELSE user_id END AS user_id,
+        |      THEN ${Replayer.FunnelUserBase} + event_id // 211 ELSE user_id END AS user_id,
         |    CASE WHEN event_id % 211 = 0 THEN 'view'
         |         WHEN event_id % 211 = 95 THEN 'click'
         |         WHEN event_id % 211 = 190 THEN 'purchase'

@@ -54,7 +54,10 @@ class LlmSpec extends AnyFunSuite {
 
   test("L3c: IVF recall@5 holds over a 30-query pool (not just the " +
        "3 canonical queries) at sf0.01") {
-    val sf = TestSpark.Sf
+    // explicitly sf0.01 — the weakest measured broad recall (0.81) —
+    // NOT TestSpark.Sf (sf0.001, where recall is 0.93 and the guard
+    // would be vacuous)
+    val sf = "/root/testdata/sf0.01"
     val qids = 0 until 30
     val exact = pairsOf(graft.llm.Llm.exactTopK(s, sf, qids))
     val ivf = pairsOf(graft.llm.Llm.ivfTopK(s, sf, qids = qids))

@@ -100,7 +100,9 @@ class PlanSpec extends AnyFunSuite {
        "(PartitionFilters, not a data filter)") {
     import org.apache.spark.sql.functions._
     val s = TestSpark.spark
-    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    // fixed dir + overwrite: repeated test runs reuse one location
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_prune_fixture").toString
     graft.core.Tables.lineitem(s, TestSpark.Sf)
       .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
     val df = s.read.parquet(tmp).filter(col("l_returnflag") === "R")
@@ -110,9 +112,12 @@ class PlanSpec extends AnyFunSuite {
            p.split("PartitionFilters:")(1).takeWhile(_ != ']')
              .contains("l_returnflag"),
       s"partition-key filter did not reach PartitionFilters:\n${p.take(2000)}")
-    // the filter must NOT degrade to a post-scan data filter
+    // the filter must NOT degrade to a post-scan data filter — a Filter
+    // NODE renders as "Filter (cond)" (possibly inside a codegen stage
+    // "*(1) Filter (..)"), while PartitionFilters/PushedFilters entries
+    // render as "Filters: [" and never match this pattern
     assert(!p.split("\n").exists(l =>
-        l.trim.startsWith("+- Filter") && l.contains("l_returnflag")),
+        l.contains("Filter (") && l.contains("l_returnflag")),
       s"partition filter evaluated per-row instead of pruning:\n${p.take(2000)}")
   }
 
