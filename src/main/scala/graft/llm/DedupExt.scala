@@ -240,21 +240,24 @@ object DedupExt {
 
     // L11 — SimHash (16-bit) per document + collision-group size.
     // Weight of bit j = Σ over tokens of (bit_j(th) ? +1 : −1).
+    // All 16 bit-weights are computed as 16 aggregate columns in ONE
+    // groupBy(doc_id) pass — no per-bit row explode (×16 shuffle volume)
+    // and the whole aggregation stays map-side-partial + codegen'd.
     // Collision-group sizes come from a 2-phase groupBy(simhash) joined
     // back, NOT a window over partitionBy(simhash): a near-dup-heavy
     // corpus concentrates docs into few simhash buckets, and a window
     // partition is a single task — the groupBy+join shape is skew-safe
     // (partial aggregation + AQE skew handling on the join).
     "l11_simhash" -> ((s, d) => {
-      val pw = element_at(
-        array((0 to 15).map(j => lit(1L << j)): _*), col("j") + 1)
-      val bits = tokens(s, d)
-        .withColumn("j", explode(array((0 to 15).map(lit): _*)))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(when(col("th").bitwiseAND(pw) =!= 0, 1).otherwise(-1))
-          .as("w"))
-      val sim = bits.groupBy(col("doc_id"))
-        .agg(sum(when(col("w") > 0, pw).otherwise(0L)).as("simhash"))
+      val bitAggs = (0 to 15).map(j =>
+        sum(when(col("th").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1))
+          .as(s"w$j"))
+      val sim = tokens(s, d).groupBy(col("doc_id"))
+        .agg(bitAggs.head, bitAggs.tail: _*)
+        .select(col("doc_id"),
+          (0 to 15).map(j =>
+            when(col(s"w$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
       val groups = sim.groupBy(col("simhash"))
         .agg(count(lit(1)).as("n_same"))
       sim.join(groups, "simhash")

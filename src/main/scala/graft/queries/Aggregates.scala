@@ -205,14 +205,18 @@ object Aggregates {
         val offsets = ranged.groupBy("pid").count().collect()
           .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
           .scanLeft((-1, 0L, 0L)) { case ((_, off, c0), (pid, c)) => (pid, off + c0, c) }
-          .drop(1).map { case (pid, off, _) => (pid, off) }.toMap
-        // pid→offset as a CASE chain (≤ #partitions branches, no join)
-        val offExpr = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-          when(col("pid") === pid, lit(off)).otherwise(acc)
-        }
+          .drop(1).map { case (pid, off, _) => (pid, off) }
+        import s.implicits._
+        // pid→offset via a broadcast join on a tiny (pid, offset) DF — a
+        // folded when-chain would be a #partitions-deep expression tree
+        // that breaks codegen (or falls back to interpreted) at cluster
+        // partition counts (10k+); the broadcast hash join is O(1) depth
+        // at any partition count and adds no shuffle.
+        val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
         val w = Window.partitionBy("pid").orderBy("v", "k")
         val boundary = ranged
-          .withColumn("rn", row_number().over(w).cast(LongType) - 1 + offExpr)
+          .join(offDf, "pid")
+          .withColumn("rn", row_number().over(w).cast(LongType) - 1 + col("off"))
           .filter(col("rn").isin(needed: _*))
           .select("rn", "v").collect()
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -221,7 +225,6 @@ object Aggregates {
           val hi = boundary.getOrElse(h + 1, lo)
           (p, lo + f * (hi - lo))
         }
-        import s.implicits._
         rows.toDF("pct", "val").orderBy("pct")
       } finally ranged.unpersist()
     }),

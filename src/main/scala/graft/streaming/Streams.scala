@@ -50,8 +50,9 @@ object Streams {
     raw
   }
 
-  private def runToMemory(s: SparkSession, df: DataFrame,
-                          mode: String): DataFrame = runLock.synchronized {
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: String,
+                          extraConf: Map[String, String] = Map.empty)
+      : DataFrame = runLock.synchronized {
     val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful operators open one state store per shuffle partition per
     // micro-batch, and each store commit is a synchronous checkpoint file
@@ -64,6 +65,10 @@ object Streams {
     // partition, not result content, is what the knob trades off.
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", streamPartitions)
+    // session confs the query must see (captured at query start), e.g. the
+    // RocksDB state-store provider for transformWithState — restored after
+    val prevExtra = extraConf.keys.map(k => k -> s.conf.getOption(k)).toMap
+    extraConf.foreach { case (k, v) => s.conf.set(k, v) }
     val ckpt = Replayer.checkpoint()
     try {
       val q = df.writeStream.format("memory").queryName(name)
@@ -73,9 +78,56 @@ object Streams {
       q.awaitTermination()
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
+      prevExtra.foreach { case (k, ov) =>
+        ov.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
       Replayer.dropCheckpoint(ckpt) // keep tmpfs from accumulating state
     }
     s.table(name)
+  }
+
+  /** RocksDB provider conf for transformWithState runs (TWS requires it;
+    * it is also the declared 100 TB state backend). */
+  private val RocksDbConf = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** S8 canonical path — the funnel on Spark 4's `transformWithState`
+    * (SURVEY §2.9 names TWS primary) with the RocksDB state store.
+    * Emits (user, purchase) pairs; rollup to per-user counts is batch. */
+  private def funnelTws(s: SparkSession, d: String,
+                        variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, variant)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    val conversions = ev.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Append())
+    runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append",
+                RocksDbConf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** S8 fallback path — identical funnel on `flatMapGroupsWithState`
+    * (for state backends without TWS support); StreamingSpec asserts it
+    * produces exactly the canonical TWS conversions. */
+  def funnelFmgs(s: SparkSession, d: String, variant: String): DataFrame = {
+    import s.implicits._
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, variant)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    val conversions = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(funnel)
+    runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("user_id"))
   }
 
   /** Money-grade exact cast for the events `value` column. */
@@ -285,24 +337,14 @@ object Streams {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
-    // S8 — keyed-state CEP-lite funnel via flatMapGroupsWithState: a
-    // purchase converts when some click ≤ it has a view ≤ that click
-    // with view ≥ purchase − 1 h. Emits (user, purchase) pairs; rollup
-    // to per-user conversion counts is batch.
-    "s8_funnel" -> ((s, d) => {
-      import s.implicits._
-      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
-        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
-                col("user_id"), col("event_type"))
-        .as[FunnelEvent]
-      val conversions = ev.groupByKey(_.user_id)
-        .flatMapGroupsWithState[FunnelState, (Long, Long)](
-          OutputMode.Append, GroupStateTimeout.NoTimeout)(funnel)
-      runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_conversions"))
-        .orderBy(col("user_id"))
-    }),
+    // S8 — keyed-state CEP-lite funnel via transformWithState (the
+    // canonical path; SURVEY §2.9 names TWS primary) on the RocksDB
+    // state store: a purchase converts when some click ≤ it has a view
+    // ≤ that click with view ≥ purchase − 1 h. Emits (user, purchase)
+    // pairs; rollup to per-user conversion counts is batch. The
+    // flatMapGroupsWithState fallback (funnelFmgs) is equivalence-tested
+    // in StreamingSpec.
+    "s8_funnel" -> ((s, d) => funnelTws(s, d, "clean")),
 
     // S8b — the SAME funnel over the chain-injected replay (Replayer
     // "funnel" variant). The natural corpus has zero conversions below
@@ -310,20 +352,7 @@ object Streams {
     // guarantees floor((n−190)/211)+1 deterministic conversions (4 at
     // sf0.001, 47 at sf0.01) with chains straddling micro-batch
     // boundaries — a positive proof that per-key state survives batches.
-    "s8b_funnel_injected" -> ((s, d) => {
-      import s.implicits._
-      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "funnel")
-        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
-                col("user_id"), col("event_type"))
-        .as[FunnelEvent]
-      val conversions = ev.groupByKey(_.user_id)
-        .flatMapGroupsWithState[FunnelState, (Long, Long)](
-          OutputMode.Append, GroupStateTimeout.NoTimeout)(funnel)
-      runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_conversions"))
-        .orderBy(col("user_id"))
-    })
+    "s8b_funnel_injected" -> ((s, d) => funnelTws(s, d, "funnel"))
   )
 
   private val HourUs = 3600L * 1000000L

@@ -131,56 +131,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("S8b: transformWithState funnel equals flatMapGroupsWithState " +
-       "and fires on the chain-injected replay") {
-    import s.implicits._
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    import graft.streaming.{FunnelEvent, FunnelProcessor}
+  test("S1 production shape: append mode keeps state bounded once the " +
+       "watermark advances") {
+    // The canonical S1 runs complete mode for the oracle harness; the
+    // declared 100 TB production path is append + watermark. This pins
+    // that claim executably: state rows must plateau at the open-window
+    // set, never accumulate the full window history.
+    val src = Replayer.stream(s, sf, "clean")
+      .withWatermark("ts", Replayer.WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "s1_append_" + java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = Replayer.checkpoint()
+    val q = src.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally Replayer.dropCheckpoint(ckpt)
+    val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    // every (window, event_type) group the replay contains — what a
+    // no-eviction run would be holding at the end
+    val totalGroups = Tables.events(s, sf)
+      .select(window(col("ts"), "1 hour"), col("event_type"))
+      .distinct().count()
+    val emitted = s.table(name).count()
+    assert(stateRows.nonEmpty && emitted > 0,
+      s"append run produced no progress/output (state=${stateRows.toSeq})")
+    // conservation: every group is either closed (emitted) or still open
+    // (in state) — nothing dropped, nothing double-held
+    assert(emitted + stateRows.last == totalGroups,
+      s"emitted=$emitted + state=${stateRows.last} != groups=$totalGroups")
+    // bounded: eviction ran DURING the replay — at no batch did state
+    // hold the full window history (watermark evicts closed windows)
+    assert(stateRows.max < totalGroups,
+      s"state peaked at ${stateRows.max} of $totalGroups groups — " +
+      "watermark eviction never ran during the replay")
+  }
+
+  test("S8b: flatMapGroupsWithState fallback equals the canonical " +
+       "transformWithState funnel on the chain-injected replay") {
     // the "funnel" variant injects deterministic view→click→purchase
     // chains (4 at sf0.001) — the equivalence check below compares
-    // NON-EMPTY sets, so the funnel logic is positively exercised
-    val dir = Replayer.ensure(s, sf, "funnel")
-    val schema = s.read.parquet(dir).schema
-    val ev = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .select(col("event_id"), expr("unix_micros(ts)").as("tsu"),
-              col("user_id"), col("event_type"))
-      .as[FunnelEvent]
-    val out = ev.groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor, TimeMode.None(),
-        OutputMode.Append())
-    val name = "s8b_" + java.util.UUID.randomUUID().toString.take(8)
-    // transformWithState requires the RocksDB provider (also the declared
-    // 100 TB state backend) — a SESSION conf, captured at query start
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val old = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val ckpt = Replayer.checkpoint()
-    try {
-      val q = out.toDF("user_id", "purchase_id")
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally {
-      old.fold(s.conf.unset(key))(s.conf.set(key, _))
-      Replayer.dropCheckpoint(ckpt)
-    }
-    val tws = s.table(name).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val fmgs = SparkEntry.queries("s8b_funnel_injected")(s, sf).collect()
+    // NON-EMPTY maps, so the funnel logic is positively exercised. The
+    // canonical s8b path is transformWithState on RocksDB (SURVEY §2.9
+    // primary); funnelFmgs is the declared fallback for state backends
+    // without TWS support.
+    val tws = SparkEntry.queries("s8b_funnel_injected")(s, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val twsCounts = tws.groupBy(_._1).view.mapValues(_.size.toLong).toMap
-    assert(twsCounts.nonEmpty,
+    val fmgs = graft.streaming.Streams.funnelFmgs(s, sf, "funnel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tws.nonEmpty,
       "chain-injected replay must produce conversions — empty result " +
       "means the funnel never fired")
-    assert(twsCounts == fmgs,
-      s"transformWithState=${twsCounts.toSeq.sorted} vs fmgs=${fmgs.toSeq.sorted}")
+    assert(tws == fmgs,
+      s"transformWithState=${tws.toSeq.sorted} vs fmgs=${fmgs.toSeq.sorted}")
     // every injected chain converts exactly once, for a synthetic user
-    assert(twsCounts.keys.forall(_ >= Replayer.FunnelUserBase) &&
-           twsCounts.values.forall(_ == 1L),
-      s"expected one conversion per synthetic chain user, got ${twsCounts.toSeq.sorted}")
+    assert(tws.keys.forall(_ >= Replayer.FunnelUserBase) &&
+           tws.values.forall(_ == 1L),
+      s"expected one conversion per synthetic chain user, got ${tws.toSeq.sorted}")
   }
 
   test("S8: the funnel fires on NATURAL sf0.1 data and matches the " +
