@@ -242,12 +242,12 @@ object Llm {
     // rounded double division is exact while 1/cnt ≫ 2⁻⁵³·|q|, true to
     // cnt ≈ 10⁹ members); each vector is indexed under its rassign=2
     // nearest cells (multi-probe assignment — the standard IVF fix for
-    // boundary loss); nprobe = 3 cells probed per query. Unlike a typical
+    // boundary loss); nprobe = 4 cells probed per query. Unlike a typical
     // ANN sketch, every step is integer-exact, so the query is FULLY
     // oracle-hashed: the DuckDB SQL replays the identical 5 Lloyd
     // iterations from the identical seeds (generated below from the SAME
     // constants), and the approximation lives in the declared semantics
-    // (probe 3 of 10 cells), not in engine-private state.
+    // (probe 4 of 10 cells), not in engine-private state.
     // Argmin is encoded as min(dist*16 + cell) — one BIGINT, a plain
     // 2-phase min aggregate with a built-in deterministic tie-break
     // (dist ≤ 64·(2e6)² ≈ 2.6e14, so ·16 is overflow-safe by 3 orders).
@@ -256,10 +256,11 @@ object Llm {
     // assignment = map-side broadcast nested-loop + 2-phase min-agg on
     // vec_id (never an all-pairs shuffle); the candidate join then scans
     // only ~nprobe·rassign/K of the corpus per query instead of all of
-    // it. Measured recall@5 vs the exact l3 baseline: 1.00/0.93/0.80 at
-    // sf0.001/0.01/0.1 on the canonical queries (LlmSpec asserts ≥ 0.8),
-    // 0.93/0.81/0.88 over 30 queries. The nprobe sweep is measured by
-    // AnnBench (BASELINE.md "IVF ANN quality/latency" table).
+    // it. Measured recall@5 vs the exact l3 baseline at nprobe=4:
+    // 1.00/0.93/0.93 at sf0.001/0.01/0.1 on the canonical queries
+    // (LlmSpec asserts ≥ 0.9 at every sf), 0.88 over 30 queries at
+    // sf0.01 (≥ 0.8). The nprobe sweep is measured by AnnBench
+    // (BASELINE.md "IVF ANN quality/latency" table).
     "l3c_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
 
     // X1 — scalar Scala UDF (slugify) used in an L-series shape. The
@@ -340,16 +341,43 @@ object Llm {
     * operation is integer-exact, so DuckDB replays the identical
     * trajectory from the identical seeds (see ivfSql). */
   def trainCentroids(s: SparkSession, d: String,
-                     iters: Int = IvfIters): Seq[(Int, Seq[Long])] =
+                     iters: Int = IvfIters): Seq[(Int, Seq[Long])] = {
     // the trained quantizer is a build-once index artifact (deterministic
     // for a given corpus + iteration count) — cache it so repeated
-    // queries/bench runs don't re-pay the training jobs
-    centCache.synchronized {
-      centCache.getOrElseUpdate((d, iters), trainCentroidsUncached(s, d, iters))
-    }
+    // queries/bench runs don't re-pay the training jobs. The key includes
+    // a data fingerprint (file sizes + mtimes) so regenerating the
+    // dataset at the same path invalidates the cached index instead of
+    // silently serving stale centroids; computeIfAbsent gives per-key
+    // locking (training one corpus never blocks a lookup of another).
+    val key = (d, iters, embedFingerprint(d))
+    val res = centCache.computeIfAbsent(key,
+      _ => trainCentroidsUncached(s, d, iters))
+    // drop superseded fingerprints of the same (path, iters) — keeps the
+    // cache bounded at one live entry per corpus
+    centCache.keySet.removeIf(k =>
+      k._1 == d && k._2 == iters && k._3 != key._3)
+    res
+  }
 
-  private val centCache =
-    scala.collection.mutable.Map.empty[(String, Int), Seq[(Int, Seq[Long])]]
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String), Seq[(Int, Seq[Long])]]()
+
+  /** Cheap content fingerprint of the embeddings source: every file's
+    * (name, size, mtime) under the table path. */
+  private def embedFingerprint(d: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(d, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => s"$f:${java.nio.file.Files.size(f)}:" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toSeq.sorted.mkString("|")
+      finally walk.close()
+    }
+  }
 
   private def trainCentroidsUncached(s: SparkSession, d: String,
                                      iters: Int): Seq[(Int, Seq[Long])] = {
@@ -398,8 +426,13 @@ object Llm {
   }
 
   /** L3c canonical constants — the Spark pipeline and the generated
-    * DuckDB oracle SQL both derive from these. */
+    * DuckDB oracle SQL both derive from these. nprobe=4 (of K=10 cells)
+    * is the declared canonical setting: the AnnBench sweep (BASELINE.md)
+    * showed it lifts sf0.1 recall@5 from the 0.80 boundary to 0.93 at
+    * equal measured latency, while the per-query candidate scan stays
+    * bucket-pruned (4 of 10 cells probed). */
   val IvfIters = 5
+  val IvfNprobe = 4
   val IvfRassign = 2
   val IvfQids: Seq[Int] = Seq(0, 1, 2)
 
@@ -411,7 +444,7 @@ object Llm {
     * AnnBench sweeps this trade-off and BASELINE.md records it. All
     * arithmetic stays integer-exact regardless of parameters, so any
     * setting is oracle-expressible, not just the canonical (3, 5). */
-  def ivfTopK(s: SparkSession, d: String, nprobe: Int = 3, k: Int = 5,
+  def ivfTopK(s: SparkSession, d: String, nprobe: Int = IvfNprobe, k: Int = 5,
               rassign: Int = IvfRassign,
               qids: Seq[Int] = IvfQids): DataFrame = {
     val e = qvecs(s, d)
@@ -580,9 +613,9 @@ object Llm {
     // DuckDB oracle replays the SAME declared semantics — including the 5
     // Lloyd training iterations, unrolled as CTEs GENERATED from the same
     // Scala constants as the Spark pipeline. The approximation is in the
-    // contract (probe 3 of 10 cells, 2-cell multi-assignment), not in
+    // contract (probe 4 of 10 cells, 2-cell multi-assignment), not in
     // engine-private state.
-    "l3c_ivf_topk" -> ivfSql(nprobe = 3, k = 5, iters = IvfIters,
+    "l3c_ivf_topk" -> ivfSql(nprobe = IvfNprobe, k = 5, iters = IvfIters,
                              rassign = IvfRassign, qids = IvfQids),
 
     "l4_token_stats" ->

@@ -29,14 +29,19 @@ object SourcesSinks {
     * and the checksum would catch it. */
   private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
-  /** FIXED round-trip staging dir per (format, sf) — `mode("overwrite")`
-    * replaces it on every run, so repeated bench/verify runs reuse one
-    * bounded location instead of leaking a fresh createTempDirectory
-    * copy of the table each invocation. */
+  /** FIXED round-trip staging dir per (process, format, sf) —
+    * `mode("overwrite")` replaces it on every run, so repeated
+    * bench/verify runs reuse one bounded location instead of leaking a
+    * fresh createTempDirectory copy of the table each invocation. The
+    * PID component keeps two CONCURRENT processes running the same
+    * round-trip (e.g. bench alongside tests) from overwriting the
+    * directory one of them is still reading back. */
   private def stagingDir(kind: String, sfDir: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    val pid = ProcessHandle.current().pid()
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_roundtrip", s"${kind}_$key")
+      sys.props("java.io.tmpdir"), "graft_roundtrip", s"p$pid",
+      s"${kind}_$key")
     Files.createDirectories(p.getParent)
     p.toString
   }

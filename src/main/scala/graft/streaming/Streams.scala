@@ -467,7 +467,11 @@ object Streams {
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     // s5b — matched pairs all emit; null-extended rows only for purchases
     // the watermark evicted. Two calibrated facts make the horizon exact
-    // (both verified empirically, each off by specific rows otherwise):
+    // (both verified empirically ON THE PINNED Spark 4.1.2 BUILD — these
+    // are engine internals, not SQL semantics; StreamingSpec's "watermark
+    // model pin" test compares the engine's reported watermark to this
+    // model so a Spark upgrade fails loudly there, not as an opaque hash
+    // mismatch here; each is off by specific rows otherwise):
     // (1) the query-global watermark is the MIN over BOTH withWatermark
     // columns — the click side's max event time lags the purchase
     // side's, so clicks set the horizon; (2) Spark tracks event-time

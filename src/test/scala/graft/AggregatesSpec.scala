@@ -55,6 +55,32 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("A8 at 2000 shuffle partitions: same percentiles, no codegen " +
+       "fallback") {
+    // the scale-proof pid→offset mapping is a broadcast join on a tiny
+    // (pid, offset) DF; the when-chain it replaced would be a 2000-deep
+    // expression tree here. codegen.fallback=false turns any silent
+    // interpreted-mode fallback into a loud failure.
+    val pKey = "spark.sql.shuffle.partitions"
+    val fKey = "spark.sql.codegen.fallback"
+    val prevP = s.conf.get(pKey)
+    val prevF = s.conf.getOption(fKey)
+    try {
+      s.conf.set(pKey, "2000")
+      s.conf.set(fKey, "false")
+      val wide = SparkEntry.queries("a8_percentile")(s, sf).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+      s.conf.set(pKey, prevP)
+      val base = SparkEntry.queries("a8_percentile")(s, sf).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+      // exact global ranks: the result must be partition-count-invariant
+      assert(wide == base, s"2000-partition run diverged: $wide vs $base")
+    } finally {
+      s.conf.set(pKey, prevP)
+      prevF.fold(s.conf.unset(fKey))(v => s.conf.set(fKey, v))
+    }
+  }
+
   test("L10 and L12 find the same verified near-dup pairs") {
     // two independent candidate generators (MinHash-LSH bands vs
     // rare-token blocking) must agree on the >= 0.95-Jaccard pairs

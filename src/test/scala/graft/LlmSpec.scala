@@ -6,15 +6,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * (SURVEY §5.2 t3):
   *
   *  - l3c (IVF-bucketed ANN, the declared 100 TB similarity path) is
-  *    oracle-hashed for its DECLARED semantics (k-means cells, probe 3 of
+  *    oracle-hashed for its DECLARED semantics (k-means cells, probe 4 of
   *    10, 2-cell multi-assignment), but that says nothing about how good
   *    those semantics are — this spec measures recall@5 against the exact
   *    brute-force baseline. With the deterministic k-means quantizer
-  *    (5 Lloyd iterations from label-mean seeds) + rassign=2, measured
-  *    recall on the canonical queries: 1.00 at sf0.001, 0.93 at sf0.01
-  *    (bound ≥ 0.8); over a 30-query pool: 0.93 / 0.81 (bound ≥ 0.7).
-  *    Round-3's label-cell quantizer sat at 0.40/0.53 — the k-means
-  *    refit plus multi-probe assignment is what closed the gap.
+  *    (5 Lloyd iterations from label-mean seeds) + rassign=2 + nprobe=4,
+  *    measured recall on the canonical queries: 1.00 / 0.93 / 0.93 at
+  *    sf0.001 / 0.01 / 0.1 (bound ≥ 0.9 at every sf); over a 30-query
+  *    pool at sf0.01: 0.88 (bound ≥ 0.8). Round-3's label-cell quantizer
+  *    sat at 0.40/0.53 — the k-means refit plus multi-probe assignment
+  *    closed the gap; nprobe 3→4 lifted the sf0.1 boundary case.
   *  - l5b (log-idf TF-IDF) is declared oracle-less because libm `ln` is
   *    not bit-portable; its ranking must still agree with the hashed
   *    linear-idf l5 on this corpus (identical top-10 id/token sets).
@@ -44,25 +45,36 @@ class LlmSpec extends AnyFunSuite {
 
   test("L3c: IVF recall@5 vs the exact l3 baseline at sf0.001") {
     val r = recallAt5("/root/testdata/sf0.001")
-    assert(r >= 0.8, f"recall@5 regressed: $r%.3f < 0.8")
+    info(f"canonical recall@5 at sf0.001 = $r%.3f")
+    assert(r >= 0.9, f"recall@5 regressed: $r%.3f < 0.9")
   }
 
   test("L3c: IVF recall@5 vs the exact l3 baseline at sf0.01") {
     val r = recallAt5("/root/testdata/sf0.01")
-    assert(r >= 0.8, f"recall@5 regressed: $r%.3f < 0.8")
+    info(f"canonical recall@5 at sf0.01 = $r%.3f")
+    assert(r >= 0.9, f"recall@5 regressed: $r%.3f < 0.9")
+  }
+
+  test("L3c: IVF recall@5 vs the exact l3 baseline at sf0.1") {
+    // sf0.1 was the boundary case that motivated nprobe=4 as the
+    // canonical setting (0.80 at nprobe=3 → 0.93 measured in the
+    // AnnBench sweep at equal latency)
+    val r = recallAt5("/root/testdata/sf0.1")
+    info(f"canonical recall@5 at sf0.1 = $r%.3f")
+    assert(r >= 0.9, f"recall@5 regressed: $r%.3f < 0.9")
   }
 
   test("L3c: IVF recall@5 holds over a 30-query pool (not just the " +
        "3 canonical queries) at sf0.01") {
-    // explicitly sf0.01 — the weakest measured broad recall (0.81) —
-    // NOT TestSpark.Sf (sf0.001, where recall is 0.93 and the guard
-    // would be vacuous)
+    // explicitly sf0.01 — the weakest measured broad recall — NOT
+    // TestSpark.Sf (sf0.001, where the guard would be vacuous)
     val sf = "/root/testdata/sf0.01"
     val qids = 0 until 30
     val exact = pairsOf(graft.llm.Llm.exactTopK(s, sf, qids))
     val ivf = pairsOf(graft.llm.Llm.ivfTopK(s, sf, qids = qids))
     val r = recallOf(exact, ivf)
-    assert(r >= 0.7, f"broad recall@5 regressed: $r%.3f < 0.7")
+    info(f"broad 30-query recall@5 at sf0.01 = $r%.3f")
+    assert(r >= 0.8, f"broad recall@5 regressed: $r%.3f < 0.8")
   }
 
   test("L3c: every IVF hit is scored identically to the exact baseline") {

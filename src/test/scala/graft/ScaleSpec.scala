@@ -61,24 +61,36 @@ class ScaleSpec extends AnyFunSuite {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val ckpt = Files.createTempDirectory("graft_rocks_ckpt").toString
     val out = Files.createTempDirectory("graft_rocks_out").toString
-    def stream() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
+    def stream(path: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(path)
       .withWatermark("ts", "10 minutes").dropDuplicates("event_id")
       .select(col("event_id"), col("event_type"))
     try {
-      // phase 1: process a prefix, then "crash"
-      val q1 = stream().writeStream.format("parquet")
+      // phase 1: a RESTRICTED glob (first 3 of the 5 replay files),
+      // drained to completion — a deterministic strict prefix. (The
+      // previous shape polled recentProgress then stop()ed; on a fast
+      // machine all 5 files finished in phase 1 and the restart-resume
+      // path was vacuous.) The dup copies of file-2 rows land in file 3,
+      // so phase 2 can only stay exactly-once via phase-1 RocksDB state.
+      val q1 = stream(s"$dir/batch0[0-2].parquet").writeStream
+        .format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
-        .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
-      val deadline = System.nanoTime() + 60L * 1000000000L
-      while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
-             System.nanoTime() < deadline) Thread.sleep(100)
-      q1.stop()
-      // phase 2: restart from the same checkpoint (and RocksDB state)
-      val q2 = stream().writeStream.format("parquet")
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      val partial = s.read.parquet(out).count()
+      val total = Tables.events(s, sf).count()
+      assert(partial > 0 && partial < total,
+        s"restart test needs a strict prefix, got $partial of $total rows")
+      // phase 2: same checkpoint, full dir — the source's seen-files log
+      // resumes after the prefix; the dedup state must survive restart
+      val q2 = stream(dir).writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
       q2.awaitTermination()
+      // the resume path must have actually processed input — otherwise
+      // this test degenerates to re-checking batch dedup
+      assert(q2.recentProgress.map(_.numInputRows).sum > 0,
+        "phase 2 processed no input — restart-resume path was vacuous")
     } finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
     val fin = s.read.parquet(out)
       .agg(count(lit(1)), sum(col("event_id"))).collect()(0)

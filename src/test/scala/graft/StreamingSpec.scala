@@ -168,6 +168,48 @@ class StreamingSpec extends AnyFunSuite {
       "watermark eviction never ran during the replay")
   }
 
+  test("watermark model pin (Spark 4.1.2): engine-reported watermark " +
+       "equals the oracle's modeled horizon on the two-sided join") {
+    // The s5b/s5c oracles hard-code three Spark-internal mechanics,
+    // calibrated on the PINNED Spark 4.1.2 build: the query-global
+    // watermark is the MIN over both sides' event-time maxima, event-time
+    // stats are tracked in MILLISECONDS, and AvailableNow runs a final
+    // watermark-advance batch. If a Spark upgrade changes any of these,
+    // this assertion fails loudly here instead of as an opaque oracle
+    // hash mismatch on s5b/s5c.
+    val src = Replayer.stream(s, sf, "clean")
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+              col("user_id").as("p_user"))
+      .withWatermark("p_ts", Replayer.WatermarkDelay)
+    val c = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+              col("user_id").as("c_user"))
+      .withWatermark("c_ts", Replayer.WatermarkDelay)
+    val joined = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val name = "wmpin_" + java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = Replayer.checkpoint()
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally Replayer.dropCheckpoint(ckpt)
+    val reported = java.time.Instant.parse(
+      q.lastProgress.eventTime.get("watermark")).toEpochMilli
+    val ev = Tables.events(s, sf)
+    // Timestamp.getTime floors to millis — exactly the modeled trunc_ms
+    def sideMax(t: String): Long = ev.filter(col("event_type") === t)
+      .agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val modeled = math.min(sideMax("purchase"), sideMax("click")) -
+      10L * 60L * 1000L
+    assert(reported == modeled,
+      s"watermark drift: engine=$reported modeled=$modeled " +
+      "(min-across-sides / ms-truncation / final-advance-batch mechanics " +
+      "changed — recalibrate the s5b/s5c oracles)")
+  }
+
   test("S8b: flatMapGroupsWithState fallback equals the canonical " +
        "transformWithState funnel on the chain-injected replay") {
     // the "funnel" variant injects deterministic view→click→purchase
