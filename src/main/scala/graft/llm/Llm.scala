@@ -151,8 +151,14 @@ object Llm {
     // L6 — bigram counts, top-50. Bigrams are built positionally from
     // consecutive tokens (map-side), then counted like L4.
     "l6_ngrams" -> ((s, d) => {
-      val toks = split(col("text"), " ")
+      // materialize the token array in its own projection FIRST: a
+      // `split(...)` expression referenced inside the transform lambda
+      // is NOT subexpression-eliminated across the per-element
+      // element_at calls — the split would re-run for every bigram
+      // position (O(tokens²) per document)
+      val toks = col("toks")
       Tables.documents(s, d)
+        .select(split(col("text"), " ").as("toks"))
         .select(explode(transform(
           sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
