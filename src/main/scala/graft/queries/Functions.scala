@@ -136,14 +136,22 @@ object Functions {
     // The oracle reproduces the *values* (k, 2k, sizes) — map internals
     // are not SQL-portable, the value semantics are.
     "f5_map" -> ((s, d) => {
-      val k = get_json_object(col("props"), "$.k").cast(IntegerType)
+      // parse the JSON ONCE in its own projection: get_json_object is
+      // referenced by six downstream map expressions, and materializing
+      // the parsed value guarantees one parse per row regardless of how
+      // far codegen subexpression elimination reaches (same pattern as
+      // the l6_ngrams lambda fix)
+      val k = col("k")
       val m = map(lit("k"), k, lit("k2"), k * 2)
       val m2 = map_concat(m, map(lit("j"), lit(1)))
       val me = map_from_entries(array(
         struct(lit("a").as("key"), k.as("value")),
         struct(lit("b").as("key"), (k * 3).as("value"))))
       val tv = transform_values(m, (_, v) => v + 100)
-      Tables.events(s, d).select(
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .select(
         col("event_id"),
         element_at(m, "k").as("k1"),
         element_at(m, "k2").as("k2"),

@@ -121,6 +121,37 @@ class PlanSpec extends AnyFunSuite {
       s"partition filter evaluated per-row instead of pruning:\n${p.take(2000)}")
   }
 
+  test("DPP: a dimension filter prunes fact partitions at runtime " +
+       "(DynamicPruning, not a full scan)") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    // 100 TB pattern: the fact table is partitioned on a join key whose
+    // selective filter lives on a NON-join column of the DIMENSION —
+    // the matching partition set is unknowable at plan time (a literal
+    // filter on the join key itself gets constant-propagated into a
+    // STATIC PartitionFilter instead, which Catalyst already does), so
+    // dynamic partition pruning must inject the dim's runtime result
+    // into the fact scan
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_dpp_fixture").toString
+    graft.core.Tables.orders(s, TestSpark.Sf)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    val dim = graft.core.Tables.orders(s, TestSpark.Sf)
+      .groupBy(col("o_orderpriority").as("p"))
+      .agg(max(col("o_orderstatus")).as("st"))
+      .filter(col("st") === "F") // NOT expressible as a static p-filter
+    val fact = s.read.parquet(tmp)
+    val j = fact.join(dim, col("o_orderpriority") === col("p"))
+      .agg(count(lit(1)).as("n"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a DynamicPruning subquery on the fact scan:\n${plan.take(3000)}")
+    // sanity: the pruned join result equals the unpartitioned compute
+    val expect = graft.core.Tables.orders(s, TestSpark.Sf)
+      .join(dim, col("o_orderpriority") === col("p")).count()
+    assert(j.collect()(0).getLong(0) == expect)
+  }
+
   test("a8_percentile: no unpartitioned global window in the plan") {
     // the scale-safe rewrite keeps every window partitioned by pid
     val df = SparkEntry.queries("a8_percentile")(TestSpark.spark, TestSpark.Sf)
