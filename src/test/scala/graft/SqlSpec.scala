@@ -21,13 +21,15 @@ class SqlSpec extends AnyFunSuite {
   private val s = TestSpark.spark
 
   private val parity = Seq(
-    "j1_inner", "j3_outer", "j4_semi", "j5_anti",
+    "src1_scan",
+    "j1_inner", "j3_outer", "j4_semi", "j5_anti", "j6_theta", "j7_range",
+    "j8_asof",
     "a1_pricing", "a2_global", "a3_distinct",
     "o1_sort", "o2_topk",
     "u1_union", "u2_intersect", "u3_except", "u4_unpivot",
     "w1_rank", "w2_topn",
-    "p2_filter", "p3_case",
-    "s1_tumbling")
+    "p1_project", "p2_filter", "p3_case",
+    "s1_tumbling", "s4_stream_static", "s6_dedup")
 
   /** Canonical (column-name-sorted, stringified, row-sorted) form — the
     * same shape the driver's hash compare reduces results to. */
