@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** ANN quality/latency sweep (SURVEY §2.10 L3 scale path, quantified).
   *
@@ -17,29 +16,15 @@ import org.apache.spark.sql.SparkSession
 object AnnBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session()
 
     def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
 
     val exact = topSet(SparkEntry.queries("l3_cosine_topk")(spark, sfDir))
     val rows = for (rassign <- 1 to 2; nprobe <- 1 to 10) yield {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        graft.llm.Llm.ivfTopK(spark, sfDir, nprobe, rassign = rassign)
-          .write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      once() // warm-up
-      val p50 = Seq(once(), once(), once()).sorted.apply(1)
+      val p50 = Harness.timed3(
+        graft.llm.Llm.ivfTopK(spark, sfDir, nprobe, rassign = rassign))(1)
       val approx = topSet(
         graft.llm.Llm.ivfTopK(spark, sfDir, nprobe, rassign = rassign))
       val recall = (exact & approx).size.toDouble / exact.size

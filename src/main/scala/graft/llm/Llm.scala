@@ -159,6 +159,10 @@ object Llm {
       val toks = col("toks")
       Tables.documents(s, d)
         .select(split(col("text"), " ").as("toks"))
+        // <2-token docs have no bigrams; without this guard
+        // sequence(1, 0) would be the DESCENDING [1, 0] and
+        // element_at(toks, 0) throws under ANSI semantics
+        .filter(size(toks) >= 2)
         .select(explode(transform(
           sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
@@ -353,16 +357,17 @@ object Llm {
     // queries/bench runs don't re-pay the training jobs. The key includes
     // a data fingerprint (file sizes + mtimes) so regenerating the
     // dataset at the same path invalidates the cached index instead of
-    // silently serving stale centroids; computeIfAbsent gives per-key
-    // locking (training one corpus never blocks a lookup of another).
+    // silently serving stale centroids. A stale entry is never SERVED
+    // (lookups always use the current fingerprint); the sweep below only
+    // bounds memory, and it runs BEFORE computeIfAbsent so a slow trainer
+    // that started on an old fingerprint can never evict a fresher
+    // entry — at worst its own stale insert survives until the next call.
+    // computeIfAbsent locks per hash bin, so training may briefly block a
+    // colliding lookup of another corpus, never the whole cache.
     val key = (d, iters, embedFingerprint(d))
-    val res = centCache.computeIfAbsent(key,
-      _ => trainCentroidsUncached(s, d, iters))
-    // drop superseded fingerprints of the same (path, iters) — keeps the
-    // cache bounded at one live entry per corpus
     centCache.keySet.removeIf(k =>
       k._1 == d && k._2 == iters && k._3 != key._3)
-    res
+    centCache.computeIfAbsent(key, _ => trainCentroidsUncached(s, d, iters))
   }
 
   private val centCache = new java.util.concurrent.ConcurrentHashMap[

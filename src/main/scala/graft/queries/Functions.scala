@@ -236,8 +236,9 @@ object Functions {
         col("o_orderkey").cast(StringType).as("key_str"),
         // bad_int — try_cast semantics with a parse guard. Spark's TRY
         // eval mode pays a THROWN EXCEPTION per failing row (~17 µs
-        // each: measured 2.5 s of this query's 2.9 s on the all-invalid
-        // priority column at sf0.1). The regex guard returns NULL
+        // each: measured ~2.5 s of this query's ~2.7-3.0 s captures on
+        // the all-invalid priority column at sf0.1). The regex guard
+        // returns NULL
         // directly for strings that cannot possibly parse as an int,
         // short-circuiting the exception path while keeping the genuine
         // try_cast for parseable strings (whitespace trim and overflow→

@@ -38,12 +38,28 @@ object SourcesSinks {
     * directory one of them is still reading back. */
   private def stagingDir(kind: String, sfDir: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    val pid = ProcessHandle.current().pid()
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_roundtrip", s"p$pid",
-      s"${kind}_$key")
+      sys.props("java.io.tmpdir"), "graft_roundtrip",
+      s"p${ProcessHandle.current().pid()}", s"${kind}_$key")
     Files.createDirectories(p.getParent)
+    stagingCleanup // ensure the shutdown hook is registered
     p.toString
+  }
+
+  /** Delete this process's staging root on JVM exit — without this, the
+    * per-PID isolation would leak a full table copy per process run
+    * (each new JVM gets a new PID, so nothing would ever reuse them). */
+  private lazy val stagingCleanup: Unit = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_roundtrip",
+      s"p${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -3,10 +3,12 @@ package graft.streaming
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
-/** S8 funnel on the Spark 4 `transformWithState` API (SURVEY §2.9 names
-  * it the primary; the canonical s8_funnel uses flatMapGroupsWithState —
-  * this processor is the forward path and StreamingSpec asserts the two
-  * produce identical conversions).
+/** S8 funnel on the Spark 4 `transformWithState` API — the CANONICAL
+  * s8_funnel/s8b path (SURVEY §2.9 names TWS primary; wired via
+  * Streams.funnelTws). The flatMapGroupsWithState form
+  * (Streams.funnelFmgs) is the fallback for state backends without TWS
+  * support, and StreamingSpec asserts the two produce identical
+  * conversions.
   *
   * Requires the RocksDB state store provider (a transformWithState
   * constraint, which is also the declared 100 TB state backend).

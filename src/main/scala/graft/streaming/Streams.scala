@@ -63,11 +63,15 @@ object Streams {
     // before the returned table is consumed. At cluster scale raise
     // SPARK_GRAFT_STREAM_PARTITIONS to O(total cores): state volume per
     // partition, not result content, is what the knob trades off.
+    // capture BOTH prior states before mutating anything: if extraConf
+    // ever carried shuffle.partitions itself, capturing it after the
+    // streamPartitions set would snapshot the override as the "previous"
+    // value and leak it into the shared session on restore
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val prevExtra = extraConf.keys.map(k => k -> s.conf.getOption(k)).toMap
     s.conf.set("spark.sql.shuffle.partitions", streamPartitions)
     // session confs the query must see (captured at query start), e.g. the
     // RocksDB state-store provider for transformWithState — restored after
-    val prevExtra = extraConf.keys.map(k => k -> s.conf.getOption(k)).toMap
     extraConf.foreach { case (k, v) => s.conf.set(k, v) }
     val ckpt = Replayer.checkpoint()
     try {

@@ -40,7 +40,7 @@ class SqlSpec extends AnyFunSuite {
         case null => "␀"
         case b: Array[Byte] => b.map("%02x".format(_)).mkString
         case x => x.toString
-      }.mkString("")).toSeq.sorted
+      }.mkString("\u0001")).toSeq.sorted
     (cols, rows)
   }
 
