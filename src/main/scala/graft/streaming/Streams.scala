@@ -42,9 +42,12 @@ object Streams {
   private val runLock = new Object
 
   /** Stream-state parallelism (SPARK_GRAFT_STREAM_PARTITIONS), validated
-    * eagerly so a bad value fails with a message naming the env var. */
+    * eagerly so a bad value fails with a message naming the env var.
+    * Default 2 from a r6 sweep at sf0.1 (s5 p50: 8→5.31 s, 4→4.61 s,
+    * 2→4.53 s, 1→4.63 s) — per-store commit overhead dominates below ~8
+    * and task-launch overhead takes over at 1. */
   private def streamPartitions: String = {
-    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "2")
     require(scala.util.Try(raw.toInt).toOption.exists(_ > 0),
       s"SPARK_GRAFT_STREAM_PARTITIONS must be a positive int, got '$raw'")
     raw
@@ -95,6 +98,20 @@ object Streams {
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Skip the trailing no-data watermark-advance micro-batch. ONLY legal
+    * for queries whose OUTPUT cannot depend on that batch: complete-mode
+    * aggregations (the final table is recomputed from full state either
+    * way), inner stream-stream joins (matches emit in the data batch where
+    * the second side arrives; the final batch only evicts state), dedup
+    * (first-seen rows emit immediately), and TimeMode.None
+    * transformWithState (output is data-driven). Append-mode windowed/
+    * session aggs and OUTER joins (s3, s7, s5b, s5c) emit ON the final
+    * watermark advance and must keep the default. Saves one full
+    * state-commit round per query at replay scale; at 100 TB (continuous
+    * ingest) the setting is irrelevant because data batches keep coming. */
+  private val NoFinalBatch = Map(
+    "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+
   /** S8 canonical path — the funnel on Spark 4's `transformWithState`
     * (SURVEY §2.9 names TWS primary) with the RocksDB state store.
     * Emits (user, purchase) pairs; rollup to per-user counts is batch. */
@@ -110,7 +127,7 @@ object Streams {
       .transformWithState(new FunnelProcessor, TimeMode.None(),
         OutputMode.Append())
     runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append",
-                RocksDbConf)
+                RocksDbConf ++ NoFinalBatch)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
       .orderBy(col("user_id"))
@@ -128,7 +145,8 @@ object Streams {
     val conversions = ev.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(funnel)
-    runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append")
+    runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append",
+                NoFinalBatch)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
       .orderBy(col("user_id"))
@@ -149,7 +167,7 @@ object Streams {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
              min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
-      runToMemory(s, agg, "complete").orderBy(col("event_type"))
+      runToMemory(s, agg, "complete", NoFinalBatch).orderBy(col("event_type"))
     }),
 
     // S1 — tumbling event-time window (1 h) per event_type + watermark.
@@ -161,7 +179,7 @@ object Streams {
         .withWatermark("ts", WatermarkDelay)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(vdec).as("sv"))
-      runToMemory(s, agg, "complete")
+      runToMemory(s, agg, "complete", NoFinalBatch)
         .select(col("window.start").as("win_start"), col("event_type"),
                 col("n"), col("sv").cast(DoubleType).as("sum_value"))
         .orderBy(col("win_start"), col("event_type"))
@@ -176,7 +194,7 @@ object Streams {
         .withWatermark("ts", WatermarkDelay)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
-      runToMemory(s, agg, "complete")
+      runToMemory(s, agg, "complete", NoFinalBatch)
         .select(col("window.start").as("win_start"), col("event_type"), col("n"))
         .orderBy(col("win_start"), col("event_type"))
     }),
@@ -208,7 +226,7 @@ object Streams {
         .join(cust, col("user_id") === col("c_custkey"))
         .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
         .agg(count(lit(1)).as("n"), sum(vdec).as("sv"))
-      runToMemory(s, agg, "complete")
+      runToMemory(s, agg, "complete", NoFinalBatch)
         .select(col("window.start").as("win_start"), col("c_mktsegment"),
                 col("n"), col("sv").cast(DoubleType).as("sum_value"))
         .orderBy(col("win_start"), col("c_mktsegment"))
@@ -237,7 +255,7 @@ object Streams {
         col("p_user") === col("c_user") &&
           col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
           col("c_ts") <= col("p_ts"))
-      runToMemory(s, joined, "append")
+      runToMemory(s, joined, "append", NoFinalBatch)
         .groupBy(col("p_user").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
              countDistinct(col("p_id")).as("n_purchases"))
@@ -318,7 +336,7 @@ object Streams {
       val deduped = Replayer.stream(s, d, "dup")
         .withWatermark("ts", WatermarkDelay)
         .dropDuplicatesWithinWatermark(Seq("event_id"))
-      runToMemory(s, deduped, "append")
+      runToMemory(s, deduped, "append", NoFinalBatch)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
         .orderBy(col("event_type"))
