@@ -1,0 +1,186 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY §2.10 L22 — near-duplicate CLUSTERING: close the verified
+  * pair relation (l10b's MinHash-banded, Jaccard-verified near-dup
+  * pairs) into connected components and elect one canonical document
+  * per component. Pair generation alone under-deduplicates: if A≈B and
+  * B≈C but A's similarity to C sits just under the threshold, pairwise
+  * survivor-picking keeps two of the three — the component view keeps
+  * exactly one. This is the standard final stage of a web-scale dedup
+  * pipeline (the corpus here genuinely chains: 22 components over 1 377
+  * pairs at sf0.01, largest component 93 docs).
+  *
+  * Algorithm, two phases (the MapReduce-CC recipe of Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14):
+  *
+  *  1. CONTRACTION (one pass over the full edge relation): every node
+  *     takes l0 = min(self, neighbours) — the large-star move. On dup
+  *     graphs this single step collapses the LSH cliques that carry
+  *     almost all edges (sf0.1: 154 236 symmetric edges → 406 contracted
+  *     edges, 380× fewer), so the iterative phase never touches the
+  *     full edge set again.
+  *  2. MIN-LABEL PROPAGATION with POINTER JUMPING over the contracted
+  *     graph: each round takes the min label over self + neighbours,
+  *     then compresses one hop (label ← label(label), the path-halving
+  *     step of parallel union-find). Labels are per-node monotone
+  *     non-increasing and bounded below by the component min, so the
+  *     loop terminates; jumping makes the round count O(log diameter)
+  *     instead of O(diameter).
+  *
+  * 100 TB shape: phase 1 is one groupBy shuffle over |E| (the same
+  * order as the LSH banding that produced the edges); each phase-2
+  * round shuffles only the contracted relation, and the driver sees
+  * per-round convergence counts, never data. Iteration state is
+  * truncated with localCheckpoint so the plan does not grow with the
+  * round count (lineage blow-up is the classic iterative-DataFrame
+  * trap; on a cluster use `spark.sparkContext.setCheckpointDir` +
+  * `checkpoint()` for fault-tolerant truncation instead).
+  */
+object Cluster {
+
+  /** Serializes the shuffle-partitions save/mutate/restore below against
+    * other conf-mutating runs in the same JVM (same pattern and reason
+    * as Streams.runLock). */
+  private val runLock = new Object
+
+  /** Connected components of `edges` (d1, d2) over `nodes` (node):
+    * returns (node, label) where label = min node id of the component.
+    * Isolated nodes label themselves. Deterministic: min is
+    * order-independent, no RNG, no partition-order sensitivity.
+    *
+    * The phase-2 loop runs at a reduced shuffle parallelism: each round
+    * is 4–5 shuffle stages over the contracted relation, which is tiny
+    * compared to the corpus (per-task launch overhead dominates at the
+    * default width — the same trade the streaming runs make). Safe to
+    * scope here because every intermediate inside the loop materializes
+    * EAGERLY (localCheckpoint + count); the conf is restored before the
+    * lazily-consumed result is returned. Phase 1 (the full-|E| groupBy)
+    * stays at the caller's full width. At cluster scale raise the env
+    * knob to O(cores) — it bounds per-round tasks, not correctness. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 30): DataFrame = runLock.synchronized {
+    // ---- phase 1 (full width): materialize the (possibly expensive)
+    // edge pipeline once, contract every node to min(self, nbrs)
+    val sym = edges.select(col("d1").as("node"), col("d2").as("nbr"))
+      .union(edges.select(col("d2").as("node"), col("d1").as("nbr")))
+      .localCheckpoint()
+    // everything past the edge pipeline operates on label-sized
+    // relations — run it all narrow (eager materializations throughout,
+    // so the conf restore below cannot leak into lazy consumers)
+    val sess = nodes.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
+    try {
+      val l0 = nodes
+        .join(sym.groupBy(col("node")).agg(min(col("nbr")).as("mn")),
+              Seq("node"), "left")
+        .select(col("node"),
+          least(col("node"), coalesce(col("mn"), col("node"))).as("label"))
+        .localCheckpoint()
+      // contracted edge relation: the l0-images of each surviving edge.
+      // Component-preserving (u—v implies l0(u) and l0(v) share u or v's
+      // component and every component min is its own l0 image). Symmetric
+      // because sym is.
+      val e1 = sym
+        .join(l0.select(col("node"), col("label").as("la")), "node")
+        .join(l0.select(col("node").as("nbr"), col("label").as("lb")), "nbr")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("node"), col("lb").as("nbr"))
+        .distinct()
+        .localCheckpoint()
+      val init = e1.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      // ---- phase 2: iterate only over the contracted graph
+      val small = connectedComponentsLoop(init, e1, maxIter)
+      // ---- expand: label(u) = loop-label of l0(u); l0(u) itself when
+      // its contracted node was isolated (star collapsed in phase 1)
+      l0.join(small.select(col("node").as("label"), col("label").as("label2")),
+              Seq("label"), "left")
+        .select(col("node"),
+          coalesce(col("label2"), col("label")).as("label"))
+        .localCheckpoint()
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def connectedComponentsLoop(init: DataFrame, sym: DataFrame,
+                                      maxIter: Int): DataFrame = {
+    var labels = init
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // (1) neighbour-min step: label ← min(label, min over nbrs' labels)
+      val nbrMin = sym
+        .join(labels.select(col("node").as("nbr"), col("label").as("nl")),
+              "nbr")
+        .groupBy(col("node")).agg(min(col("nl")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+      // (2) pointer jump: label ← label(label). Every label value is a
+      // node id (invariant label(u) ≤ u from the init + min-combine), so
+      // the lookup is an inner self-join that can never drop rows.
+      val jumped = stepped.select(col("node"), col("label").as("mid"))
+        .join(stepped.select(col("node").as("mid"), col("label")), "mid")
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+      val changed = jumped.select(col("node"), col("label").as("nw"))
+        .join(labels, "node")
+        .filter(col("nw") =!= col("label")).count()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter changed=$changed")
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L22 — dup-cluster assignment + canonical election over the l10b
+    // verified near-dup pairs. component = min doc_id of the cluster;
+    // the canonical (kept) doc is the one equal to its component id.
+    "l22_dup_clusters" -> ((s, d) => {
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val labels = connectedComponents(nodes, DedupExt.nearDupPairs(s, d))
+      val cs = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+      labels.join(cs, "label")
+        .select(col("node").as("doc_id"), col("label").as("component"),
+          col("csize"), (col("node") === col("label")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // The oracle closes the same jac pair relation with a recursive CTE
+  // (reach = all (a, b) with b reachable from a); component = min
+  // reachable node (or self for isolated docs). Engine-agnostic integer
+  // arithmetic end-to-end — no floats in the output.
+  val oracle: Map[String, String] = Map(
+    "l22_dup_clusters" ->
+      s"""WITH RECURSIVE ${DedupExt.l10bCtes},
+        |e AS (SELECT d1 AS a, d2 AS b FROM jac
+        |      UNION SELECT d2, d1 FROM jac),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b),
+        |lab AS (
+        |  SELECT d.doc_id,
+        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |  GROUP BY d.doc_id),
+        |cs AS (SELECT component, count(*) AS csize FROM lab
+        |       GROUP BY component)
+        |SELECT l.doc_id, l.component, cs.csize,
+        |  l.doc_id = l.component AS is_canonical
+        |FROM lab l JOIN cs USING (component)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -29,6 +29,18 @@ import graft.core.Tables
   *    declarative plan, so Catalyst fuses the stages (scan once, no
   *    materialization between them) — the point of expressing a
   *    curation pipeline as DataFrames rather than scripted passes.
+  *  - L23 PII redaction (r6): portable-regex scrub of emails, phone
+  *    numbers and SSN-shaped ids. The synthetic corpus carries no
+  *    natural PII, so the canonical query first INJECTS deterministic
+  *    PII derived from doc_id arithmetic (the s8b funnel-injection
+  *    pattern: the oracle reproduces the injection exactly, making the
+  *    redaction provably fire rather than vacuously matching on zero
+  *    hits). Pure per-row projection — map-side at any scale.
+  *  - L24 chunking (r6): fixed-size sliding token windows (50 tokens,
+  *    stride 40 ⇒ 10-token overlap) — the standard context-window
+  *    packing prep for pretraining/RAG. explode(sequence) + slice keeps
+  *    it one codegen'd projection; rows out ≈ n_tokens/stride, no
+  *    shuffle until the caller aggregates.
   */
 object Curation {
 
@@ -148,8 +160,79 @@ object Curation {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy(col("lang"))
+    }),
+
+    // L23 — PII redaction with deterministic injection. Redaction order
+    // (emails → phones → SSNs) is part of the declared semantics; counts
+    // are taken BEFORE redaction. The phone pattern is anchored by the
+    // +1- prefix so the SSN pattern (3-2-4 digits) cannot overlap it.
+    "l23_pii_redact" -> ((s, d) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast(StringType),
+                 lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-415-"),
+            lpad(((col("doc_id") * 37) % 1000).cast(StringType), 3, "0"),
+            lit("-"),
+            lpad(((col("doc_id") * 73) % 10000).cast(StringType), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" id "),
+            lpad(((col("doc_id") * 11) % 1000).cast(StringType), 3, "0"),
+            lit("-"),
+            lpad(((col("doc_id") * 3) % 100).cast(StringType), 2, "0"),
+            lit("-"),
+            lpad(((col("doc_id") * 7) % 10000).cast(StringType), 4, "0")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("t", t)
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(EmailPat)).cast(LongType).as("n_email"),
+          regexp_count(col("t"), lit(PhonePat)).cast(LongType).as("n_phone"),
+          regexp_count(col("t"), lit(SsnPat)).cast(LongType).as("n_ssn"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), EmailPat, "<EMAIL>"),
+              PhonePat, "<PHONE>"),
+            SsnPat, "<SSN>").as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L24 — sliding-window token chunking: chunk k of a doc covers
+    // 1-based token positions [k·40+1, k·40+50]; k ranges over
+    // 0..⌊(n−1)/40⌋ so every token is covered and the last chunk may be
+    // short. chunk_md5 fingerprints the chunk text for downstream
+    // chunk-level dedup.
+    "l24_chunking" -> ((s, d) => {
+      val start = (col("chunk_id") * ChunkStride + 1).cast(IntegerType)
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast(LongType))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor(((col("n") - 1).cast(DoubleType)) / ChunkStride)
+              .cast(LongType))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(slice(col("toks"), start, lit(ChunkSize)))
+            .cast(LongType).as("n_tok"),
+          md5(array_join(slice(col("toks"), start, lit(ChunkSize)), " "))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
     })
   )
+
+  /** L23 patterns — shared verbatim between the Spark projection and the
+    * oracle SQL; restricted to syntax with identical semantics in Java
+    * regex and DuckDB's RE2 (no lookaround, no \d/\s class shorthands —
+    * see L21's whitespace note). */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val SsnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** L24 window: 50-token chunks every 40 tokens (10-token overlap). */
+  private val ChunkSize = 50
+  private val ChunkStride = 40
 
   private val bucketSql =
     "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100"
@@ -208,6 +291,54 @@ object Curation {
         |JOIN r ON r.lang = k.lang
         |WHERE k.keep AND $bucketSql < r.rate
         |GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+    // l23 — the injection arithmetic and the three patterns are the SAME
+    // Scala constants the Spark query uses (one source of truth); DuckDB
+    // regexp_replace needs the explicit 'g' flag where Spark's is global
+    // by default.
+    "l23_pii_redact" ->
+      s"""WITH inj AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id ||
+        |      '@example.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call +1-415-' ||
+        |      lpad(CAST((doc_id*37)%1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST((doc_id*73)%10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' id ' ||
+        |      lpad(CAST((doc_id*11)%1000 AS VARCHAR), 3, '0') || '-' ||
+        |      lpad(CAST((doc_id*3)%100 AS VARCHAR), 2, '0') || '-' ||
+        |      lpad(CAST((doc_id*7)%10000 AS VARCHAR), 4, '0')
+        |      ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '$EmailPat')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '$PhonePat')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '$SsnPat')) AS BIGINT) AS n_ssn,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '$EmailPat', '<EMAIL>', 'g'),
+        |    '$PhonePat', '<PHONE>', 'g'),
+        |    '$SsnPat', '<SSN>', 'g') AS clean
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    // l24 — DuckDB list slices are 1-based inclusive and clamp at the
+    // list end, matching Spark's slice(arr, start, len) exactly.
+    "l24_chunking" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(generate_series(0,
+        |      CAST(floor((len(toks) - 1) / $ChunkStride.0) AS BIGINT)))
+        |      AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(toks[chunk_id*$ChunkStride+1 :
+        |            least(chunk_id*$ChunkStride+$ChunkSize, n)])
+        |       AS BIGINT) AS n_tok,
+        |  md5(array_to_string(
+        |    toks[chunk_id*$ChunkStride+1 :
+        |         least(chunk_id*$ChunkStride+$ChunkSize, n)], ' '))
+        |    AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "l19b_curation_neardup" ->
       s"""WITH $repSql,
         |surv AS (

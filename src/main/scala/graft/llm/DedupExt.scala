@@ -139,6 +139,13 @@ object DedupExt {
       .distinct()
   }
 
+  /** L22 edge set: the l10b tuned-banding candidates verified at exact
+    * Jaccard ≥ 0.95 — the canonical "near-duplicate pairs" relation that
+    * [[Cluster]] closes into components. */
+  def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    jaccard(minhashTunedCandidates(s, d), tokens(s, d))
+      .select(col("d1"), col("d2"))
+
   /** 48-bit integer hash of a token via md5 prefix — portable + stable. */
   private def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 12), 16, 10).cast(LongType)
@@ -501,21 +508,28 @@ object DedupExt {
   private def bandSql(bk: Int): String =
     (0 until 16).map(j => s"h${16 * bk + j}").mkString(" || '_' || ")
 
+  /** The full l10b CTE chain ending in the `jac` relation (verified
+    * near-dup pairs) — the final SELECT is the caller's. Shared between
+    * the l10b oracle and Cluster's L22 oracle so the edge definition
+    * cannot drift between them. */
+  private[llm] val l10bCtes: String =
+    s"""$tokSql,
+      |sig AS (
+      |  SELECT doc_id,
+      |$mins32Sql
+      |  FROM tok GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS bk, ${bandSql(0)} AS bsig FROM sig
+      |  UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+      |  FROM bands x JOIN bands y
+      |    ON x.bk = y.bk AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+      |$jacSql""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "l10b_minhash_tuned" ->
-      s"""WITH $tokSql,
-        |sig AS (
-        |  SELECT doc_id,
-        |$mins32Sql
-        |  FROM tok GROUP BY doc_id),
-        |bands AS (
-        |  SELECT doc_id, 0 AS bk, ${bandSql(0)} AS bsig FROM sig
-        |  UNION ALL SELECT doc_id, 1, ${bandSql(1)} FROM sig),
-        |cand AS (
-        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        |  FROM bands x JOIN bands y
-        |    ON x.bk = y.bk AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-        |$jacSql
+      s"""WITH $l10bCtes
         |SELECT d1, d2, jac FROM jac
         |ORDER BY d1, d2""".stripMargin,
     "l10_minhash_lsh" ->
