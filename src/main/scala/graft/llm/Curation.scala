@@ -41,6 +41,22 @@ import graft.core.Tables
   *    packing prep for pretraining/RAG. explode(sequence) + slice keeps
   *    it one codegen'd projection; rows out ≈ n_tokens/stride, no
   *    shuffle until the caller aggregates.
+  *  - L25 sequence packing (r6): greedy first-fit concatenation of
+  *    short documents into 256-token training windows — the packing
+  *    pass that turns a curated corpus into fixed-context samples.
+  *    Packing is BLOCK-LOCAL by declaration: docs are packed in doc_id
+  *    order within (lang, ⌊doc_id/1000⌋) blocks, so every group handed
+  *    to the sequential greedy scan is bounded (≤1000 docs) no matter
+  *    the corpus size — the same boundedness contract X4's mapGroups
+  *    declares. (Exact GLOBAL greedy packing is inherently sequential;
+  *    block-local is what production packers do, trading a sliver of
+  *    fill efficiency for embarrassing parallelism.)
+  *  - L26 quality resampling (r6): exact global quality deciles via the
+  *    a8 machinery (range repartition + broadcast per-partition offsets
+  *    → global rank with NO single-task window), then deterministic
+  *    hash-threshold keep at rate (decile+1)·10 % — the quality-pacing
+  *    mix step (keep more of the best text) with L17's auditable
+  *    sampling rule.
   */
 object Curation {
 
@@ -219,8 +235,90 @@ object Curation {
           md5(array_join(slice(col("toks"), start, lit(ChunkSize)), " "))
             .as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // L25 — block-local greedy sequence packing. A doc opens a new bin
+    // when it would overflow 256 tokens AND the bin is non-empty (an
+    // oversize doc therefore gets a single-doc oversize bin rather than
+    // being dropped or split). Emits one row per bin.
+    "l25_seq_pack" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .as[(Long, String, Long)]
+      docs.groupByKey { case (id, lang, _) => (lang, id / PackBlock) }
+        .flatMapGroups { (key: (String, Long), it: Iterator[(Long, String, Long)]) =>
+          val (lang, block) = key
+          val ds = it.toSeq.sortBy(_._1)
+          val out = scala.collection.mutable.ListBuffer
+            .empty[(String, Long, Long, Long, Long)]
+          var bin = 0L; var acc = 0L; var nd = 0L
+          ds.foreach { case (_, _, nt) =>
+            if (acc + nt > PackCap && acc > 0) {
+              out += ((lang, block, bin, nd, acc))
+              bin += 1; acc = 0; nd = 0
+            }
+            acc += nt; nd += 1
+          }
+          if (nd > 0) out += ((lang, block, bin, nd, acc))
+          out
+        }
+        .toDF("lang", "block", "bin_id", "n_docs", "n_tokens")
+        .orderBy(col("lang"), col("block"), col("bin_id"))
+    }),
+
+    // L26 — quality-decile resampling. Global rank over (score, doc_id)
+    // computed scale-safely (a8's recipe: range repartition, per-
+    // partition counts broadcast back as offsets, per-partition
+    // row_number — every stage O(n/p) per task, no single-task window);
+    // decile = (rank·10) div n (declared formula deciles, not ntile's
+    // remainder rule); keep = md5-bucket < (decile+1)·10.
+    "l26_quality_resample" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val scored = DedupExt.qualityFeatures(s, d)
+        .select(col("doc_id"), col("n_toks"), col("score"))
+      val n = scored.count()
+      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val ranged = scored
+        .repartitionByRange(nPart, col("score"), col("doc_id"))
+        .withColumn("pid", spark_partition_id())
+      ranged.cache()
+      try {
+        val offsets = ranged.groupBy("pid").count().collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          .scanLeft((-1, 0L, 0L)) { case ((_, off, c0), (pid, c)) =>
+            (pid, off + c0, c) }
+          .drop(1).map { case (pid, off, _) => (pid, off) }
+        val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
+        val w = Window.partitionBy("pid").orderBy("score", "doc_id")
+        // materialize the 10-row aggregate BEFORE unpersist: the range
+        // partitioning behind `pid` is sampling-based, so a lazy consumer
+        // recomputing it after unpersist could see different partition
+        // boundaries than the collected offsets (a8 collects for the
+        // same reason; ≤10 rows — metadata, not data)
+        val rows = ranged.join(offDf, "pid")
+          .withColumn("idx",
+            row_number().over(w).cast(LongType) - 1 + col("off"))
+          .withColumn("decile", expr(s"(idx * 10) div $n"))
+          .withColumn("keep", sampleBucket < (col("decile") + 1) * 10)
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("keep"), col("n_toks")).otherwise(0L))
+              .as("tok_kept"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        rows.toSeq.toDF("decile", "n_docs", "n_kept", "tok_kept")
+          .orderBy(col("decile"))
+      } finally ranged.unpersist()
     })
   )
+
+  /** L25 window: 256-token bins over ≤1000-doc blocks. */
+  private val PackCap = 256L
+  private val PackBlock = 1000L
 
   /** L23 patterns — shared verbatim between the Spark projection and the
     * oracle SQL; restricted to syntax with identical semantics in Java
@@ -339,6 +437,57 @@ object Curation {
         |         least(chunk_id*$ChunkStride+$ChunkSize, n)], ' '))
         |    AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // l25 — linear recursion per (lang, block): row k's bin/fill derive
+    // from row k−1's, exactly the greedy scan the Spark flatMapGroups
+    // runs; final rows aggregate per bin. (The Spark side's extra acc>0
+    // guard only distinguishes the empty-bin case, which here is exactly
+    // the recursion's base case — acc = nt > 0 for every recursive row —
+    // so the simpler CASE is equivalent, oversize docs included.)
+    "l25_seq_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, doc_id // 1000 AS block,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    row_number() OVER (PARTITION BY lang, doc_id // 1000
+        |                       ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p(lang, block, rn, bin_id, acc, nt) AS (
+        |  SELECT lang, block, rn, CAST(0 AS BIGINT), nt, nt
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.block, d.rn,
+        |    CASE WHEN p.acc + d.nt > 256 THEN p.bin_id + 1
+        |         ELSE p.bin_id END,
+        |    CASE WHEN p.acc + d.nt > 256 THEN d.nt
+        |         ELSE p.acc + d.nt END,
+        |    d.nt
+        |  FROM p JOIN d ON d.lang = p.lang AND d.block = p.block
+        |              AND d.rn = p.rn + 1)
+        |SELECT lang, block, bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        |FROM p GROUP BY lang, block, bin_id
+        |ORDER BY lang, block, bin_id""".stripMargin,
+    // l26 — the same q score chain as l15 (shared fragment), ranked with
+    // one window (the oracle engine may single-thread it; the Spark side
+    // is the distributed two-phase version of the same rank).
+    "l26_quality_resample" ->
+      s"""WITH ${DedupExt.qualitySql},
+        |r AS (
+        |  SELECT doc_id, n_toks,
+        |    row_number() OVER (ORDER BY score, doc_id) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM q),
+        |dd AS (
+        |  SELECT doc_id, n_toks, (idx * 10) // n AS decile,
+        |    $bucketSql AS bucket
+        |  FROM r)
+        |SELECT decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN bucket < (decile + 1) * 10 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN bucket < (decile + 1) * 10 THEN n_toks
+        |           ELSE 0 END) AS BIGINT) AS tok_kept
+        |FROM dd GROUP BY decile ORDER BY decile""".stripMargin,
     "l19b_curation_neardup" ->
       s"""WITH $repSql,
         |surv AS (

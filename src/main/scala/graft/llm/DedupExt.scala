@@ -139,6 +139,35 @@ object DedupExt {
       .distinct()
   }
 
+  /** L15 core, shared with Curation's L26 resampler: per-doc quality
+    * features + the fixed linear score. Column-for-column the l15
+    * canonical output. */
+  def qualityFeatures(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tokAll = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val stop = tokAll.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(10)
+      .select(col("token"))
+    val stopCnt = tokAll.join(broadcast(stop), "token")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_stop"))
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"), col("text"),
+        size(toks).cast(LongType).as("n_toks"),
+        size(array_distinct(toks)).cast(LongType).as("n_uniq"))
+      .join(stopCnt, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_stop"))
+      .select(col("doc_id"), col("n_toks"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        (col("n_uniq").cast(DoubleType) / col("n_toks").cast(DoubleType))
+          .as("ttr"),
+        (col("n_stop").cast(DoubleType) / col("n_toks").cast(DoubleType))
+          .as("stop_ratio"))
+      .withColumn("score",
+        lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
+          lit(0.3) * least(col("n_toks").cast(DoubleType) / 100.0, lit(1.0)))
+  }
+
   /** L22 edge set: the l10b tuned-banding candidates verified at exact
     * Jaccard ≥ 0.95 — the canonical "near-duplicate pairs" relation that
     * [[Cluster]] closes into components. */
@@ -414,32 +443,8 @@ object DedupExt {
     // L15 — document quality scoring: length/type-token/stopword-ratio
     // features with a fixed linear combination. "Stopwords" are the 10
     // globally most frequent tokens (deterministic, corpus-derived).
-    "l15_quality" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tokAll = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      val stop = tokAll.groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("token").asc).limit(10)
-        .select(col("token"))
-      val stopCnt = tokAll.join(broadcast(stop), "token")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_stop"))
-      val toks = split(col("text"), " ")
-      docs.select(col("doc_id"), col("text"),
-          size(toks).cast(LongType).as("n_toks"),
-          size(array_distinct(toks)).cast(LongType).as("n_uniq"))
-        .join(stopCnt, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_stop"))
-        .select(col("doc_id"), col("n_toks"),
-          length(col("text")).cast(LongType).as("n_chars"),
-          (col("n_uniq").cast(DoubleType) / col("n_toks").cast(DoubleType))
-            .as("ttr"),
-          (col("n_stop").cast(DoubleType) / col("n_toks").cast(DoubleType))
-            .as("stop_ratio"))
-        .withColumn("score",
-          lit(0.4) * col("ttr") + lit(0.3) * (lit(1.0) - col("stop_ratio")) +
-            lit(0.3) * least(col("n_toks").cast(DoubleType) / 100.0, lit(1.0)))
-        .orderBy(col("doc_id"))
-    }),
+    "l15_quality" -> ((s, d) =>
+      qualityFeatures(s, d).orderBy(col("doc_id"))),
 
     // L16 — document fingerprinting: positional token-trigram rolling
     // hash (base-31 polynomial mod 1e9+7); fingerprint = min trigram
@@ -507,6 +512,36 @@ object DedupExt {
   }.mkString(",\n")
   private def bandSql(bk: Int): String =
     (0 until 16).map(j => s"h${16 * bk + j}").mkString(" || '_' || ")
+
+  /** L15's feature+score chain ending in relation `q` (doc_id, n_toks,
+    * n_chars, ttr, stop_ratio, score) — shared with Curation's L26
+    * oracle so the score definition cannot drift. */
+  private[llm] val qualitySql: String =
+    """tokall AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |stop AS (
+      |  SELECT token FROM tokall GROUP BY token
+      |  ORDER BY count(*) DESC, token ASC LIMIT 10),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_stop
+      |  FROM tokall JOIN stop USING (token) GROUP BY doc_id),
+      |base AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |feat AS (
+      |  SELECT b.doc_id, b.n_toks, b.n_chars,
+      |    CAST(b.n_uniq AS DOUBLE) / CAST(b.n_toks AS DOUBLE) AS ttr,
+      |    CAST(COALESCE(sc.n_stop, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE) AS stop_ratio
+      |  FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id),
+      |q AS (
+      |  SELECT doc_id, n_toks, n_chars, ttr, stop_ratio,
+      |    0.4 * ttr + 0.3 * (1.0 - stop_ratio) +
+      |      0.3 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) AS score
+      |  FROM feat)""".stripMargin
 
   /** The full l10b CTE chain ending in the `jac` relation (verified
     * near-dup pairs) — the final SELECT is the caller's. Shared between
@@ -705,30 +740,9 @@ object DedupExt {
         |FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "l15_quality" ->
-      """WITH tokall AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |stop AS (
-        |  SELECT token FROM tokall GROUP BY token
-        |  ORDER BY count(*) DESC, token ASC LIMIT 10),
-        |sc AS (
-        |  SELECT doc_id, count(*) AS n_stop
-        |  FROM tokall JOIN stop USING (token) GROUP BY doc_id),
-        |base AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
-        |    CAST(length(text) AS BIGINT) AS n_chars
-        |  FROM documents),
-        |feat AS (
-        |  SELECT b.doc_id, b.n_toks, b.n_chars,
-        |    CAST(b.n_uniq AS DOUBLE) / CAST(b.n_toks AS DOUBLE) AS ttr,
-        |    CAST(COALESCE(sc.n_stop, 0) AS DOUBLE) / CAST(b.n_toks AS DOUBLE) AS stop_ratio
-        |  FROM base b LEFT JOIN sc ON sc.doc_id = b.doc_id)
-        |SELECT doc_id, n_toks, n_chars, ttr, stop_ratio,
-        |  0.4 * ttr + 0.3 * (1.0 - stop_ratio) +
-        |    0.3 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0) AS score
-        |FROM feat ORDER BY doc_id""".stripMargin,
+      s"""WITH $qualitySql
+        |SELECT doc_id, n_toks, n_chars, ttr, stop_ratio, score
+        |FROM q ORDER BY doc_id""".stripMargin,
     "l16_fingerprint" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |u AS (SELECT doc_id, toks,

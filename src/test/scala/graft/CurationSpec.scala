@@ -113,4 +113,51 @@ class CurationSpec extends AnyFunSuite {
       assert(badWidth === 0L, "a chunk width disagrees with min(50, n-40k)")
     } finally res.unpersist()
   }
+
+  test("L25: packing conserves tokens, respects capacity, and numbers " +
+       "bins densely") {
+    import org.apache.spark.sql.functions._
+    val res = SparkEntry.queries("l25_seq_pack")(s, sf).cache()
+    try {
+      // capacity: a bin exceeds 256 tokens only as a single-doc bin
+      assert(res.filter(col("n_tokens") > 256 && col("n_docs") > 1)
+        .count() === 0L, "a multi-doc bin exceeds the 256-token capacity")
+      // conservation: per (lang, block), bin tokens sum to doc tokens
+      val docTok = graft.core.Tables.documents(s, sf)
+        .select(col("lang"), (col("doc_id") / 1000).cast("long").as("block"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("lang"), col("block"))
+        .agg(sum(col("nt")).as("want"), count(lit(1)).as("want_docs"))
+      val got = res.groupBy(col("lang"), col("block"))
+        .agg(sum(col("n_tokens")).as("got"), sum(col("n_docs")).as("got_docs"),
+          max(col("bin_id")).as("max_bin"), count(lit(1)).as("n_bins"))
+      val bad = got.join(docTok, Seq("lang", "block"), "full")
+        .filter(col("got") =!= col("want") ||
+          col("got_docs") =!= col("want_docs") ||
+          col("n_bins") =!= col("max_bin") + 1).count()
+      assert(bad === 0L, "token/doc conservation or dense bin ids violated")
+      // the packing actually packs: fewer bins than docs
+      val nb = res.count()
+      val nd = graft.core.Tables.documents(s, sf).count()
+      assert(nb < nd, s"packing produced $nb bins for $nd docs")
+    } finally res.unpersist()
+  }
+
+  test("L26: deciles are balanced and keep rates track (d+1)*10%") {
+    val rows = SparkEntry.queries("l26_quality_resample")(s, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 9L),
+      "expected exactly deciles 0..9")
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: ${sizes.toSeq}")
+    rows.foreach { r =>
+      val (d, n, kept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val rate = (d + 1) * 10 / 100.0
+      if (rate == 1.0) assert(kept === n, s"decile 9 must keep everything")
+      else {
+        val sd = math.sqrt(n * rate * (1 - rate))
+        assert(math.abs(kept - n * rate) <= 4 * sd + 1,
+          s"decile $d kept $kept of $n at declared rate $rate")
+      }
+    }
+  }
 }
