@@ -47,6 +47,24 @@ object Multimodal {
       (id, resized.length.toLong, digest, nFrames.toLong)
     }
 
+  /** STUB per-frame feature-extract kernel — the ONE-TO-MANY batched
+    * shape (a frame sampler emitting a feature row per sampled frame —
+    * the UDTF analogue of the decode kernel). Frame k's "feature" is the
+    * count and sum of payload bytes at positions ≡ k (mod n_frames);
+    * frames whose stride has no samples (payload shorter than the frame
+    * count) emit nothing, in both engines. */
+  private def frameFeatBatch(batch: Iterator[(Long, Array[Byte])])
+      : Iterator[(Long, Long, Long, Long)] =
+    batch.flatMap { case (id, bytes) =>
+      val n = bytes.length
+      val nFrames = n % 16 + 1
+      (0 until math.min(nFrames, n)).map { k =>
+        var sum = 0L; var cnt = 0L; var i = k
+        while (i < n) { sum += (bytes(i) & 0xff); cnt += 1; i += nFrames }
+        (id, k.toLong, cnt, sum)
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L8b — batched decode over binary envelopes (stub kernel, real
     // plumbing: encode → binary column → mapPartitions batch → typed
@@ -72,6 +90,20 @@ object Multimodal {
         .mapPartitions(resizeBatch)
         .toDF("doc_id", "resized_len", "resized_sha", "n_frames")
         .orderBy(col("doc_id"))
+    }),
+
+    // L8d — per-frame feature extraction (stub kernel, real one-to-many
+    // batched plumbing: one input row fans out to n_frames feature rows
+    // inside the partition batch, so payload bytes still never shuffle —
+    // only the small per-frame feature rows do).
+    "l8d_framefeat" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(frameFeatBatch)
+        .toDF("doc_id", "frame", "n_px", "px_sum")
+        .orderBy(col("doc_id"), col("frame"))
     })
   )
 
@@ -99,6 +131,28 @@ object Multimodal {
         |  sha256(r.rs) AS resized_sha,
         |  CAST(octet_length(encode(d.text)) % 16 + 1 AS BIGINT) AS n_frames
         |FROM r JOIN documents d ON d.doc_id = r.doc_id
-        |ORDER BY r.doc_id""".stripMargin
+        |ORDER BY r.doc_id""".stripMargin,
+    // ASCII corpus: ord(char) == payload byte, so the strided byte sums
+    // are reproducible from the text; frames with an empty stride have
+    // an empty generate_series and vanish, matching the kernel's
+    // min(n_frames, n) bound.
+    "l8d_framefeat" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS n,
+        |    octet_length(encode(text)) % 16 + 1 AS nf
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text, n, nf,
+        |    unnest(generate_series(0, nf - 1)) AS frame
+        |  FROM d),
+        |pos AS (
+        |  SELECT doc_id, frame, text,
+        |    unnest(generate_series(frame + 1, n, nf)) AS i
+        |  FROM k)
+        |SELECT doc_id, frame,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(ord(substring(text, i, 1))) AS BIGINT) AS px_sum
+        |FROM pos GROUP BY doc_id, frame
+        |ORDER BY doc_id, frame""".stripMargin
   )
 }

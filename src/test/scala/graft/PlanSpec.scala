@@ -159,4 +159,28 @@ class PlanSpec extends AnyFunSuite {
     // partitioned ranking pipeline — assert the output itself
     assert(df.count() == 3)
   }
+
+  test("L24: chunking is one shuffle-free projection up to the final sort") {
+    // the generate/slice pipeline must not shuffle: the only Exchange in
+    // the plan is the range partitioning for the declared ORDER BY
+    val p = plan("l24_chunking")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"chunking shuffled before the sort:\n$p")
+  }
+
+  test("L23: PII redaction pushes no shuffle at all before the sort") {
+    val p = plan("l23_pii_redact")
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"redaction shuffled before the sort:\n$p")
+  }
+
+  test("L26: the decile rank never materializes a single-task window") {
+    // the a8-recipe rank must keep every Window partitioned (by pid);
+    // an empty partitionBy would serialize the corpus through one task
+    val df = SparkEntry.queries("l26_quality_resample")(
+      TestSpark.spark, TestSpark.Sf)
+    assert(df.count() == 10)
+  }
 }
