@@ -41,71 +41,65 @@ import graft.core.Tables
   * `checkpoint()` for fault-tolerant truncation instead).
   */
 object Cluster {
-
-  /** Serializes the shuffle-partitions save/mutate/restore below against
-    * other conf-mutating runs in the same JVM (same pattern and reason
-    * as Streams.runLock). */
-  private val runLock = new Object
+  import graft.core.ConfScope
 
   /** Connected components of `edges` (d1, d2) over `nodes` (node):
     * returns (node, label) where label = min node id of the component.
     * Isolated nodes label themselves. Deterministic: min is
     * order-independent, no RNG, no partition-order sensitivity.
     *
-    * The phase-2 loop runs at a reduced shuffle parallelism: each round
-    * is 4–5 shuffle stages over the contracted relation, which is tiny
-    * compared to the corpus (per-task launch overhead dominates at the
-    * default width — the same trade the streaming runs make). Safe to
-    * scope here because every intermediate inside the loop materializes
-    * EAGERLY (localCheckpoint + count); the conf is restored before the
-    * lazily-consumed result is returned. Phase 1 (the full-|E| groupBy)
-    * stays at the caller's full width. At cluster scale raise the env
-    * knob to O(cores) — it bounds per-round tasks, not correctness. */
+    * Phase 1 — the edge-pipeline materialization, the full-|E|
+    * contraction groupBy and the corpus-sized joins — runs at the
+    * caller's full shuffle width. Only the phase-2 loop runs narrow
+    * (SPARK_GRAFT_CC_PARTITIONS, default 2): each round is 4–5 shuffle
+    * stages over the CONTRACTED relation, which is orders of magnitude
+    * smaller than the corpus, so per-task launch overhead dominates at
+    * the default width — the same trade the streaming runs make, under
+    * the same shared ConfScope lock. Safe to scope because every
+    * intermediate inside the loop materializes EAGERLY (localCheckpoint
+    * + count). At cluster scale raise the env knob to O(cores) — it
+    * bounds per-round tasks, not correctness. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 30): DataFrame = runLock.synchronized {
+                          maxIter: Int = 30): DataFrame = {
     // ---- phase 1 (full width): materialize the (possibly expensive)
     // edge pipeline once, contract every node to min(self, nbrs)
     val sym = edges.select(col("d1").as("node"), col("d2").as("nbr"))
       .union(edges.select(col("d2").as("node"), col("d1").as("nbr")))
       .localCheckpoint()
-    // everything past the edge pipeline operates on label-sized
-    // relations — run it all narrow (eager materializations throughout,
-    // so the conf restore below cannot leak into lazy consumers)
-    val sess = nodes.sparkSession
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_CC_PARTITIONS", "8"))
-    try {
-      val l0 = nodes
-        .join(sym.groupBy(col("node")).agg(min(col("nbr")).as("mn")),
-              Seq("node"), "left")
-        .select(col("node"),
-          least(col("node"), coalesce(col("mn"), col("node"))).as("label"))
-        .localCheckpoint()
-      // contracted edge relation: the l0-images of each surviving edge.
-      // Component-preserving (u—v implies l0(u) and l0(v) share u or v's
-      // component and every component min is its own l0 image). Symmetric
-      // because sym is.
-      val e1 = sym
-        .join(l0.select(col("node"), col("label").as("la")), "node")
-        .join(l0.select(col("node").as("nbr"), col("label").as("lb")), "nbr")
-        .filter(col("la") =!= col("lb"))
-        .select(col("la").as("node"), col("lb").as("nbr"))
-        .distinct()
-        .localCheckpoint()
-      val init = e1.select(col("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint()
-      // ---- phase 2: iterate only over the contracted graph
-      val small = connectedComponentsLoop(init, e1, maxIter)
-      // ---- expand: label(u) = loop-label of l0(u); l0(u) itself when
-      // its contracted node was isolated (star collapsed in phase 1)
-      l0.join(small.select(col("node").as("label"), col("label").as("label2")),
-              Seq("label"), "left")
-        .select(col("node"),
-          coalesce(col("label2"), col("label")).as("label"))
-        .localCheckpoint()
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val l0 = nodes
+      .join(sym.groupBy(col("node")).agg(min(col("nbr")).as("mn")),
+            Seq("node"), "left")
+      .select(col("node"),
+        least(col("node"), coalesce(col("mn"), col("node"))).as("label"))
+      .localCheckpoint()
+    // contracted edge relation: the l0-images of each surviving edge.
+    // Component-preserving (u—v implies l0(u) and l0(v) share u or v's
+    // component and every component min is its own l0 image). Symmetric
+    // because sym is.
+    val e1 = sym
+      .join(l0.select(col("node"), col("label").as("la")), "node")
+      .join(l0.select(col("node").as("nbr"), col("label").as("lb")), "nbr")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la").as("node"), col("lb").as("nbr"))
+      .distinct()
+      .localCheckpoint()
+    val init = e1.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    // ---- phase 2 (narrow): iterate only over the contracted graph;
+    // the loop checkpoints every round, so nothing lazy escapes the scope
+    val small = ConfScope.withConf(nodes.sparkSession,
+      Map("spark.sql.shuffle.partitions" ->
+        ConfScope.envInt("SPARK_GRAFT_CC_PARTITIONS", "2"))) {
+      connectedComponentsLoop(init, e1, maxIter)
+    }
+    // ---- expand (full width): label(u) = loop-label of l0(u); l0(u)
+    // itself when its contracted node was isolated (star collapsed in
+    // phase 1)
+    l0.join(small.select(col("node").as("label"), col("label").as("label2")),
+            Seq("label"), "left")
+      .select(col("node"),
+        coalesce(col("label2"), col("label")).as("label"))
   }
 
   private def connectedComponentsLoop(init: DataFrame, sym: DataFrame,

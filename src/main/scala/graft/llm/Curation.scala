@@ -275,32 +275,16 @@ object Curation {
     // decile = (rank·10) div n (declared formula deciles, not ntile's
     // remainder rule); keep = md5-bucket < (decile+1)·10.
     "l26_quality_resample" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.core.GlobalRank
       import s.implicits._
       val scored = DedupExt.qualityFeatures(s, d)
         .select(col("doc_id"), col("n_toks"), col("score"))
       val n = scored.count()
-      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val ranged = scored
-        .repartitionByRange(nPart, col("score"), col("doc_id"))
-        .withColumn("pid", spark_partition_id())
-      ranged.cache()
-      try {
-        val offsets = ranged.groupBy("pid").count().collect()
-          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-          .scanLeft((-1, 0L, 0L)) { case ((_, off, c0), (pid, c)) =>
-            (pid, off + c0, c) }
-          .drop(1).map { case (pid, off, _) => (pid, off) }
-        val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
-        val w = Window.partitionBy("pid").orderBy("score", "doc_id")
-        // materialize the 10-row aggregate BEFORE unpersist: the range
-        // partitioning behind `pid` is sampling-based, so a lazy consumer
-        // recomputing it after unpersist could see different partition
-        // boundaries than the collected offsets (a8 collects for the
-        // same reason; ≤10 rows — metadata, not data)
-        val rows = ranged.join(offDf, "pid")
-          .withColumn("idx",
-            row_number().over(w).cast(LongType) - 1 + col("off"))
+      GlobalRank.withGlobalIndex(scored,
+          Seq(col("score"), col("doc_id"))) { wi =>
+        // the 10-row aggregate materializes inside the helper's scope
+        // (collect) per its eager-consumption contract
+        val rows = wi
           .withColumn("decile", expr(s"(idx * 10) div $n"))
           .withColumn("keep", sampleBucket < (col("decile") + 1) * 10)
           .groupBy(col("decile"))
@@ -312,7 +296,7 @@ object Curation {
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         rows.toSeq.toDF("decile", "n_docs", "n_kept", "tok_kept")
           .orderBy(col("decile"))
-      } finally ranged.unpersist()
+      }
     })
   )
 

@@ -185,7 +185,7 @@ object Aggregates {
     // sort on one task); (5) fetch the ≤6 boundary rows and interpolate.
     // Every stage is O(n/p) per task at any scale.
     "a8_percentile" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+      import graft.core.GlobalRank
       val ps = Seq(0.50, 0.90, 0.99)
       val src = Tables.orders(s, dir)
         .select(col("o_totalprice").as("v"), col("o_orderkey").as("k"))
@@ -197,28 +197,10 @@ object Aggregates {
       }
       val needed = targets.flatMap { case (_, h, _) => Seq(h, h + 1) }
         .filter(_ < n).distinct
-      val nPart = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val ranged = src.repartitionByRange(nPart, col("v"), col("k"))
-        .withColumn("pid", spark_partition_id())
-      ranged.cache()
-      try {
-        val offsets = ranged.groupBy("pid").count().collect()
-          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-          .scanLeft((-1, 0L, 0L)) { case ((_, off, c0), (pid, c)) => (pid, off + c0, c) }
-          .drop(1).map { case (pid, off, _) => (pid, off) }
-        import s.implicits._
-        // pid→offset via a broadcast join on a tiny (pid, offset) DF — a
-        // folded when-chain would be a #partitions-deep expression tree
-        // that breaks codegen (or falls back to interpreted) at cluster
-        // partition counts (10k+); the broadcast hash join is O(1) depth
-        // at any partition count and adds no shuffle.
-        val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
-        val w = Window.partitionBy("pid").orderBy("v", "k")
-        val boundary = ranged
-          .join(offDf, "pid")
-          .withColumn("rn", row_number().over(w).cast(LongType) - 1 + col("off"))
-          .filter(col("rn").isin(needed: _*))
-          .select("rn", "v").collect()
+      import s.implicits._
+      GlobalRank.withGlobalIndex(src, Seq(col("v"), col("k"))) { wi =>
+        val boundary = wi.filter(col("idx").isin(needed: _*))
+          .select("idx", "v").collect()
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
         val rows = targets.map { case (p, h, f) =>
           val lo = boundary(h)
@@ -226,7 +208,7 @@ object Aggregates {
           (p, lo + f * (hi - lo))
         }
         rows.toDF("pct", "val").orderBy("pct")
-      } finally ranged.unpersist()
+      }
     }),
 
     // A12 — approx percentile sketch (the quantile analogue of A4's HLL):

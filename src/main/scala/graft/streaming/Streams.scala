@@ -35,60 +35,43 @@ case class FunnelState(views: Seq[Long], pairs: Seq[(Long, Long)])
   */
 object Streams {
   import Replayer.WatermarkDelay
-
-  /** Streaming runs mutate the session-global shuffle-partitions conf for
-    * the duration of the query; the lock serializes them per JVM so a
-    * concurrent run can never observe (or restore) the wrong value. */
-  private val runLock = new Object
+  import graft.core.ConfScope
 
   /** Stream-state parallelism (SPARK_GRAFT_STREAM_PARTITIONS), validated
     * eagerly so a bad value fails with a message naming the env var.
     * Default 2 from a r6 sweep at sf0.1 (s5 p50: 8→5.31 s, 4→4.61 s,
     * 2→4.53 s, 1→4.63 s) — per-store commit overhead dominates below ~8
     * and task-launch overhead takes over at 1. */
-  private def streamPartitions: String = {
-    val raw = sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "2")
-    require(scala.util.Try(raw.toInt).toOption.exists(_ > 0),
-      s"SPARK_GRAFT_STREAM_PARTITIONS must be a positive int, got '$raw'")
-    raw
-  }
+  private def streamPartitions: String =
+    ConfScope.envInt("SPARK_GRAFT_STREAM_PARTITIONS", "2")
 
   private def runToMemory(s: SparkSession, df: DataFrame, mode: String,
                           extraConf: Map[String, String] = Map.empty)
-      : DataFrame = runLock.synchronized {
+      : DataFrame = {
     val name = "mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stateful operators open one state store per shuffle partition per
     // micro-batch, and each store commit is a synchronous checkpoint file
     // write — at local replay scale that per-store overhead dominates the
     // S-series wall-clock, so the stream runs at a smaller state
     // parallelism. The value is baked into the (fresh, per-run) checkpoint
-    // only; batch queries are untouched because the conf is restored
-    // before the returned table is consumed. At cluster scale raise
-    // SPARK_GRAFT_STREAM_PARTITIONS to O(total cores): state volume per
-    // partition, not result content, is what the knob trades off.
-    // capture BOTH prior states before mutating anything: if extraConf
-    // ever carried shuffle.partitions itself, capturing it after the
-    // streamPartitions set would snapshot the override as the "previous"
-    // value and leak it into the shared session on restore
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    val prevExtra = extraConf.keys.map(k => k -> s.conf.getOption(k)).toMap
-    s.conf.set("spark.sql.shuffle.partitions", streamPartitions)
-    // session confs the query must see (captured at query start), e.g. the
-    // RocksDB state-store provider for transformWithState — restored after
-    extraConf.foreach { case (k, v) => s.conf.set(k, v) }
+    // only; batch queries are untouched because ConfScope restores the
+    // conf (under the shared JVM-wide lock — see its scaladoc for the
+    // two-lock leak this prevents) before the returned table is consumed;
+    // extraConf carries per-query session confs the stream must see at
+    // start, e.g. the RocksDB provider for transformWithState. At cluster
+    // scale raise SPARK_GRAFT_STREAM_PARTITIONS to O(total cores): state
+    // volume per partition, not result content, is what the knob trades.
     val ckpt = Replayer.checkpoint()
     try {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prev)
-      prevExtra.foreach { case (k, ov) =>
-        ov.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
-      Replayer.dropCheckpoint(ckpt) // keep tmpfs from accumulating state
-    }
+      ConfScope.withConf(s,
+        Map("spark.sql.shuffle.partitions" -> streamPartitions) ++ extraConf) {
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    } finally Replayer.dropCheckpoint(ckpt) // keep tmpfs tidy
     s.table(name)
   }
 
