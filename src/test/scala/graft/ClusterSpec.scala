@@ -25,6 +25,18 @@ class ClusterSpec extends AnyFunSuite {
     assert(labels.filter(col("label") =!= 0L).count() === 0L)
   }
 
+  test("L22: a 1000-spoke star (max-skew hub) collapses in the " +
+       "contraction pass, not the loop") {
+    // dup graphs concentrate edges on clique/hub nodes; the phase-1
+    // groupBy absorbs the hub's degree as an aggregation (map-side
+    // partial, skew-safe), leaving the loop nothing to iterate on —
+    // maxIter=2 passes only if contraction did the work
+    val edges = (1L to 1000L).map(i => (0L, i)).toDF("d1", "d2")
+    val nodes = (0L to 1000L).toDF("node")
+    val labels = Cluster.connectedComponents(nodes, edges, maxIter = 2)
+    assert(labels.filter(col("label") =!= 0L).count() === 0L)
+  }
+
   test("L22: disjoint chains + isolated nodes label independently") {
     // two 3-chains that must NOT merge, plus two isolated nodes
     val edges = Seq((10L, 11L), (11L, 12L), (20L, 22L), (22L, 21L))
