@@ -98,7 +98,7 @@ object DedupExt {
     * naive STRING-shingle reference doubles as the guard that none
     * changed the result set. Docs under 3 tokens have no shingles in
     * either engine (Spark filter; DuckDB's empty generate_series). */
-  private def shingleTokens(s: SparkSession, d: String): DataFrame = {
+  private[llm] def shingleTokens(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val mask = (1L << 53) - 1
     Tables.documents(s, d)
@@ -376,6 +376,32 @@ object DedupExt {
         length(col("text")).cast(LongType).as("n_chars"),
         (length(col("text")).cast(DoubleType) /
           nullif(nBpe, lit(0)).cast(DoubleType)).as("chars_per_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L27 — benchmark DECONTAMINATION: flag training docs sharing any
+    // word-trigram shingle with the held-out eval set (docs with
+    // doc_id % 97 == 0 — a deterministic ~1% designated eval split).
+    // The standard pre-training hygiene pass: eval n-grams leak into
+    // training text via near-dups and quotations, and exact-match
+    // shingle overlap is the accepted detector. 100 TB shape: the eval
+    // side is tiny by construction (eval sets are fixed benchmark
+    // suites), so its distinct shingle set broadcasts and the scan over
+    // training shingles stays map-side; overlap_frac ranks hits for
+    // drop-vs-review triage.
+    "l27_decontaminate" -> ((s, d) => {
+      val sh = shingleTokens(s, d).select(col("doc_id"), col("th"))
+      val evalSh = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("th")).distinct()
+      val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      sh.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(evalSh), "th")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .join(tot, "doc_id")
+        .select(col("doc_id"), col("n_hits"), col("n_sh"),
+          (col("n_hits").cast(DoubleType) / col("n_sh").cast(DoubleType))
+            .as("overlap_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -681,6 +707,32 @@ object DedupExt {
         |$jacSql
         |SELECT d1, d2, jac FROM jac
         |ORDER BY d1, d2""".stripMargin,
+    // l27 — same 53-bit arithmetic shingles as l20's chain; the eval
+    // split and the hit/total counts are plain integer arithmetic, one
+    // IEEE division at the end
+    "l27_decontaminate" ->
+      """WITH dd AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    w -> CAST('0x' || substring(md5(w), 1, 12) AS BIGINT)) AS ths
+        |  FROM documents),
+        |u AS (SELECT doc_id, ths,
+        |        unnest(generate_series(1, len(ths) - 2)) AS i FROM dd),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    (ths[i] * 961 + ths[i+1] * 31 + ths[i+2]) & 9007199254740991 AS th
+        |  FROM u),
+        |es AS (SELECT DISTINCT th FROM sh WHERE doc_id % 97 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |hits AS (
+        |  SELECT s.doc_id, count(*) AS n_hits
+        |  FROM sh s JOIN es ON es.th = s.th
+        |  WHERE s.doc_id % 97 <> 0
+        |  GROUP BY s.doc_id)
+        |SELECT h.doc_id, CAST(h.n_hits AS BIGINT) AS n_hits,
+        |  CAST(t.n_sh AS BIGINT) AS n_sh,
+        |  CAST(h.n_hits AS DOUBLE) / CAST(t.n_sh AS DOUBLE) AS overlap_frac
+        |FROM hits h JOIN tot t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "l13_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id,

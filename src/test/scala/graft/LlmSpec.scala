@@ -236,4 +236,24 @@ class LlmSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.forall(_ > 0))
     assert(rows.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
+
+  test("L27: decontamination excludes the eval split and catches every " +
+       "shingle-near-dup partner of an eval doc (sf0.01)") {
+    val sf = "/root/testdata/sf0.01"
+    val flagged = SparkEntry.queries("l27_decontaminate")(s, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "no contamination found at all")
+    assert(flagged.forall(_ % 97 != 0), "an eval doc flagged itself")
+    // a doc with shingle-Jaccard >= 0.5 against an eval doc shares at
+    // least one shingle, so l20's verified pairs give a lower bound on
+    // what l27 must flag
+    val pairs = SparkEntry.queries("l20_shingle_neardup")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).collect {
+        case (e, t) if e % 97 == 0 && t % 97 != 0 => t }
+    }.toSet
+    assert(expected.subsetOf(flagged),
+      s"near-dups of eval docs not flagged: ${expected -- flagged}")
+  }
 }
