@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
 
-/** Training-data curation operators L17–L19: the selection/filtering
-  * stages that sit between the dedup family (L1/L10–L13) and a training
-  * run. All three are map-side or 2-phase-aggregate shapes — no
-  * all-pairs, no driver loops — and every score stays integer-exact
-  * until one final IEEE division, so each query is fully oracle-hashed.
+/** Training-data curation operators L17–L19, L23–L26: the selection /
+  * filtering / shaping stages that sit between the dedup family
+  * (L1/L10–L13/L22) and a training run. All are map-side, 2-phase-
+  * aggregate, or bounded-group shapes — no all-pairs, no driver data
+  * loops — and every score stays integer-exact until one final IEEE
+  * division, so each query is fully oracle-hashed.
   *
   *  - L17 stratified sampling: DETERMINISTIC hash-threshold sampling
   *    (md5(doc_id) % 100 < per-language rate). Unlike `DataFrame.sample`

@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 import graft.core.Tables
 
 /** Extended dedup / similarity / text-analysis operators (SURVEY §2.10
-  * L10–L16): the large-scale training-data-pipeline surface beyond the
-  * basic L1–L9 set. Every operator here is CANDIDATE-GENERATION based —
-  * MinHash-LSH bands, rare-token prefix blocking, random-hyperplane
-  * buckets — never all-pairs, so each one carries its 100 TB shape in the
+  * L10–L16, L20–L21, L27): the large-scale training-data-pipeline
+  * surface beyond the basic L1–L9 set. Every pairwise operator here is
+  * CANDIDATE-GENERATION based — MinHash-LSH bands, rare-token prefix
+  * blocking, random-hyperplane buckets, broadcast eval-shingle probes —
+  * never all-pairs, so each one carries its 100 TB shape in the
   * canonical query itself (the oracle re-implements the same bucketing,
   * validating the pipeline end-to-end, not just the final filter).
   *

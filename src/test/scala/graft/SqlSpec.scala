@@ -27,7 +27,8 @@ class SqlSpec extends AnyFunSuite {
     "a1_pricing", "a2_global", "a3_distinct",
     "o1_sort", "o2_topk",
     "u1_union", "u2_intersect", "u3_except", "u4_unpivot",
-    "w1_rank", "w2_topn",
+    "w1_rank", "w2_topn", "w5_firstlast", "a10_wavg",
+    "j2_broadcast", "s5_interval_join",
     "p1_project", "p2_filter", "p3_case",
     "s1_tumbling", "s4_stream_static", "s6_dedup")
 
