@@ -22,13 +22,22 @@ object ConfScope {
   }
 
   /** Run `body` with the given session confs set, restoring previous
-    * values (or unsetting) afterwards, serialized JVM-wide. */
+    * values (or unsetting) afterwards, serialized JVM-wide. The set loop
+    * runs INSIDE the try and the restore is per-key exception-tolerant:
+    * a conf that rejects its value (static conf, validation) must not
+    * leave the keys already mutated before it un-restored, and one
+    * failing restore must not abort the remaining restores — either
+    * would be exactly the leak this utility exists to prevent. */
   def withConf[A](s: SparkSession, confs: Map[String, String])(body: => A): A =
     lock.synchronized {
       val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
-      confs.foreach { case (k, v) => s.conf.set(k, v) }
-      try body
-      finally prev.foreach { case (k, ov) =>
-        ov.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        body
+      } finally prev.foreach { case (k, ov) =>
+        try ov.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+        catch { case e: Throwable =>
+          System.err.println(s"[ConfScope] restore of $k failed: $e") }
+      }
     }
 }

@@ -99,7 +99,7 @@ object DedupExt {
     * naive STRING-shingle reference doubles as the guard that none
     * changed the result set. Docs under 3 tokens have no shingles in
     * either engine (Spark filter; DuckDB's empty generate_series). */
-  private[llm] def shingleTokens(s: SparkSession, d: String): DataFrame = {
+  private def shingleTokens(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     val mask = (1L << 53) - 1
     Tables.documents(s, d)
@@ -391,7 +391,11 @@ object DedupExt {
     // training shingles stays map-side; overlap_frac ranks hits for
     // drop-vs-review triage.
     "l27_decontaminate" -> ((s, d) => {
+      // three consumers (eval-distinct, training join, per-doc totals)
+      // aggregate/partition differently, so ReuseExchange cannot collapse
+      // the shared md5+explode scan — materialize the shingles once
       val sh = shingleTokens(s, d).select(col("doc_id"), col("th"))
+        .localCheckpoint()
       val evalSh = sh.filter(col("doc_id") % 97 === 0)
         .select(col("th")).distinct()
       val tot = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

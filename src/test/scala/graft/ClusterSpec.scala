@@ -29,11 +29,14 @@ class ClusterSpec extends AnyFunSuite {
        "contraction pass, not the loop") {
     // dup graphs concentrate edges on clique/hub nodes; the phase-1
     // groupBy absorbs the hub's degree as an aggregation (map-side
-    // partial, skew-safe), leaving the loop nothing to iterate on —
-    // maxIter=2 passes only if contraction did the work
+    // partial, skew-safe), leaving the loop an EMPTY contracted graph
+    // that converges in its single allowed round — maxIter=1 fails for
+    // any implementation that still iterates over the raw star (the
+    // loop would need round 1 to relabel + round 2 to observe the
+    // fixpoint)
     val edges = (1L to 1000L).map(i => (0L, i)).toDF("d1", "d2")
     val nodes = (0L to 1000L).toDF("node")
-    val labels = Cluster.connectedComponents(nodes, edges, maxIter = 2)
+    val labels = Cluster.connectedComponents(nodes, edges, maxIter = 1)
     assert(labels.filter(col("label") =!= 0L).count() === 0L)
   }
 
