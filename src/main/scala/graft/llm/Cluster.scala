@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 
 /** SURVEY §2.10 L22 — near-duplicate CLUSTERING: close the verified
@@ -34,7 +35,9 @@ import graft.core.Tables
   * 100 TB shape: phase 1 is one groupBy shuffle over |E| (the same
   * order as the LSH banding that produced the edges); each phase-2
   * round shuffles only the contracted relation, and the driver sees
-  * per-round convergence counts, never data. Iteration state is
+  * per-round convergence label-sums (exact decimals — labels only ever
+  * decrease, so a stationary sum means converged), never data.
+  * Iteration state is
   * truncated with localCheckpoint so the plan does not grow with the
   * round count (lineage blow-up is the classic iterative-DataFrame
   * trap; on a cluster use `spark.sparkContext.setCheckpointDir` +
@@ -104,7 +107,20 @@ object Cluster {
 
   private def connectedComponentsLoop(init: DataFrame, sym: DataFrame,
                                       maxIter: Int): DataFrame = {
+    // Convergence metric: Σ label as DECIMAL(38,0). Labels are per-node
+    // monotone non-increasing (the min-combine and the jump both only
+    // lower them), so the sum is stationary exactly when no label moved —
+    // one node-sized aggregate per round instead of a join back against
+    // the previous labels. DECIMAL keeps it exact at any node-id scale
+    // (a 64-bit sum would overflow near 1e11 nodes × 1e11 ids).
+    // coalesce: sum over an EMPTY contracted graph (a single contraction
+    // pass collapsed every component — the star-test case) is NULL
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast(DecimalType(38, 0))),
+                      lit(java.math.BigDecimal.ZERO)))
+        .head().getDecimal(0)
     var labels = init
+    var prevSum = labelSum(init)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -124,14 +140,13 @@ object Cluster {
         .join(stepped.select(col("node").as("mid"), col("label")), "mid")
         .select(col("node"), col("label"))
         .localCheckpoint()
-      val changed = jumped.select(col("node"), col("label").as("nw"))
-        .join(labels, "node")
-        .filter(col("nw") =!= col("label")).count()
+      val curSum = labelSum(jumped)
       labels = jumped
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
-        println(s"[cc] round $iter changed=$changed")
+        println(s"[cc] round $iter labelSum=$curSum")
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
 
-/** Training-data curation operators L17–L19, L23–L26: the selection /
+/** Training-data curation operators L17–L19, L23–L26, L30: the selection /
   * filtering / shaping stages that sit between the dedup family
   * (L1/L10–L13/L22) and a training run. All are map-side, 2-phase-
   * aggregate, or bounded-group shapes — no all-pairs, no driver data
@@ -298,6 +298,30 @@ object Curation {
         rows.toSeq.toDF("decile", "n_docs", "n_kept", "tok_kept")
           .orderBy(col("decile"))
       }
+    }),
+
+    // L30 — domain mixture weights at temperature τ = 0.5 (the standard
+    // source-rebalancing move before pretraining: w_s ∝ n_tokens_s^τ,
+    // which upweights small domains relative to proportional sampling).
+    // sqrt is IEEE-correctly-rounded (not libm-dependent), its result is
+    // pinned to micro fixed-point (floor(z·1e6 + 0.5)), the denominator
+    // is an exact integer sum, and the weight is one IEEE division of
+    // two exact integers — bit-identical in both engines. 100 TB: one
+    // 2-phase groupBy on source; the 20-row total is a broadcast.
+    "l30_domain_mix" -> ((s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"))
+        .withColumn("sw_micro",
+          floor(sqrt(col("n_tokens").cast(DoubleType)) * 1000000.0 + 0.5)
+            .cast(LongType))
+      val tot = per.agg(sum(col("sw_micro")).as("tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("sw_micro").cast(DoubleType) / col("tot").cast(DoubleType))
+            .as("weight"))
+        .orderBy(col("source"))
     })
   )
 
@@ -493,6 +517,20 @@ object Curation {
         |JOIN nsurv USING (doc_id)
         |JOIN r ON r.lang = k.lang
         |WHERE k.keep AND $bucketSql < r.rate
-        |GROUP BY k.lang ORDER BY k.lang""".stripMargin
+        |GROUP BY k.lang ORDER BY k.lang""".stripMargin,
+    "l30_domain_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_docs, n_tokens,
+        |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS sw
+        |  FROM per),
+        |t AS (SELECT CAST(sum(sw) AS BIGINT) AS tot FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(sw AS DOUBLE) / CAST(tot AS DOUBLE) AS weight
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin
   )
 }

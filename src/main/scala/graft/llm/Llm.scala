@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.Tables
 
-/** SURVEY.md §2.10 LLM-data-pipeline operators L1–L9 + the X1 scalar UDF
+/** SURVEY.md §2.10 LLM-data-pipeline operators L1–L9, L28–L29 + the X1 scalar UDF
   * (§2.11). This is the north-star track: every operator is written as the
   * 100 TB shape first (hash-bucketed grouping, never all-pairs; 2-phase
   * aggregation; map-side-only projections) and then made oracle-exact.
@@ -214,6 +214,70 @@ object Llm {
           (col("sv").cast(DoubleType) / col("cnt").cast(DoubleType) /
             lit(1000000.0)).as("c"))
         .orderBy(col("label"), col("dim"))),
+
+    // L28 — token co-occurrence with lift (= e^PMI, but computed as the
+    // exact integer ratio n_ab·N / (df_a·df_b) with ONE IEEE division —
+    // log itself is not bit-portable across engines, the l5b lesson).
+    // Vocabulary is restricted to the top-100 tokens by document
+    // frequency (deterministic tie-break), so the per-doc pair fan-out is
+    // bounded by C(100,2) regardless of corpus size. 100 TB: the
+    // vocabulary is a broadcast dim; the doc_id self-join fans out only
+    // vocabulary hits; the pair count is a 2-phase groupBy.
+    "l28_cooccur" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      val top = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token").asc).limit(100)
+      val vt = tok.join(broadcast(top), "token")
+      vt.select(col("doc_id"), col("token").as("t1"), col("df").as("df1"))
+        .join(vt.select(col("doc_id"), col("token").as("t2"),
+                        col("df").as("df2")), "doc_id")
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"), col("df1"), col("df2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+        .select(col("t1"), col("t2"), col("n_ab"),
+          ((col("n_ab") * n).cast(DoubleType) /
+            (col("df1") * col("df2")).cast(DoubleType)).as("lift"))
+        .orderBy(col("lift").desc, col("t1").asc, col("t2").asc)
+        .limit(50)
+    }),
+
+    // L29 — int8 embedding quantization (symmetric per-vector scale, the
+    // storage/bandwidth move every vector store makes before ANN): code_i
+    // = clamp(round(x_i·127 / max|x|), ±127). Works on the micro-fixed-
+    // point longs (qz) so max|x| is exact; the only float ops are single
+    // IEEE divisions of exactly-representable integers plus floor(z+0.5)
+    // — bit-identical in both engines. Output is all-integer: code
+    // min/max/sum, saturated-dim count, and the total reconstruction
+    // error in micro units. 100 TB: pure map-side projection, no shuffle
+    // until the final ORDER BY.
+    "l29_quantize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qz(col("embedding")).as("q6"))
+        .withColumn("m", array_max(transform(col("q6"), x => abs(x))))
+      val coded = e.withColumn("code", transform(col("q6"), x =>
+        when(col("m") === 0L, lit(0L)).otherwise(
+          least(lit(127L), greatest(lit(-127L),
+            floor((x * 127L).cast(DoubleType) / col("m").cast(DoubleType)
+              + 0.5).cast(LongType))))))
+      coded.select(
+        col("vec_id"),
+        array_min(col("code")).as("q_min"),
+        array_max(col("code")).as("q_max"),
+        aggregate(col("code"), lit(0L), (a, x) => a + x).as("q_sum"),
+        size(filter(col("code"), x => abs(x) === 127L)).cast(LongType)
+          .as("n_sat"),
+        aggregate(
+          zip_with(col("q6"), col("code"), (x, c) =>
+            floor(abs(x.cast(DoubleType) -
+              (c * col("m")).cast(DoubleType) / 127.0) + 0.5)
+              .cast(LongType)),
+          lit(0L), (a, x) => a + x).as("err_micro"))
+        .orderBy(col("vec_id"))
+    }),
 
     // L3b — the same cosine top-k computed through the NATIVE Catalyst
     // expression `graft_dot` (graft.plans.LongDotProduct, a codegen'd
@@ -674,6 +738,51 @@ object Llm {
         |  CAST(CAST(sum(q[i]) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    / 1000000.0 AS c
         |FROM x GROUP BY label, i ORDER BY label, dim""".stripMargin,
+    "l28_cooccur" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)),
+        |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+        |top AS (SELECT token, df FROM df
+        |        ORDER BY df DESC, token ASC LIMIT 100),
+        |vt AS (SELECT tok.doc_id, tok.token, top.df
+        |       FROM tok JOIN top USING (token)),
+        |p AS (SELECT a.token AS t1, b.token AS t2,
+        |        a.df AS df1, b.df AS df2, count(*) AS n_ab
+        |      FROM vt a JOIN vt b
+        |        ON a.doc_id = b.doc_id AND a.token < b.token
+        |      GROUP BY 1, 2, 3, 4),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT t1, t2, n_ab,
+        |  CAST(n_ab * n.n AS DOUBLE) / CAST(df1 * df2 AS DOUBLE) AS lift
+        |FROM p CROSS JOIN n
+        |WHERE n_ab >= 5
+        |ORDER BY lift DESC, t1 ASC, t2 ASC LIMIT 50""".stripMargin,
+    "l29_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q6
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, q6,
+        |        list_max(list_transform(q6, x -> abs(x))) AS m FROM b),
+        |c AS (SELECT vec_id, q6, m,
+        |    list_transform(q6, x -> CASE WHEN m = 0 THEN 0
+        |      ELSE least(127, greatest(-127,
+        |        CAST(floor(CAST(x * 127 AS DOUBLE) / CAST(m AS DOUBLE)
+        |          + 0.5) AS BIGINT))) END) AS code
+        |  FROM m)
+        |SELECT vec_id,
+        |  list_min(code) AS q_min,
+        |  list_max(code) AS q_max,
+        |  CAST(list_sum(code) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(code, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+        |  CAST(list_sum(list_transform(generate_series(1, len(q6)),
+        |    i -> CAST(floor(abs(CAST(q6[i] AS DOUBLE)
+        |      - CAST(code[i] * m AS DOUBLE) / 127.0) + 0.5) AS BIGINT)))
+        |    AS BIGINT) AS err_micro
+        |FROM c ORDER BY vec_id""".stripMargin,
     "x1_udf" ->
       """SELECT doc_id,
         |  lower(regexp_replace(lang || '_' || source, '[^a-zA-Z0-9]+', '-', 'g')) AS slug

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Canon, Tables}
 
-/** SURVEY.md §2.3 joins J1–J8 (J9/J10 are stream joins, see
+/** SURVEY.md §2.3 joins J1–J8 + J11 (J9/J10 are stream joins, see
   * graft.streaming.Streams). Canonical checks per the declared contract;
   * reference surface is the declared inventory (the reference repo is a
   * 1-line stub — /root/reference/README.md:1).
@@ -139,7 +139,27 @@ object Joins {
                 col("best.o_orderkey").as("o_orderkey"),
                 col("best.o_orderdate").as("o_orderdate"))
         .orderBy(col("event_id")))
+  ,
+
+    // J11 — correlated scalar subquery, submitted as SQL TEXT so Catalyst's
+    // decorrelation (RewriteCorrelatedScalarSubquery) does the rewrite: the
+    // per-row subquery becomes one Aggregate over orders + a join back —
+    // never a per-row re-scan. PlanSpec pins the decorrelated shape.
+    // Max is exact (no arithmetic) and o_totalprice is a raw column, so
+    // the output hashes bit-identically. 100 TB: one 2-phase max-agg on
+    // custkey + an equi-join — the same cost as writing the join by hand.
+    "j11_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(j11Sql)
+    })
   )
+
+  private[graft] val j11Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
 
   private val j1Sql =
     """SELECT r_name,
@@ -192,6 +212,7 @@ object Joins {
         |  FROM events e
         |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, o_orderkey, o_orderdate FROM j
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "j11_scalar_subquery" -> j11Sql // ANSI-portable: the same text runs in both engines
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Canon, Tables}
 
-/** SURVEY.md §2.5 window functions W1–W5.
+/** SURVEY.md §2.5 window functions W1–W6.
   *
   * 100 TB notes: every window here is PARTITIONED (by nation, customer, or
   * user) — never `OVER ()` — so each partition's sort is local to a task
@@ -103,6 +103,26 @@ object Windows {
         last(col("o_orderpriority")).over(w).as("last_prio"))
         .distinct()
         .orderBy(col("o_custkey"))
+    }),
+
+    // W6 — IGNORE NULLS analytics (gap-filling / last-observation-carried-
+    // forward, the classic sparse-sensor pattern): for each order, the
+    // totalprice of the customer's most recent STRICTLY EARLIER urgent
+    // order. The conditional projection makes non-urgent rows NULL and
+    // `last(..., ignoreNulls)` skips them inside the frame; the frame ends
+    // at 1 PRECEDING so an urgent order never sees itself.
+    // 100 TB: same shuffle/sort shape as W4 (partition by customer) —
+    // ignore-nulls is frame-local, no extra pass.
+    "w6_ignore_nulls" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        d(last(when(col("o_orderpriority") === "1-URGENT",
+                    money(col("o_totalprice"))),
+               ignoreNulls = true).over(w)).as("prev_urgent_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -162,6 +182,17 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+    // DuckDB puts IGNORE NULLS inside the call parens (Spark's parser puts
+    // it after them — the one syntax divergence, noted in SURVEY §2.5).
+    "w6_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(last_value(CASE WHEN o_orderpriority = '1-URGENT'
+        |                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END
+        |                  IGNORE NULLS) OVER w AS DOUBLE) AS prev_urgent_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -160,4 +160,22 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("L30: mixture weights normalize to 1, stay monotone in token " +
+       "counts, and the τ=0.5 temperature compresses the spread") {
+    val rows = SparkEntry.queries("l30_domain_mix")(s, sf).collect()
+    assert(rows.length > 1, "need multiple sources to mix")
+    val ws = rows.map(_.getAs[Double]("weight"))
+    assert(math.abs(ws.sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${ws.sum}")
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+      .map(_.getAs[Double]("weight"))
+    assert(byTok.zip(byTok.tail).forall { case (a, b) => a <= b },
+      "weight must be monotone in the source's token count")
+    val toks = rows.map(_.getAs[Long]("n_tokens").toDouble)
+    // w ∝ sqrt(tokens): the weight ratio between the largest and smallest
+    // source must be the sqrt of their token ratio, not the raw ratio
+    assert(ws.max / ws.min <= math.sqrt(toks.max / toks.min) * (1 + 1e-3),
+      "temperature 0.5 must compress the proportional spread")
+  }
 }

@@ -256,4 +256,50 @@ class LlmSpec extends AnyFunSuite {
     assert(expected.subsetOf(flagged),
       s"near-dups of eval docs not flagged: ${expected -- flagged}")
   }
+
+  test("L28: every co-occurrence count is bounded by both marginal dfs " +
+       "and the lift is the exact integer ratio") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("l28_cooccur")(s, TestSpark.Sf).collect()
+    assert(out.nonEmpty, "no co-occurring pairs above the support floor")
+    val n = graft.core.Tables.documents(s, TestSpark.Sf).count()
+    val dfm = graft.core.Tables.documents(s, TestSpark.Sf)
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (t1, t2) = (r.getString(0), r.getString(1))
+      val nab = r.getLong(2)
+      assert(t1 < t2, s"pair not canonically ordered: ($t1, $t2)")
+      assert(nab >= 5, "support floor violated")
+      assert(nab <= math.min(dfm(t1), dfm(t2)),
+        s"co-occurrence $nab exceeds a marginal df for ($t1, $t2)")
+      assert(r.getAs[Double]("lift") ===
+        (nab * n).toDouble / (dfm(t1) * dfm(t2)).toDouble)
+    }
+  }
+
+  test("L29: int8 codes stay in [-127,127], the max-|x| dim saturates, " +
+       "and reconstruction error stays under half a quantization step") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("l29_quantize")(s, TestSpark.Sf)
+    val m = graft.core.Tables.embeddings(s, TestSpark.Sf)
+      .select(col("vec_id"),
+        array_max(transform(graft.llm.Llm.qz(col("embedding")),
+          x => abs(x))).as("m"))
+    val rows = out.join(m, "vec_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qmin, qmax) = (r.getAs[Long]("q_min"), r.getAs[Long]("q_max"))
+      val nSat = r.getAs[Long]("n_sat")
+      val err = r.getAs[Long]("err_micro")
+      val mm = r.getAs[Long]("m")
+      assert(qmin >= -127 && qmax <= 127, "code out of int8 range")
+      assert(mm == 0 || nSat >= 1,
+        "the max-|x| dimension must map to a saturated ±127 code")
+      // per-dim error ≤ half a step (m/254) + 1 micro of rounding pin
+      assert(err <= 64 * (mm / 254 + 1),
+        s"vec ${r.getAs[Long]("vec_id")}: err $err vs m $mm")
+    }
+  }
 }

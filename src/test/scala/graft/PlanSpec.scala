@@ -176,6 +176,19 @@ class PlanSpec extends AnyFunSuite {
       s"redaction shuffled before the sort:\n$p")
   }
 
+  test("J11: the correlated scalar subquery decorrelates to one " +
+       "aggregate + join (no per-row subquery)") {
+    val df = SparkEntry.queries("j11_scalar_subquery")(
+      TestSpark.spark, TestSpark.Sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalarSubquery"),
+      s"subquery survived decorrelation:\n${p.take(2000)}")
+    assert("HashAggregate|SortAggregate".r.findFirstIn(p).isDefined,
+      s"expected the max() to run as one aggregate:\n${p.take(2000)}")
+    assert(p.contains("Join"), s"expected a join back on custkey:\n${p.take(2000)}")
+  }
+
   test("L26: the decile rank never materializes a single-task window") {
     // the a8-recipe rank must keep every Window partitioned (by pid);
     // an empty partitionBy would serialize the corpus through one task
