@@ -156,13 +156,25 @@ object Cluster {
     // L22 — dup-cluster assignment + canonical election over the l10b
     // verified near-dup pairs. component = min doc_id of the cluster;
     // the canonical (kept) doc is the one equal to its component id.
+    // Runs on the token-set-CONTRACTED graph (DedupExt.nearDupRepEdges):
+    // identical-token-set docs are interchangeable in every pipeline
+    // stage, so the CC closes the rep relation (~100× fewer edges on
+    // this corpus's clique-heavy near-dup structure) and docs inherit
+    // their rep's label. Exact: within-group cliques connect members to
+    // the rep's component, and rep = group min, so the min label over
+    // reps IS the min doc_id of the doc-level component.
     "l22_dup_clusters" -> ((s, d) => {
-      val nodes = Tables.documents(s, d).select(col("doc_id").as("node"))
-      val labels = connectedComponents(nodes, DedupExt.nearDupPairs(s, d))
-      val cs = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
-      labels.join(cs, "label")
-        .select(col("node").as("doc_id"), col("label").as("component"),
-          col("csize"), (col("node") === col("label")).as("is_canonical"))
+      val (repEdges, member) = DedupExt.nearDupRepEdges(s, d)
+      val repNodes = member.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id").as("node"))
+      val labels = connectedComponents(repNodes, repEdges)
+      val docLab = member
+        .join(labels.select(col("node").as("rep"), col("label")), "rep")
+        .select(col("doc_id"), col("label"))
+      val cs = docLab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+      docLab.join(cs, "label")
+        .select(col("doc_id"), col("label").as("component"),
+          col("csize"), (col("doc_id") === col("label")).as("is_canonical"))
         .orderBy(col("doc_id"))
     })
   )

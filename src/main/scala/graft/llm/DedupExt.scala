@@ -44,8 +44,13 @@ object DedupExt {
 
   /** L10b band-collision candidates over the FULL corpus (exposed so the
     * candidate-reduction property can be asserted in LlmSpec). */
-  def minhashTunedCandidates(s: SparkSession, d: String): DataFrame = {
-    val tok = tokens(s, d)
+  def minhashTunedCandidates(s: SparkSession, d: String): DataFrame =
+    minhashCandidatesFrom(tokens(s, d))
+
+  /** The 2×16 tuned banding over an arbitrary (doc_id, th) relation —
+    * shared by the doc-level spec surface above and the contracted
+    * rep-level pipeline. */
+  private def minhashCandidatesFrom(tok: DataFrame): DataFrame = {
     val aggs = AB32.zipWithIndex.map { case ((a, b), i) =>
       min((col("th") * a + b) % P).as(s"h$i")
     }
@@ -169,12 +174,84 @@ object DedupExt {
           lit(0.3) * least(col("n_toks").cast(DoubleType) / 100.0, lit(1.0)))
   }
 
+  /** Identical-token-set groups (doc_id, rep): rep = min doc_id among
+    * docs sharing the same distinct-token set (L2's signature reused as
+    * the group key). CONTRACTION BASIS for the full-corpus near-dup
+    * queries: MinHash signatures, band collisions, rare-token blocks and
+    * exact Jaccard all depend ONLY on the token set, so the docs of a
+    * group are interchangeable — the candidate + verify pipeline runs
+    * once per representative and verified rep pairs expand back to doc
+    * pairs losslessly. On corpora with large exact-token-set cliques
+    * (this one: a 248-doc group at sf0.1) this cuts the verify stage's
+    * candidate count ~7× and its array shuffle with it; with no cliques
+    * it degenerates to the identity at the cost of one groupBy. */
+  private[llm] def tokenSetMember(s: SparkSession, d: String): DataFrame = {
+    val sigs = Tables.documents(s, d).select(col("doc_id"),
+      sha2(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))), 256).as("sig"))
+    val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+    sigs.join(reps, "sig").select(col("doc_id"), col("rep"))
+  }
+
+  /** Expand verified rep-level pairs (d1, d2, jac — d1/d2 are group
+    * reps) to the doc-level pair relation: cross-group doc pairs carry
+    * the rep pair's jac verbatim (identical sets ⇒ identical Jaccard);
+    * within-group pairs are J = 1.0 by construction and are always band
+    * candidates (identical signature ⇒ collide in every band). The
+    * expansion shuffles only integers. NOTE the OUTPUT is inherently
+    * quadratic in clique size — that is l10b's declared pair semantics;
+    * the cluster-assignment view that avoids materializing it at 100 TB
+    * is L22. */
+  private def expandRepPairs(repJac: DataFrame, member: DataFrame,
+                             cliqueReps: DataFrame): DataFrame = {
+    val cross = repJac
+      .join(member.select(col("rep").as("d1"), col("doc_id").as("a")), "d1")
+      .join(member.select(col("rep").as("d2"), col("doc_id").as("b")), "d2")
+      .select(least(col("a"), col("b")).as("d1"),
+              greatest(col("a"), col("b")).as("d2"), col("jac"))
+    // within-group cliques only for groups the candidate generator makes
+    // self-candidates: every group under banding (identical signature ⇒
+    // same bucket), but under rare-token blocking only groups that carry
+    // a rare token — the caller passes the eligible rep set
+    val cm = member.join(cliqueReps, "rep")
+    val within = cm.as("x")
+      .join(cm.as("y"), col("x.rep") === col("y.rep") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+              lit(1.0).as("jac"))
+    cross.unionByName(within)
+  }
+
+  /** The l10b pipeline contracted to token-set representatives: banding
+    * + exact-Jaccard verify over reps only, then lossless expansion. */
+  private def minhashTunedPairs(s: SparkSession, d: String): DataFrame = {
+    val member = tokenSetMember(s, d)
+    val reps = member.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"))
+    val tokRep = tokens(s, d).join(reps, "doc_id")
+    expandRepPairs(jaccard(minhashCandidatesFrom(tokRep), tokRep), member,
+      member.select(col("rep")).distinct())
+  }
+
   /** L22 edge set: the l10b tuned-banding candidates verified at exact
     * Jaccard ≥ 0.95 — the canonical "near-duplicate pairs" relation that
     * [[Cluster]] closes into components. */
   def nearDupPairs(s: SparkSession, d: String): DataFrame =
-    jaccard(minhashTunedCandidates(s, d), tokens(s, d))
-      .select(col("d1"), col("d2"))
+    minhashTunedPairs(s, d).select(col("d1"), col("d2"))
+
+  /** Rep-level near-dup pair relation + the group map, exposed for
+    * [[Cluster]]: closing the REP graph and mapping docs through their
+    * rep is exactly closing the doc graph (within-group cliques connect
+    * a group to its rep's component; rep = group min, so the component
+    * min over reps IS the component min over docs). */
+  def nearDupRepEdges(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val member = tokenSetMember(s, d)
+    val reps = member.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"))
+    val tokRep = tokens(s, d).join(reps, "doc_id")
+    val repJac = jaccard(minhashCandidatesFrom(tokRep), tokRep)
+    (repJac.select(col("d1"), col("d2")), member)
+  }
 
   /** 48-bit integer hash of a token via md5 prefix — portable + stable. */
   private def tokenHash(c: Column): Column =
@@ -309,8 +386,7 @@ object DedupExt {
     // colliding pairs) — only the banding parameters differ (2 bands ×
     // 16 rows from 32 permutations, vs 4 × 2 from 8).
     "l10b_minhash_tuned" -> ((s, d) =>
-      jaccard(minhashTunedCandidates(s, d), tokens(s, d))
-        .orderBy(col("d1"), col("d2"))),
+      minhashTunedPairs(s, d).orderBy(col("d1"), col("d2"))),
 
     // L12 — near-dup via rare-token prefix blocking: each doc is keyed by
     // its 3 globally-rarest tokens; docs sharing a rare token are
@@ -343,9 +419,29 @@ object DedupExt {
     // ≤ 5% of the corpus — block sizes are bounded BY CONSTRUCTION, so
     // the query runs corpus-wide with candidates at ~0.2% of all-pairs
     // (asserted in LlmSpec, with designed-pair recall on covered docs).
-    "l12b_raretoken_full" -> ((s, d) =>
-      jaccard(raretokenFullCandidates(s, d), tokens(s, d))
-        .orderBy(col("d1"), col("d2"))),
+    // Contracted like l10b: rare-token membership is token-set-determined,
+    // but the df THRESHOLD stays computed over the FULL corpus (the
+    // declared semantics) — only the block join and verify run per rep.
+    "l12b_raretoken_full" -> ((s, d) => {
+      val member = tokenSetMember(s, d)
+      val reps = member.filter(col("doc_id") === col("rep"))
+        .select(col("doc_id"))
+      val tok = tokens(s, d)
+      val nDocs = Tables.documents(s, d).count()
+      val k = (nDocs + 19) / 20
+      val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("f"))
+      val rareRep = tok.join(reps, "doc_id")
+        .join(broadcast(freq.filter(col("f") <= k)), "token")
+        .select(col("doc_id"), col("token"))
+      val repCand = rareRep.as("x")
+        .join(rareRep.as("y"), col("x.token") === col("y.token") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      expandRepPairs(jaccard(repCand, tok.join(reps, "doc_id")), member,
+        rareRep.select(col("doc_id").as("rep")).distinct())
+        .orderBy(col("d1"), col("d2"))
+    }),
 
     // L20 — n-gram (word-trigram shingle) Jaccard near-dup, full corpus:
     // catches docs with near-identical SEQUENCES, which token-set dedup
