@@ -319,6 +319,35 @@ object DedupExt {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L31 — bloom-accelerated INCREMENTAL dedup: screen a new batch
+    // (doc_id % 7 == 0, the same deterministic split l27 uses for its
+    // eval set) against the historical corpus's token-set signature
+    // index. The Bloom filter — built once over historical signatures
+    // through the public DataFrameStatFunctions API — answers
+    // "definitely new" entirely MAP-SIDE; only might-contain candidates
+    // (true dups + the ~1% false-positive tail) ever reach the exact
+    // semi-join that removes false positives. Bloom filters have no
+    // false negatives, so the output EXACTLY equals the plain anti-join
+    // — the filter decides which rows pay the shuffle, never the answer
+    // — which is what makes an approximate structure fully
+    // oracle-hashable. 100 TB: this is the static form of Spark's own
+    // runtime row-level bloom pruning; the index artifact costs ~1.2
+    // bytes/key at 1% fpp (build it once per corpus snapshot and
+    // persist; for 1e11-key indexes shard the filter by signature
+    // prefix — the screen stays map-side either way), and the new batch
+    // is typically ≪ the corpus, which is the whole economy of
+    // incremental over full-corpus dedup. The pruning is pinned in
+    // LlmSpec (candidates ≪ batch, candidates ⊇ true dups).
+    "l31_bloom_dedup" -> ((s, d) => {
+      val (batch, hist, cand) = l31Parts(s, d)
+      val dups = cand.join(hist.distinct(), Seq("sig"), "left_semi")
+        .select(col("doc_id").as("dup_id"))
+      batch.join(dups, col("doc_id") === col("dup_id"), "left")
+        .select(col("doc_id"), col("lang"),
+                col("dup_id").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L10 — MinHash + LSH banding: 8 permutations, 4 bands of 2 rows.
     // Docs colliding in ANY band become candidates; candidates are then
     // verified with exact Jaccard ≥ 0.95 (this corpus draws from a tiny
@@ -689,7 +718,38 @@ object DedupExt {
       |    ON x.bk = y.bk AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
       |$jacSql""".stripMargin
 
+  /** L31's pieces — (new batch, historical signatures, bloom-screened
+    * candidates) — exposed so LlmSpec can pin the pruning properties
+    * (candidates ≪ batch; candidates ⊇ every true dup). The filter is
+    * sized by one count job on the true index cardinality — an
+    * index-build step, paid once per corpus snapshot. */
+  private[graft] def l31Parts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d).withColumn("sig",
+      sha2(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))), 256))
+    val hist = docs.filter(col("doc_id") % 7 =!= 0).select(col("sig"))
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"), col("sig"))
+    val bf = hist.stat.bloomFilter("sig", math.max(hist.count(), 1L), 0.01)
+    val might = udf((x: String) => bf.mightContain(x))
+    (batch, hist, batch.filter(might(col("sig"))))
+  }
+
   val oracle: Map[String, String] = Map(
+    "l31_bloom_dedup" ->
+      // the oracle is the EXACT semantics the bloom path must equal: a
+      // plain left join of the new batch against distinct historical
+      // signatures (the filter can only re-route rows, never change this)
+      """WITH sigs AS (
+        |  SELECT doc_id, lang, doc_id % 7 = 0 AS is_new,
+        |    sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+        |  FROM documents)
+        |SELECT n.doc_id, n.lang, h.sig IS NOT NULL AS is_dup
+        |FROM (SELECT * FROM sigs WHERE is_new) n
+        |LEFT JOIN (SELECT DISTINCT sig FROM sigs WHERE NOT is_new) h
+        |  USING (sig)
+        |ORDER BY n.doc_id""".stripMargin,
     "l10b_minhash_tuned" ->
       s"""WITH $l10bCtes
         |SELECT d1, d2, jac FROM jac

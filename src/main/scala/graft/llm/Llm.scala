@@ -337,6 +337,21 @@ object Llm {
     // (BASELINE.md "IVF ANN quality/latency" table).
     "l3c_ivf_topk" -> ((s, d) => ivfTopK(s, d)),
 
+    // L3d — IVF ANN over INT8-QUANTIZED codes: l3c's bucketed search with
+    // l29's symmetric per-vector quantization as the scoring payload —
+    // the standard memory-bandwidth move of a production vector store
+    // (4 B/dim micro-longs → 1 B/dim codes; at 100 TB the candidate scan
+    // streams a quarter of the bytes and the dot product runs on 8-bit
+    // integers, the SIMD-friendliest kernel there is). Probing still
+    // uses full-precision centroids (cell choice must not degrade);
+    // only candidate SCORING switches to cos8 = dot8/(√Σcq²·√Σcv²) —
+    // exact integers into one IEEE division, so the ranking is fully
+    // oracle-hashed: the DuckDB SQL replays training, assignment,
+    // probing AND the quantized scoring from the same constants. The
+    // quantization error this injects into the ranking is measured, not
+    // assumed: LlmSpec bounds recall@5 vs the exact l3 baseline.
+    "l3d_ivf_int8" -> ((s, d) => ivfInt8TopK(s, d)),
+
     // X1 — scalar Scala UDF (slugify) used in an L-series shape. The
     // oracle reproduces it with portable SQL (lower + regexp_replace).
     "x1_udf" -> ((s, d) =>
@@ -523,6 +538,29 @@ object Llm {
               rassign: Int = IvfRassign,
               qids: Seq[Int] = IvfQids): DataFrame = {
     val e = qvecs(s, d)
+    val candIds = ivfCandidates(s, d, e, nprobe, rassign, qids)
+    val qs = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+              col("nrm").as("qn"))
+    val scored = candIds
+      .join(broadcast(qs), Seq("qid"))
+      .join(e.select(col("vec_id").as("vid"), col("q"), col("nrm")),
+            Seq("vid"))
+      .select(col("qid"), col("vid"),
+        (qdot(col("qq"), col("q")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) *
+           sqrt(col("nrm").cast(DoubleType)))).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** Candidate (qid, vid) pairs of the IVF index: cells trained on the
+    * full-precision micro vectors, `rassign`-cell multi-assignment,
+    * `nprobe` probed cells per query, (qid, vid) deduped. Shared by the
+    * exact (l3c) and int8 (l3d) scoring paths — candidate GENERATION is
+    * identical by construction; only the scoring payload differs. */
+  private def ivfCandidates(s: SparkSession, d: String, e: DataFrame,
+                            nprobe: Int, rassign: Int,
+                            qids: Seq[Int]): DataFrame = {
     val cdf = broadcast(centroidsDf(s, trainCentroids(s, d)))
     // distances of every vector to every cell, min-encoded (N·K rows,
     // map-side against the broadcast centroids)
@@ -543,8 +581,7 @@ object Llm {
         .select(col("vec_id"), col("ok"))
     }
     val qs = e.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("qid"), col("q").as("qq"),
-              col("nrm").as("qn"))
+      .select(col("vec_id").as("qid"), col("q").as("qq"))
     val pw = Window.partitionBy(col("qid")).orderBy(col("ok"))
     val probes = qs.join(cdf)
       .select(col("qid"), col("cell"),
@@ -554,24 +591,56 @@ object Llm {
       .select(col("qid").as("p_qid"), col("cell").as("pcell"))
     // a vector indexed under 2 cells can collide with 2 probed cells —
     // dedup (qid, vid) before scoring, exactly as the oracle's DISTINCT
-    val candIds = broadcast(probes).join(assigns,
+    broadcast(probes).join(assigns,
         col("cell") === col("pcell") && col("vec_id") =!= col("p_qid"))
       .select(col("p_qid").as("qid"), col("vec_id").as("vid"))
       .distinct()
-    val scored = candIds
-      .join(broadcast(qs), Seq("qid"))
-      .join(e.select(col("vec_id").as("vid"), col("q"), col("nrm")),
-            Seq("vid"))
-      .select(col("qid"), col("vid"),
-        (qdot(col("qq"), col("q")).cast(DoubleType) /
-          (sqrt(col("qn").cast(DoubleType)) *
-           sqrt(col("nrm").cast(DoubleType)))).as("cos"))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("vid"), col("cos"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** L29's symmetric int8 code table: (vec_id, code: array<long> in
+    * [-127, 127], cn = Σ code² — the integer self-product the quantized
+    * cosine normalizes by). */
+  private def codedVecs(e: DataFrame): DataFrame =
+    e.withColumn("m", array_max(transform(col("q"), x => abs(x))))
+      .withColumn("code", transform(col("q"), x =>
+        when(col("m") === 0L, lit(0L)).otherwise(
+          least(lit(127L), greatest(lit(-127L),
+            floor((x * 127L).cast(DoubleType) / col("m").cast(DoubleType)
+              + 0.5).cast(LongType))))))
+      .select(col("vec_id"), col("code"),
+        qnorm(col("code")).as("cn"))
+
+  /** L3d — IVF candidates scored on int8 codes (see the queries entry for
+    * the full rationale). cos8 = Σ cq·cv / (√Σcq² · √Σcv²): exact
+    * integers into IEEE sqrt/division, bit-identical in both engines. */
+  def ivfInt8TopK(s: SparkSession, d: String,
+                  nprobe: Int = IvfNprobe, k: Int = 5,
+                  rassign: Int = IvfRassign,
+                  qids: Seq[Int] = IvfQids): DataFrame = {
+    val e = qvecs(s, d)
+    val candIds = ivfCandidates(s, d, e, nprobe, rassign, qids)
+    val coded = codedVecs(e)
+    val qs = coded.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("code").as("cq"),
+              col("cn").as("qn"))
+    val scored = candIds
+      .join(broadcast(qs), Seq("qid"))
+      .join(coded.select(col("vec_id").as("vid"), col("code"), col("cn")),
+            Seq("vid"))
+      .select(col("qid"), col("vid"),
+        (qdot(col("cq"), col("code")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) *
+           sqrt(col("cn").cast(DoubleType)))).as("cos"))
+    rankTopK(scored, k)
   }
 
   /** Generate the l3c DuckDB oracle SQL from the SAME constants the Spark
@@ -583,7 +652,7 @@ object Llm {
     * together — they cannot drift apart silently because the driver
     * hash-compares their outputs. */
   def ivfSql(nprobe: Int, k: Int, iters: Int, rassign: Int,
-             qids: Seq[Int]): String = {
+             qids: Seq[Int], int8: Boolean = false): String = {
     def dist(centRel: String): String =
       s"CAST(list_sum(list_transform(generate_series(1, 64), " +
       s"i -> (n.q[i] - $centRel.c[i]) * (n.q[i] - $centRel.c[i]))) AS BIGINT) " +
@@ -628,14 +697,39 @@ object Llm {
       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY ok) AS r
       |    FROM fd WHERE vec_id IN (${qids.mkString(", ")})) WHERE r <= $nprobe),
       |cand AS (SELECT DISTINCT p.qid, a.vec_id AS vid
-      |  FROM probes p JOIN fa a ON a.cell = p.cell AND a.vec_id <> p.qid),
+      |  FROM probes p JOIN fa a ON a.cell = p.cell AND a.vec_id <> p.qid),""".stripMargin
+    if (int8) {
+      // l29's symmetric quantization replayed verbatim, then the scored
+      // CTE runs the SAME cosine shape on codes instead of micro-longs
+      sb ++= s"""
+      |c8 AS (SELECT vec_id,
+      |    list_transform(q, x -> CASE WHEN m = 0 THEN 0
+      |      ELSE least(127, greatest(-127,
+      |        CAST(floor(CAST(x * 127 AS DOUBLE) / CAST(m AS DOUBLE)
+      |          + 0.5) AS BIGINT))) END) AS code
+      |  FROM (SELECT vec_id, q,
+      |          list_max(list_transform(q, x -> abs(x))) AS m FROM n)),
+      |n8 AS (SELECT vec_id, code,
+      |    CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS cn
+      |  FROM c8),
+      |scored AS (
+      |  SELECT cand.qid, cand.vid,
+      |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), i -> qv.code[i] * cv.code[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(qv.cn AS DOUBLE)) * sqrt(CAST(cv.cn AS DOUBLE))) AS cos
+      |  FROM cand
+      |  JOIN n8 qv ON qv.vec_id = cand.qid
+      |  JOIN n8 cv ON cv.vec_id = cand.vid),""".stripMargin
+    } else {
+      sb ++= s"""
       |scored AS (
       |  SELECT cand.qid, cand.vid,
       |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), i -> qv.q[i] * cv.q[i])) AS BIGINT) AS DOUBLE)
       |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(cv.nrm AS DOUBLE))) AS cos
       |  FROM cand
       |  JOIN n qv ON qv.vec_id = cand.qid
-      |  JOIN n cv ON cv.vec_id = cand.vid),
+      |  JOIN n cv ON cv.vec_id = cand.vid),""".stripMargin
+    }
+    sb ++= s"""
       |r AS (
       |  SELECT qid, vid, cos,
       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk
@@ -692,6 +786,12 @@ object Llm {
     // engine-private state.
     "l3c_ivf_topk" -> ivfSql(nprobe = IvfNprobe, k = 5, iters = IvfIters,
                              rassign = IvfRassign, qids = IvfQids),
+    // l3d — same generated replay with the scored CTE switched to the
+    // int8-quantized cosine (quantization itself replayed from l29's
+    // exact arithmetic)
+    "l3d_ivf_int8" -> ivfSql(nprobe = IvfNprobe, k = 5, iters = IvfIters,
+                             rassign = IvfRassign, qids = IvfQids,
+                             int8 = true),
 
     "l4_token_stats" ->
       """WITH t AS (

@@ -237,6 +237,23 @@ object Aggregates {
         .na.fill(0L, Seq("F", "O", "P"))
         .orderBy(col("o_orderpriority"))),
 
+    // A13 — filtered / conditional aggregates: the SQL-standard
+    // FILTER (WHERE …) clause (run through Spark's own parser via expr),
+    // count_if, and the bool_and/bool_or reducers. Exact arithmetic
+    // throughout (DECIMAL sum, integer counts, booleans). 100 TB: FILTER
+    // folds into the partial aggregate — one 2-phase hash agg, identical
+    // cost to the unfiltered form, never a self-join per condition.
+    "a13_filtered_agg" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+             count_if(col("c_acctbal") < 0).as("n_neg"),
+             d(expr("sum(CAST(c_acctbal AS DECIMAL(18,2))) " +
+                    "FILTER (WHERE c_acctbal > 0)")).as("sum_pos"),
+             bool_and(col("c_acctbal") > -1000).as("all_above"),
+             bool_or(col("c_acctbal") > 9000).as("any_big"))
+        .orderBy(col("c_mktsegment"))),
+
     // A10 — custom typed Aggregator (weighted average) via udaf().
     "a10_wavg" -> ((s, dir) =>
       li(s, dir).select(col("l_returnflag"),
@@ -350,6 +367,15 @@ object Aggregates {
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "a13_filtered_agg" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  count(*) FILTER (WHERE c_acctbal < 0) AS n_neg,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |         FILTER (WHERE c_acctbal > 0) AS DOUBLE) AS sum_pos,
+        |  bool_and(c_acctbal > -1000) AS all_above,
+        |  bool_or(c_acctbal > 9000) AS any_big
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "a10_wavg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)

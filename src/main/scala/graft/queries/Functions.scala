@@ -255,7 +255,54 @@ object Functions {
         floor(col("o_totalprice")).as("price_floor"),
         col("o_orderdate").cast(DateType).as("odate"),
         col("o_orderkey").cast(DoubleType).as("key_dbl"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    // F10 — VARIANT (Spark 4's binary semi-structured type): parse the
+    // JSON payload ONCE into variant, then typed-path extraction. Unlike
+    // f6's string-walking get_json_object, variant parses each document a
+    // single time into a binary tree that every later variant_get shreds
+    // without re-parsing — at 100 TB this is the difference between
+    // O(fields) JSON re-parses per row and one. The variant value itself
+    // is engine-private, so the hashed output is the EXTRACTED bigint —
+    // aggregated exactly — never the variant bytes.
+    "f10_variant" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"),
+             countDistinct(col("k")).as("n_k"))
+        .orderBy(col("event_type"))),
+
+    // F11 — bitwise family: scalar &, |, ^, ~, shifts, bit_count in the
+    // pre-aggregation projection, then the bit_and/bit_or/bit_xor
+    // AGGREGATES per line number. All values are exact integers; the
+    // only engine divergence risk is syntax (DuckDB spells xor as a
+    // function and sums integers into HUGEINT — the oracle casts back).
+    // 100 TB: pure codegen'd per-row ops + one 2-phase aggregate.
+    "f11_bitwise" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+          col("l_linenumber"),
+          expr("l_orderkey & l_partkey").as("band"),
+          expr("l_orderkey | l_partkey").as("bor"),
+          expr("l_orderkey ^ l_partkey").as("bxor"),
+          expr("~l_orderkey").as("bnot"),
+          expr("shiftleft(l_suppkey, 3)").as("shl"),
+          expr("shiftright(l_orderkey, 2)").as("shr"),
+          bit_count(col("l_orderkey")).cast(LongType).as("nbits"))
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"),
+             expr("bit_and(band)").as("agg_and"),
+             expr("bit_or(bor)").as("agg_or"),
+             expr("bit_xor(bxor)").as("agg_xor"),
+             sum(col("bnot")).as("sum_not"),
+             sum(col("shl")).as("sum_shl"),
+             sum(col("shr")).as("sum_shr"),
+             sum(col("nbits")).as("sum_bits"))
+        .orderBy(col("l_linenumber")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -397,6 +444,26 @@ object Functions {
         |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
         |  CAST(o_orderdate AS DATE) AS odate,
         |  CAST(o_orderkey AS DOUBLE) AS key_dbl
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f10_variant" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  count(DISTINCT k) AS n_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "f11_bitwise" ->
+      """SELECT l_linenumber, count(*) AS n,
+        |  bit_and(l_orderkey & l_partkey) AS agg_and,
+        |  bit_or(l_orderkey | l_partkey) AS agg_or,
+        |  bit_xor(xor(l_orderkey, l_partkey)) AS agg_xor,
+        |  CAST(sum(~l_orderkey) AS BIGINT) AS sum_not,
+        |  CAST(sum(l_suppkey << 3) AS BIGINT) AS sum_shl,
+        |  CAST(sum(l_orderkey >> 2) AS BIGINT) AS sum_shr,
+        |  CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS sum_bits
+        |FROM lineitem
+        |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin
   )
 }

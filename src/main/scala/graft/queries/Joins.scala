@@ -151,6 +151,27 @@ object Joins {
     "j11_scalar_subquery" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(j11Sql)
+    }),
+
+    // J12 — recursive CTE (Spark 4.1 `WITH RECURSIVE`, lowered to
+    // UnionLoop): per-customer capped-and-floored running balance.
+    // Each order deducts its price from a budget that replenishes by a
+    // fixed credit, clamped to [0, 100000] at every step. Both clamps
+    // bind on different orders, so the recurrence has no closed form —
+    // a window function CANNOT express it; iteration is the point.
+    // All arithmetic is exact DECIMAL(18,2) (cast to DOUBLE only at the
+    // end, where 2-decimal values ≤ 1e5 are exactly representable), so
+    // the hash is engine-portable, and the IDENTICAL text runs in DuckDB
+    // (SqlSpec parity). Depth = max orders/customer (25 at sf0.1), under
+    // the engine's default 100-level recursion budget.
+    // 100 TB: each recursion level is one equi-join of the frontier
+    // (≤ |customers| rows) against the rn-indexed order sequence —
+    // shuffle volume is bounded by the frontier, never the corpus, and
+    // levels run as ordinary batch jobs (no driver-side iteration state
+    // beyond the loop counter).
+    "j12_recursive" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(j12Sql)
     })
   )
 
@@ -160,6 +181,31 @@ object Joins {
       |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
       |                      WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
+
+  private[graft] val j12Sql =
+    """WITH RECURSIVE seq AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders),
+      |walk(o_custkey, rn, bal) AS (
+      |  SELECT o_custkey, rn,
+      |    CAST(greatest(CAST(0.00 AS DECIMAL(18,2)),
+      |         least(CAST(100000.00 AS DECIMAL(18,2)),
+      |               CAST(50000.00 AS DECIMAL(18,2)) - price)) AS DECIMAL(18,2))
+      |  FROM seq WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.o_custkey, s.rn,
+      |    CAST(greatest(CAST(0.00 AS DECIMAL(18,2)),
+      |         least(CAST(100000.00 AS DECIMAL(18,2)),
+      |               w.bal + CAST(50000.00 AS DECIMAL(18,2)) - s.price)) AS DECIMAL(18,2))
+      |  FROM walk w JOIN seq s ON s.o_custkey = w.o_custkey AND s.rn = w.rn + 1)
+      |SELECT w.o_custkey, n.n_orders, CAST(w.bal AS DOUBLE) AS final_bal
+      |FROM walk w
+      |JOIN (SELECT o_custkey, max(rn) AS n_orders FROM seq GROUP BY o_custkey) n
+      |  ON n.o_custkey = w.o_custkey AND w.rn = n.n_orders
+      |ORDER BY w.o_custkey""".stripMargin
 
   private val j1Sql =
     """SELECT r_name,
@@ -213,6 +259,7 @@ object Joins {
         |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, o_orderkey, o_orderdate FROM j
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "j11_scalar_subquery" -> j11Sql // ANSI-portable: the same text runs in both engines
+    "j11_scalar_subquery" -> j11Sql, // ANSI-portable: the same text runs in both engines
+    "j12_recursive" -> j12Sql // ANSI-portable recursive CTE, same text in both engines
   )
 }

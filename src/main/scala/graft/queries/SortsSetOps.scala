@@ -56,6 +56,24 @@ object SortsSetOps {
     "u3_except" -> ((s, d) =>
       custNk(s, d).except(suppNegNk(s, d)).orderBy(col("nk"))),
 
+    // U5 — INTERSECT ALL (multiset): each nation key survives with
+    // multiplicity min(m_customer, m_supplier⁻). The grouped count in the
+    // output is what distinguishes it from U2 — bag semantics are only
+    // visible in multiplicities. 100 TB: Spark plans intersectAll as a
+    // count-compare aggregate + generate, 2-phase, no row explosion
+    // beyond the surviving multiset.
+    "u5_intersect_all" -> ((s, d) =>
+      custNk(s, d).intersectAll(suppNegNk(s, d))
+        .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nk"))),
+
+    // U6 — EXCEPT ALL (multiset): multiplicity m_customer − m_supplier⁻,
+    // floored at zero.
+    "u6_except_all" -> ((s, d) =>
+      custNk(s, d).exceptAll(suppNegNk(s, d))
+        .groupBy(col("nk")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nk"))),
+
     // U4 — unpivot/melt (wide→long), the inverse of A11's pivot: part
     // numeric attributes melted into (metric, val) rows via the typed
     // Dataset.unpivot API (Spark 3.4+; same lowering as SQL UNPIVOT).
@@ -97,6 +115,18 @@ object SortsSetOps {
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0
         |ORDER BY nk""".stripMargin,
+    "u5_intersect_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
+    "u6_except_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
     "u4_unpivot" ->
       """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
         |FROM part

@@ -123,6 +123,28 @@ object Windows {
                     money(col("o_totalprice"))),
                ignoreNulls = true).over(w)).as("prev_urgent_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // W7 — DISTINCT-count over a window. Spark's analyzer rejects
+    // DISTINCT aggregates in windows outright, so the engine-side form is
+    // the standard dense_rank rewrite: dense_rank orders the partition by
+    // the counted column, so its per-partition max IS the distinct count.
+    // The oracle runs DuckDB's native count(DISTINCT …) OVER — two
+    // different plans, one pinned semantics.
+    // 100 TB: both window passes share ONE hash shuffle on o_custkey;
+    // the two local sorts (by priority, then unordered max) are
+    // task-local. No second shuffle, no distinct-explosion.
+    "w7_distinct_window" -> ((s, dir) => {
+      val wOrd = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderpriority"))
+      val wAll = Window.partitionBy(col("o_custkey"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+                dense_rank().over(wOrd).as("dr"))
+        .select(col("o_custkey"), col("o_orderkey"),
+                max(col("dr")).over(wAll)
+                  .cast(org.apache.spark.sql.types.LongType).as("n_prio"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -193,6 +215,14 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // DuckDB's native windowed DISTINCT aggregate — the engine reaches the
+    // same numbers through the dense_rank rewrite above.
+    "w7_distinct_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  count(DISTINCT o_orderpriority)
+        |    OVER (PARTITION BY o_custkey) AS n_prio
+        |FROM orders
         |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -64,6 +64,34 @@ class LlmSpec extends AnyFunSuite {
     assert(r >= 0.9, f"recall@5 regressed: $r%.3f < 0.9")
   }
 
+  test("L31: the bloom screen prunes the batch and never drops a true dup") {
+    val sf = "/root/testdata/sf0.01"
+    val (batch, _, cand) = graft.llm.DedupExt.l31Parts(s, sf)
+    val nBatch = batch.count()
+    val candIds = cand.select("doc_id").collect().map(_.getLong(0)).toSet
+    val dupIds = SparkEntry.queries("l31_bloom_dedup")(s, sf).collect()
+      .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // no false negatives: every true dup must have survived the screen
+    assert(dupIds.subsetOf(candIds),
+      s"bloom dropped true dups: ${(dupIds -- candIds).take(5)}")
+    // and the screen must actually prune — the point of the filter is
+    // that non-dup rows (72 − 17 at this sf) never reach the join; at
+    // 1% fpp the false-positive tail is ≤ a couple of rows
+    assert(candIds.size < nBatch / 2,
+      s"bloom screen pruned nothing: ${candIds.size} of $nBatch passed")
+  }
+
+  test("L3d: int8-scored IVF recall@5 vs the exact l3 baseline at sf0.01") {
+    // the quantized ranking must not cost recall on top of the IVF
+    // pruning: measured 0.933 at sf0.01 — identical to l3c's full-
+    // precision scoring on the canonical queries (the 1-bit-of-127
+    // rounding error is far below the corpus's cosine gaps)
+    val r = recallOf(topkPairs("l3_cosine_topk", "/root/testdata/sf0.01"),
+                     topkPairs("l3d_ivf_int8", "/root/testdata/sf0.01"))
+    info(f"int8 canonical recall@5 at sf0.01 = $r%.3f")
+    assert(r >= 0.9, f"int8 recall@5 regressed: $r%.3f < 0.9")
+  }
+
   test("L3c: IVF recall@5 holds over a 30-query pool (not just the " +
        "3 canonical queries) at sf0.01") {
     // explicitly sf0.01 — the weakest measured broad recall — NOT

@@ -189,6 +189,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join"), s"expected a join back on custkey:\n${p.take(2000)}")
   }
 
+  test("J12: WITH RECURSIVE lowers to UnionLoop with a group-limited " +
+       "anchor (no full-sequence window before the rn=1 filter)") {
+    val df = SparkEntry.queries("j12_recursive")(TestSpark.spark, TestSpark.Sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"),
+      s"recursive CTE did not lower to UnionLoop:\n${p.take(2000)}")
+    // the rn=1 anchor must ride WindowGroupLimit (top-1 per key pushed
+    // below the window) rather than ranking every order first
+    assert(p.contains("WindowGroupLimit"),
+      s"anchor ranks the full sequence before filtering:\n${p.take(2000)}")
+  }
+
   test("L26: the decile rank never materializes a single-task window") {
     // the a8-recipe rank must keep every Window partitioned (by pid);
     // an empty partitionBy would serialize the corpus through one task

@@ -11,7 +11,7 @@ class SmokeSpec extends AnyFunSuite {
     "l1_exact_dedup", // no exact dupes is fine — group count == doc count
     "l10_minhash_lsh", "l12_raretoken_neardup", "l13_embed_neardup",
     "l2_tokenset_neardup", // near-dup pair counts are data-dependent
-    "j5_anti", "u2_intersect", "u3_except", "p2_filter",
+    "j5_anti", "u2_intersect", "u5_intersect_all", "u3_except", "p2_filter",
     "s5_interval_join", "s8_funnel", "j7_range"
   )
 

@@ -30,7 +30,8 @@ class SqlSpec extends AnyFunSuite {
     "w1_rank", "w2_topn", "w5_firstlast", "a10_wavg",
     "j2_broadcast", "s5_interval_join",
     "p1_project", "p2_filter", "p3_case",
-    "s1_tumbling", "s4_stream_static", "s6_dedup")
+    "s1_tumbling", "s4_stream_static", "s6_dedup",
+    "j11_scalar_subquery", "j12_recursive")
 
   /** Canonical (column-name-sorted, stringified, row-sorted) form — the
     * same shape the driver's hash compare reduces results to. */
