@@ -168,6 +168,34 @@ object Streams {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // S10 — per-window Top-N over the stream: the signature ADS-layer
+    // query of the Flink edu-demo genre (hottest event types per hour).
+    // Spark rejects ranking window functions ON a streaming DataFrame
+    // (they need the full partition), so the correct shape is two
+    // stages: the INCREMENTAL stateful agg runs in the stream, and the
+    // rank runs as a batch window over the (windows × types)-sized
+    // aggregate — here on the final sink table; in continuous production
+    // the same rank goes in foreachBatch or at read time. The expensive,
+    // unbounded part (counting events) is the part that streams; the
+    // rank only ever touches aggregate-cardinality data.
+    // 100 TB: agg state = |open windows|·|types| rows; the rank input is
+    // the same size — never raw events.
+    "s10_window_topn" -> ((s, d) => {
+      val agg = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("win_start"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      runToMemory(s, agg, "complete", NoFinalBatch)
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("win_start"), col("rnk"))
+    }),
+
     // S2 — sliding window (1 h window, 15 min slide). Complete mode for
     // the oracle only — production is append+watermark (see S1 note);
     // sliding windows multiply state by window/slide (4× here), which the
@@ -420,6 +448,18 @@ object Streams {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "s10_window_topn" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT win_start, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY win_start
+        |         ORDER BY n DESC, event_type ASC) AS INT) AS rnk
+        |  FROM h)
+        |SELECT win_start, event_type, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY win_start, rnk""".stripMargin,
     "s2_sliding" ->
       """WITH w AS (
         |  SELECT event_type,
