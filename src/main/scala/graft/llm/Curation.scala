@@ -322,6 +322,41 @@ object Curation {
           (col("sw_micro").cast(DoubleType) / col("tot").cast(DoubleType))
             .as("weight"))
         .orderBy(col("source"))
+    }),
+
+    // L32 — compression-ratio quality signal: deflate each document once
+    // and report (raw bytes, compressed bytes). Highly repetitive or
+    // templated text compresses far better than natural prose, making
+    // the ratio a cheap language-agnostic quality/boilerplate filter —
+    // the information-theoretic cousin of L18's token-ratio heuristics,
+    // and a standard stage in production corpus pipelines. DECLARED
+    // ORACLE-LESS (the 4th, after a4/a12/l5b): the byte count depends on
+    // the JVM's bundled zlib, which DuckDB cannot replay; CurationSpec
+    // property-tests it instead (bounds, and self-repetition compressing
+    // strictly better). Kernel shape: one Deflater REUSED across the
+    // partition via mapPartitions (the L8b batched-kernel pattern —
+    // per-row allocation of a native zlib stream is the trap), map-side
+    // only, no shuffle before the contract's ORDER BY. 100 TB: pure
+    // per-row CPU that partitions perfectly; ~MB/s-per-core deflate
+    // throughput is the budget, which is why production pipelines run
+    // this once and persist the score.
+    "l32_compress_ratio" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val defl = new java.util.zip.Deflater(6)
+          val buf = new Array[Byte](1 << 16)
+          it.map { case (id, text) =>
+            val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            defl.reset(); defl.setInput(in); defl.finish()
+            var n = 0L
+            while (!defl.finished()) n += defl.deflate(buf)
+            (id, in.length.toLong, n)
+          }
+        }
+        .toDF("doc_id", "n_raw", "n_comp")
+        .orderBy(col("doc_id"))
     })
   )
 

@@ -186,8 +186,30 @@ object Joins {
       s.sql(j12SeqSql).localCheckpoint()
         .createOrReplaceTempView("j12_seq")
       s.sql("WITH RECURSIVE " + j12Body("j12_seq"))
+    }),
+
+    // J13 — ANSI LATERAL correlated subquery (top-2 customers per
+    // nation), submitted as SQL text. Catalyst DECORRELATES the per-row
+    // ORDER BY/LIMIT subquery into one row_number window partitioned by
+    // the correlation key + a broadcast join — never a nested-loop
+    // re-scan per outer row (PlanSpec pins Window + no BNLJ). The
+    // identical text runs in DuckDB (SqlSpec parity); c_acctbal is a raw
+    // column, so the hash is arithmetic-free. 100 TB: the decorrelated
+    // plan is exactly W2's top-N-per-group shape — one shuffle on the
+    // correlation key, WindowGroupLimit-prunable, dim side broadcast.
+    "j13_lateral" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(j13Sql)
     })
   )
+
+  private[graft] val j13Sql =
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal
+      |FROM nation n JOIN LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t ON true
+      |ORDER BY n.n_name, t.c_custkey""".stripMargin
 
   private[graft] val j11Sql =
     """SELECT o_orderkey, o_custkey, o_totalprice
@@ -282,6 +304,7 @@ object Joins {
         |SELECT event_id, o_orderkey, o_orderdate FROM j
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "j11_scalar_subquery" -> j11Sql, // ANSI-portable: the same text runs in both engines
-    "j12_recursive" -> j12Sql // ANSI-portable recursive CTE, same text in both engines
+    "j12_recursive" -> j12Sql, // ANSI-portable recursive CTE, same text in both engines
+    "j13_lateral" -> j13Sql // ANSI-portable LATERAL, same text in both engines
   )
 }

@@ -12,6 +12,43 @@ class CurationSpec extends AnyFunSuite {
   private val s = TestSpark.spark
   private val sf = TestSpark.Sf
 
+  test("L32: compression signal is bounded, deterministic, and " +
+       "repetition compresses strictly better") {
+    def deflate(t: String): Long = {
+      val d = new java.util.zip.Deflater(6)
+      val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      d.reset(); d.setInput(in); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val rows = SparkEntry.queries("l32_compress_ratio")(s, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, raw, comp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(raw > 0 && comp > 0, s"doc $id: empty sizes")
+      // deflate's worst case is stored blocks: tiny fixed overhead
+      assert(comp <= raw + 64, s"doc $id: comp $comp > raw $raw + slack")
+    }
+    // determinism + engine/driver agreement: the distributed kernel must
+    // byte-match a driver-side deflate of the same text
+    val sample = graft.core.Tables.documents(s, sf)
+      .select("doc_id", "text").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    sample.foreach { case (id, text) =>
+      assert(byId(id) == deflate(text), s"doc $id: kernel/driver mismatch")
+    }
+    // the signal detects repetition: doubling a document must compress
+    // to well under twice the singleton size (the back-reference window
+    // covers the repeat) — this is what makes the ratio a quality filter
+    sample.take(10).foreach { case (id, text) =>
+      assert(deflate(text + " " + text) < 2 * deflate(text),
+        s"doc $id: self-repetition did not compress better")
+    }
+  }
+
   test("L17: hash-threshold sample is deterministic and tracks rates") {
     def ids(): Map[String, Set[Long]] =
       SparkEntry.queries("l17_stratified_sample")(s, sf).collect()

@@ -205,6 +205,18 @@ class PlanSpec extends AnyFunSuite {
       s"sequence window re-ranked inside the recursion:\n${p.take(2000)}")
   }
 
+  test("J13: LATERAL decorrelates to a partitioned rank window + join " +
+       "(no nested-loop re-scan per outer row)") {
+    val df = SparkEntry.queries("j13_lateral")(TestSpark.spark, TestSpark.Sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window") && p.contains("row_number"),
+      s"expected the LIMIT-per-key as one rank window:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"lateral degraded to a per-row nested loop:\n${p.take(2000)}")
+  }
+
   test("L26: the decile rank never materializes a single-task window") {
     // the a8-recipe rank must keep every Window partitioned (by pid);
     // an empty partitionBy would serialize the corpus through one task

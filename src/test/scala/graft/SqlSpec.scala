@@ -31,7 +31,7 @@ class SqlSpec extends AnyFunSuite {
     "j2_broadcast", "s5_interval_join",
     "p1_project", "p2_filter", "p3_case",
     "s1_tumbling", "s4_stream_static", "s6_dedup",
-    "j11_scalar_subquery", "j12_recursive",
+    "j11_scalar_subquery", "j12_recursive", "j13_lateral",
     "a13_filtered_agg", "u5_intersect_all", "u6_except_all")
 
   /** Canonical (column-name-sorted, stringified, row-sorted) form — the
