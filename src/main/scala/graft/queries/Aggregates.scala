@@ -254,6 +254,32 @@ object Aggregates {
              bool_or(col("c_acctbal") > 9000).as("any_big"))
         .orderBy(col("c_mktsegment"))),
 
+    // A14 — ordered-set aggregates: the SQL-standard WITHIN GROUP
+    // syntax (percentile_cont / percentile_disc / listagg), submitted as
+    // SQL text through the engine's own parser. percentile_disc and
+    // listagg are exact (a picked value / ordered concat — listagg's
+    // within-group order is the aggregated column itself, so equal
+    // values make the string total-order-free); percentile_cont
+    // interpolates lo + (hi−lo)·f, the same IEEE expression DuckDB
+    // evaluates — bit-equality verified at every shipped sf. DuckDB has
+    // no listagg, so the oracle spells it string_agg(… ORDER BY …) —
+    // same declared semantics, different surface spelling (not in the
+    // SqlSpec parity set for that reason). 100 TB: ordered-set aggs
+    // sort per group inside the aggregate — same shuffle shape as A1.
+    "a14_ordered_set" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus,
+          |  percentile_cont(0.5) WITHIN GROUP
+          |    (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p50,
+          |  percentile_disc(0.9) WITHIN GROUP
+          |    (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p90d,
+          |  listagg(o_orderpriority, ',') WITHIN GROUP
+          |    (ORDER BY o_orderpriority) AS prios
+          |FROM orders WHERE o_orderkey < 100
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // A10 — custom typed Aggregator (weighted average) via udaf().
     "a10_wavg" -> ((s, dir) =>
       li(s, dir).select(col("l_returnflag"),
@@ -367,6 +393,15 @@ object Aggregates {
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "a14_ordered_set" ->
+      """SELECT o_orderstatus,
+        |  percentile_cont(0.5) WITHIN GROUP
+        |    (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p50,
+        |  percentile_disc(0.9) WITHIN GROUP
+        |    (ORDER BY CAST(o_totalprice AS DOUBLE)) AS p90d,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+        |FROM orders WHERE o_orderkey < 100
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "a13_filtered_agg" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  count(*) FILTER (WHERE c_acctbal < 0) AS n_neg,
