@@ -347,13 +347,16 @@ object Curation {
         .mapPartitions { it =>
           val defl = new java.util.zip.Deflater(6)
           val buf = new Array[Byte](1 << 16)
+          // the appended by-name empty iterator runs when the mapped one
+          // is exhausted — releases the native zlib stream at end of
+          // partition instead of waiting on finalization
           it.map { case (id, text) =>
             val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             defl.reset(); defl.setInput(in); defl.finish()
             var n = 0L
             while (!defl.finished()) n += defl.deflate(buf)
             (id, in.length.toLong, n)
-          }
+          } ++ { defl.end(); Iterator.empty }
         }
         .toDF("doc_id", "n_raw", "n_comp")
         .orderBy(col("doc_id"))
