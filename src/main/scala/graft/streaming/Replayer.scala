@@ -131,7 +131,7 @@ object Replayer {
 
   /** Recursively delete, closing the walk stream (a leaked stream holds a
     * directory fd until GC). */
-  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+  private[streaming] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => Files.deleteIfExists(f))

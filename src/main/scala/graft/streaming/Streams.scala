@@ -196,6 +196,63 @@ object Streams {
         .orderBy(col("win_start"), col("rnk"))
     }),
 
+    // SNK4 — keyed streaming UPSERT sink (last-write-wins merge) via
+    // foreachBatch: each micro-batch is reduced to one best-row struct
+    // per user (2-phase max, map-side combined), merged with the previous
+    // committed snapshot, and written to a BATCH-ID-NAMED snapshot dir.
+    // That naming is the exactly-once mechanism: foreachBatch is
+    // at-least-once, but a replayed batch id deterministically overwrites
+    // the same path with the same bytes, so duplicates are idempotent —
+    // the standard recipe for transactional upsert on a plain object
+    // store, no lakehouse dependency. The merge input is the previous
+    // SNAPSHOT (|keys| rows), never the event history: at 100 TB the
+    // per-batch cost is |batch| + |keys|, and the snapshot table is
+    // what a dimension-serving layer reads (partition it by key range
+    // at scale; here it is dim-sized). The final state equals the batch
+    // argmax-per-key, which is what the oracle hashes.
+    "snk4_upsert" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_upsert",
+        s"p${ProcessHandle.current().pid()}",
+        d.replaceAll("[^a-zA-Z0-9.]", "_"))
+      Replayer.deleteTree(root) // fresh run: no stale snapshots
+      java.nio.file.Files.createDirectories(root)
+      val best = struct(col("ts"), col("event_id"), col("event_type"),
+                        col("value"))
+      @volatile var latest: Option[String] = None
+      val ckpt = Replayer.checkpoint()
+      try {
+        ConfScope.withConf(s, Map(
+          "spark.sql.shuffle.partitions" -> streamPartitions) ++
+          NoFinalBatch) {
+          val q = Replayer.stream(s, d, "clean").writeStream
+            .foreachBatch { (batch: DataFrame, id: Long) =>
+              val snap = s"$root/v$id"
+              val bAgg = batch
+                .groupBy(col("user_id")).agg(max(best).as("best"))
+              val merged = latest match {
+                case Some(p) => batch.sparkSession.read.parquet(p)
+                  .unionByName(bAgg)
+                  .groupBy(col("user_id")).agg(max(col("best")).as("best"))
+                case None => bAgg
+              }
+              merged.write.mode("overwrite").parquet(snap)
+              latest = Some(snap)
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      } finally Replayer.dropCheckpoint(ckpt)
+      s.read.parquet(latest.getOrElse(
+          sys.error("upsert sink committed no snapshot")))
+        .select(col("user_id"), col("best.ts").as("last_ts"),
+          col("best.event_id").as("last_event_id"),
+          col("best.event_type").as("last_type"),
+          col("best.value").as("last_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // S2 — sliding window (1 h window, 15 min slide). Complete mode for
     // the oracle only — production is append+watermark (see S1 note);
     // sliding windows multiply state by window/slide (4× here), which the
@@ -448,6 +505,17 @@ object Streams {
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // snk4 — the committed upsert table must equal the plain batch
+    // argmax per key (ts DESC, event_id DESC as the total tie-break)
+    "snk4_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "s10_window_topn" ->
       """WITH h AS (
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,

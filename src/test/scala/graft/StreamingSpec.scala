@@ -17,6 +17,27 @@ class StreamingSpec extends AnyFunSuite {
   private val s = TestSpark.spark
   private val sf = TestSpark.Sf
 
+  test("SNK4: upsert sink commits one snapshot per batch and re-runs " +
+       "to the identical table") {
+    def run() = SparkEntry.queries("snk4_upsert")(s, sf).collect()
+      .map(_.toSeq).toSeq
+    val r1 = run()
+    assert(r1.nonEmpty)
+    // batch-id-named snapshots: exactly one per data batch of the replay
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_upsert",
+      s"p${ProcessHandle.current().pid()}",
+      sf.replaceAll("[^a-zA-Z0-9.]", "_"))
+    val snaps = Files.list(root).iterator()
+    val names = Iterator.continually(snaps)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSet
+    assert(names == (0 until Replayer.NumFiles).map(i => s"v$i").toSet,
+      s"expected one vN snapshot per replay batch, got $names")
+    // idempotence: a full re-run (fresh checkpoint, same batch ids)
+    // overwrites the same paths and yields the identical committed table
+    assert(run() == r1, "re-running the upsert changed the committed table")
+  }
+
   test("SRC5: MemoryStream source feeds a streaming aggregation") {
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
