@@ -6,8 +6,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // optional extra args: restrict to the named queries (dev loop only —
-    // the driver passes exactly two args and gets the full sweep)
+    // the driver passes exactly two args and gets the full sweep). A
+    // misspelled name must fail loudly, not run an empty "green" sweep.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val spark = Harness.session()
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -347,16 +347,18 @@ object Curation {
         .mapPartitions { it =>
           val defl = new java.util.zip.Deflater(6)
           val buf = new Array[Byte](1 << 16)
-          // the appended by-name empty iterator runs when the mapped one
-          // is exhausted — releases the native zlib stream at end of
-          // partition instead of waiting on finalization
+          // release the native zlib stream on EVERY task exit path —
+          // completion, early termination (limit pushdown), or abort —
+          // not just full iterator drain
+          Option(org.apache.spark.TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => defl.end()))
           it.map { case (id, text) =>
             val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             defl.reset(); defl.setInput(in); defl.finish()
             var n = 0L
             while (!defl.finished()) n += defl.deflate(buf)
             (id, in.length.toLong, n)
-          } ++ { defl.end(); Iterator.empty }
+          }
         }
         .toDF("doc_id", "n_raw", "n_comp")
         .orderBy(col("doc_id"))

@@ -534,12 +534,18 @@ object Llm {
     * AnnBench sweeps this trade-off and BASELINE.md records it. All
     * arithmetic stays integer-exact regardless of parameters, so any
     * setting is oracle-expressible, not just the canonical (3, 5). */
+  /** The query-vector subset — ONE definition of "which rows are
+    * queries", shared by probing (ivfCandidates) and both scoring paths
+    * so the probe set and scoring set cannot diverge. */
+  private def queryVecs(e: DataFrame, qids: Seq[Int]): DataFrame =
+    e.filter(col("vec_id").isin(qids: _*))
+
   def ivfTopK(s: SparkSession, d: String, nprobe: Int = IvfNprobe, k: Int = 5,
               rassign: Int = IvfRassign,
               qids: Seq[Int] = IvfQids): DataFrame = {
     val e = qvecs(s, d)
     val candIds = ivfCandidates(s, d, e, nprobe, rassign, qids)
-    val qs = e.filter(col("vec_id").isin(qids: _*))
+    val qs = queryVecs(e, qids)
       .select(col("vec_id").as("qid"), col("q").as("qq"),
               col("nrm").as("qn"))
     val scored = candIds
@@ -580,7 +586,7 @@ object Llm {
         .filter(col("ok") > col("mo"))
         .select(col("vec_id"), col("ok"))
     }
-    val qs = e.filter(col("vec_id").isin(qids: _*))
+    val qs = queryVecs(e, qids)
       .select(col("vec_id").as("qid"), col("q").as("qq"))
     val pw = Window.partitionBy(col("qid")).orderBy(col("ok"))
     val probes = qs.join(cdf)
@@ -629,7 +635,7 @@ object Llm {
     val e = qvecs(s, d)
     val candIds = ivfCandidates(s, d, e, nprobe, rassign, qids)
     val coded = codedVecs(e)
-    val qs = coded.filter(col("vec_id").isin(qids: _*))
+    val qs = queryVecs(coded, qids)
       .select(col("vec_id").as("qid"), col("code").as("cq"),
               col("cn").as("qn"))
     val scored = candIds

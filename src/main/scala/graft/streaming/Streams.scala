@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 import graft.core.Tables
 
 /** Typed row for the S8 funnel (event time kept as epoch MICROS — exact
@@ -73,6 +74,50 @@ object Streams {
       }
     } finally Replayer.dropCheckpoint(ckpt) // keep tmpfs tidy
     s.table(name)
+  }
+
+  /** SNK4 snapshot root for a dataset dir — pid-scoped (two concurrent
+    * processes must not merge into each other's table) and exposed so
+    * StreamingSpec asserts against the same path construction. First use
+    * sweeps snapshot roots left by DEAD pids and registers a shutdown
+    * hook for this process's root, so repeated bench/test JVMs do not
+    * accumulate orphans under tmpdir. */
+  private[graft] def upsertRoot(d: String): java.nio.file.Path = {
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_upsert")
+    if (java.nio.file.Files.exists(base)) {
+      val kids = java.nio.file.Files.list(base)
+      try kids.iterator().forEachRemaining { p =>
+        val name = p.getFileName.toString
+        val dead = name.startsWith("p") &&
+          name.drop(1).toLongOption.exists { pid =>
+            val h = ProcessHandle.of(pid)
+            !h.isPresent || !h.get().isAlive
+          }
+        if (dead) Replayer.deleteTree(p)
+      } finally kids.close()
+    }
+    upsertShutdownHook // register once
+    base.resolve(s"p${ProcessHandle.current().pid()}")
+      .resolve(d.replaceAll("[^a-zA-Z0-9.]", "_"))
+  }
+
+  private lazy val upsertShutdownHook: Unit =
+    sys.addShutdownHook {
+      Replayer.deleteTree(java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_upsert",
+        s"p${ProcessHandle.current().pid()}"))
+    }
+
+  /** Highest-batch-id committed snapshot under `root`. */
+  private def latestSnapshot(root: java.nio.file.Path): String = {
+    val kids = java.nio.file.Files.list(root)
+    val ids =
+      try kids.iterator().asScala.flatMap(
+        _.getFileName.toString.stripPrefix("v").toLongOption).toSeq
+      finally kids.close()
+    require(ids.nonEmpty, "upsert sink committed no snapshot")
+    root.resolve(s"v${ids.max}").toString
   }
 
   /** RocksDB provider conf for transformWithState runs (TWS requires it;
@@ -211,15 +256,11 @@ object Streams {
     // at scale; here it is dim-sized). The final state equals the batch
     // argmax-per-key, which is what the oracle hashes.
     "snk4_upsert" -> ((s, d) => {
-      val root = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_upsert",
-        s"p${ProcessHandle.current().pid()}",
-        d.replaceAll("[^a-zA-Z0-9.]", "_"))
+      val root = upsertRoot(d)
       Replayer.deleteTree(root) // fresh run: no stale snapshots
       java.nio.file.Files.createDirectories(root)
       val best = struct(col("ts"), col("event_id"), col("event_type"),
                         col("value"))
-      @volatile var latest: Option[String] = None
       val ckpt = Replayer.checkpoint()
       try {
         ConfScope.withConf(s, Map(
@@ -227,25 +268,31 @@ object Streams {
           NoFinalBatch) {
           val q = Replayer.stream(s, d, "clean").writeStream
             .foreachBatch { (batch: DataFrame, id: Long) =>
+              // the previous snapshot is addressed by BATCH ID, never by
+              // in-memory state: after a checkpoint restart resumes at
+              // batch N, v(N−1) is found on disk and the merge continues
+              // where the committed table left off (a driver-local var
+              // here would silently restart the table from batch N — and
+              // a same-id replay would read and overwrite one path).
+              // Reading v(id−1) while writing v(id) never overlaps.
               val snap = s"$root/v$id"
+              val prev = java.nio.file.Paths.get(s"$root/v${id - 1}")
               val bAgg = batch
                 .groupBy(col("user_id")).agg(max(best).as("best"))
-              val merged = latest match {
-                case Some(p) => batch.sparkSession.read.parquet(p)
-                  .unionByName(bAgg)
-                  .groupBy(col("user_id")).agg(max(col("best")).as("best"))
-                case None => bAgg
-              }
+              val merged =
+                if (java.nio.file.Files.exists(prev))
+                  batch.sparkSession.read.parquet(prev.toString)
+                    .unionByName(bAgg)
+                    .groupBy(col("user_id")).agg(max(col("best")).as("best"))
+                else bAgg
               merged.write.mode("overwrite").parquet(snap)
-              latest = Some(snap)
             }
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
         }
       } finally Replayer.dropCheckpoint(ckpt)
-      s.read.parquet(latest.getOrElse(
-          sys.error("upsert sink committed no snapshot")))
+      s.read.parquet(latestSnapshot(root))
         .select(col("user_id"), col("best.ts").as("last_ts"),
           col("best.event_id").as("last_event_id"),
           col("best.event_type").as("last_type"),

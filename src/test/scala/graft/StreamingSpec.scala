@@ -24,13 +24,14 @@ class StreamingSpec extends AnyFunSuite {
     val r1 = run()
     assert(r1.nonEmpty)
     // batch-id-named snapshots: exactly one per data batch of the replay
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_upsert",
-      s"p${ProcessHandle.current().pid()}",
-      sf.replaceAll("[^a-zA-Z0-9.]", "_"))
-    val snaps = Files.list(root).iterator()
-    val names = Iterator.continually(snaps)
-      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSet
+    // (path construction shared with the sink itself, not duplicated)
+    val root = graft.streaming.Streams.upsertRoot(sf)
+    val listing = Files.list(root)
+    val names =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally listing.close()
     assert(names == (0 until Replayer.NumFiles).map(i => s"v$i").toSet,
       s"expected one vN snapshot per replay batch, got $names")
     // idempotence: a full re-run (fresh checkpoint, same batch ids)
