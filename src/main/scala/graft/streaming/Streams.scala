@@ -109,8 +109,33 @@ object Streams {
         s"p${ProcessHandle.current().pid()}"))
     }
 
+  /** SNK4's per-batch merge — the previous snapshot is addressed by
+    * BATCH ID on disk, never by in-memory state: after a checkpoint
+    * restart resumes at batch N, v(N−1) is found on disk and the merge
+    * continues where the committed table left off (a driver-local var
+    * would silently restart the table from batch N — and a same-id
+    * replay would read and overwrite one path). Reading v(id−1) while
+    * writing v(id) never overlaps; a replayed id rewrites the same path
+    * with the same bytes. Shared with StreamingSpec's kill/restart test
+    * so the recovery path under test IS the canonical one. */
+  private[graft] def upsertMerge(root: java.nio.file.Path)
+                                (batch: DataFrame, id: Long): Unit = {
+    val best = struct(col("ts"), col("event_id"), col("event_type"),
+                      col("value"))
+    val snap = root.resolve(s"v$id")
+    val prev = root.resolve(s"v${id - 1}")
+    val bAgg = batch.groupBy(col("user_id")).agg(max(best).as("best"))
+    val merged =
+      if (java.nio.file.Files.exists(prev))
+        batch.sparkSession.read.parquet(prev.toString)
+          .unionByName(bAgg)
+          .groupBy(col("user_id")).agg(max(col("best")).as("best"))
+      else bAgg
+    merged.write.mode("overwrite").parquet(snap.toString)
+  }
+
   /** Highest-batch-id committed snapshot under `root`. */
-  private def latestSnapshot(root: java.nio.file.Path): String = {
+  private[graft] def latestSnapshot(root: java.nio.file.Path): String = {
     val kids = java.nio.file.Files.list(root)
     val ids =
       try kids.iterator().asScala.flatMap(
@@ -259,34 +284,13 @@ object Streams {
       val root = upsertRoot(d)
       Replayer.deleteTree(root) // fresh run: no stale snapshots
       java.nio.file.Files.createDirectories(root)
-      val best = struct(col("ts"), col("event_id"), col("event_type"),
-                        col("value"))
       val ckpt = Replayer.checkpoint()
       try {
         ConfScope.withConf(s, Map(
           "spark.sql.shuffle.partitions" -> streamPartitions) ++
           NoFinalBatch) {
           val q = Replayer.stream(s, d, "clean").writeStream
-            .foreachBatch { (batch: DataFrame, id: Long) =>
-              // the previous snapshot is addressed by BATCH ID, never by
-              // in-memory state: after a checkpoint restart resumes at
-              // batch N, v(N−1) is found on disk and the merge continues
-              // where the committed table left off (a driver-local var
-              // here would silently restart the table from batch N — and
-              // a same-id replay would read and overwrite one path).
-              // Reading v(id−1) while writing v(id) never overlaps.
-              val snap = s"$root/v$id"
-              val prev = java.nio.file.Paths.get(s"$root/v${id - 1}")
-              val bAgg = batch
-                .groupBy(col("user_id")).agg(max(best).as("best"))
-              val merged =
-                if (java.nio.file.Files.exists(prev))
-                  batch.sparkSession.read.parquet(prev.toString)
-                    .unionByName(bAgg)
-                    .groupBy(col("user_id")).agg(max(col("best")).as("best"))
-                else bAgg
-              merged.write.mode("overwrite").parquet(snap)
-            }
+            .foreachBatch(upsertMerge(root) _)
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()

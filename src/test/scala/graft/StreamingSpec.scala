@@ -39,6 +39,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(run() == r1, "re-running the upsert changed the committed table")
   }
 
+  test("SNK4: a checkpoint restart resumes the merge from the " +
+       "committed v(id-1) snapshot") {
+    import graft.streaming.Streams
+    val dir = Replayer.ensure(s, sf, "clean")
+    val schema = s.read.parquet(dir).schema
+    val ckpt = Files.createTempDirectory("graft_snk4_ckpt").toString
+    val root = Files.createTempDirectory("graft_snk4_snap")
+    def stream() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+
+    // phase 1: commit a strict prefix of the batches, then "crash"
+    val q1 = stream().writeStream.foreachBatch(Streams.upsertMerge(root) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.nanoTime() < deadline) Thread.sleep(100)
+    q1.stop() // mid-stream kill
+
+    // phase 2: restart from the same checkpoint; the first resumed batch
+    // must find phase 1's last snapshot ON DISK (no driver state
+    // survives the "crash") and keep merging into it
+    val q2 = stream().writeStream.foreachBatch(Streams.upsertMerge(root) _)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(q2.recentProgress.map(_.numInputRows).sum > 0,
+      "phase 2 processed nothing — the restart path was not exercised")
+
+    // the committed table equals the batch argmax per key
+    val got = s.read.parquet(Streams.latestSnapshot(root))
+      .select(col("user_id"), col("best.event_id").as("last_event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = s.read.parquet(dir)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"))).as("b"))
+      .select(col("user_id"), col("b.event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp, "restarted upsert table diverged from batch argmax")
+  }
+
   test("SRC5: MemoryStream source feeds a streaming aggregation") {
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
