@@ -33,10 +33,12 @@ object Engine {
     s
   }
 
-  /** Register the data directory's tables + native functions. */
+  /** Register the data directory's tables + native functions + the
+    * scalar UDF surface, so SQL-text callers see the full engine. */
   def open(spark: SparkSession, dir: String): SparkSession = {
     Tables.registerAll(spark, dir)
     GraftFunctions.ensure(spark)
+    graft.llm.Llm.registerSqlUdfs(spark)
     spark
   }
 

@@ -38,10 +38,18 @@ object Llm {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
-  private val slugifyUdf =
-    udf((s: String) =>
-      if (s == null) null
-      else s.toLowerCase.replaceAll("[^a-z0-9]+", "-"))
+  /** X1's scalar function — ONE definition behind both the DataFrame
+    * `udf` and the SQL-registered form, so the two entry points cannot
+    * drift (EngineSpec pins their equality). */
+  private[graft] val slugify: String => String =
+    s => if (s == null) null
+         else s.toLowerCase.replaceAll("[^a-z0-9]+", "-")
+
+  private val slugifyUdf = udf(slugify)
+
+  /** Register the UDF surface for SQL-text callers (E1); idempotent. */
+  private[graft] def registerSqlUdfs(sp: SparkSession): Unit =
+    sp.udf.register("slugify", slugify)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L1 — exact dedup on normalized text. 100 TB: one hash-groupBy (2-

@@ -34,6 +34,17 @@ class EngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 42L)
   }
 
+  test("Engine.sql calls the registered scalar UDF (X1 from SQL text)") {
+    Engine.open(s, TestSpark.Sf)
+    val viaSql = Engine.sql(s,
+      """SELECT doc_id, slugify(concat_ws('_', lang, source)) AS slug
+        |FROM documents ORDER BY doc_id""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val viaApi = SparkEntry.queries("x1_udf")(s, TestSpark.Sf)
+      .collect().map(_.toString).toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("salting pattern: skew-safe join equals the plain join") {
     import org.apache.spark.sql.functions._
     // 100 TB pattern: a hot key (here: the most common nationkey) is
