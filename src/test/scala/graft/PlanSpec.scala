@@ -217,6 +217,21 @@ class PlanSpec extends AnyFunSuite {
       s"lateral degraded to a per-row nested loop:\n${p.take(2000)}")
   }
 
+  test("W7: both window passes share ONE shuffle on the partition key") {
+    val df = SparkEntry.queries("w7_distinct_window")(
+      TestSpark.spark, TestSpark.Sf)
+    df.collect() // finalize AQE
+    // AQE's toString appends an "== Initial Plan ==" copy — count only
+    // the executed Final Plan section
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx =
+      "Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly one o_custkey shuffle feeding both windows, " +
+      s"got $hashEx:\n${p.take(2000)}")
+  }
+
   test("L26: the decile rank never materializes a single-task window") {
     // the a8-recipe rank must keep every Window partitioned (by pid);
     // an empty partitionBy would serialize the corpus through one task
