@@ -86,16 +86,20 @@ object Streams {
     val base = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_upsert")
     if (java.nio.file.Files.exists(base)) {
-      val kids = java.nio.file.Files.list(base)
-      try kids.iterator().forEachRemaining { p =>
-        val name = p.getFileName.toString
-        val dead = name.startsWith("p") &&
-          name.drop(1).toLongOption.exists { pid =>
-            val h = ProcessHandle.of(pid)
-            !h.isPresent || !h.get().isAlive
-          }
-        if (dead) Replayer.deleteTree(p)
-      } finally kids.close()
+      // best-effort: two processes may sweep the same orphan
+      // concurrently — a lost race must not fail the query
+      try {
+        val kids = java.nio.file.Files.list(base)
+        try kids.iterator().forEachRemaining { p =>
+          val name = p.getFileName.toString
+          val dead = name.startsWith("p") &&
+            name.drop(1).toLongOption.exists { pid =>
+              val h = ProcessHandle.of(pid)
+              !h.isPresent || !h.get().isAlive
+            }
+          if (dead) Replayer.deleteTree(p)
+        } finally kids.close()
+      } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => }
     }
     upsertShutdownHook // register once
     base.resolve(s"p${ProcessHandle.current().pid()}")
