@@ -103,6 +103,24 @@ object SourcesSinks {
              max(col("l_shipdate")).as("max_ship"))
     }),
 
+    // SRC7 + SNK1 — ORC round-trip of lineitem: the other major columnar
+    // format Spark ships natively (vectorized reader, predicate pushdown
+    // — the same scan machinery as parquet behind `format("orc")`). The
+    // checksum must equal SRC2's CSV round-trip and the DuckDB oracle on
+    // the original parquet: three formats, one table, one hash.
+    "src7_orc_roundtrip" -> ((s, dir) => {
+      val src = Tables.lineitem(s, dir)
+      val tmp = stagingDir("orc", dir)
+      src.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_orderkey")).as("sum_okey"),
+             sum(asLong(col("l_quantity"))).as("sum_qty"),
+             d(sum(money(col("l_extendedprice")))).as("sum_price"),
+             min(col("l_shipdate")).as("min_ship"),
+             max(col("l_shipdate")).as("max_ship"))
+    }),
+
     // SRC3 + SNK1 — JSON-lines round-trip of events (µs timestamps).
     "src3_json_roundtrip" -> ((s, dir) => {
       val src = Tables.events(s, dir)
@@ -134,6 +152,15 @@ object SourcesSinks {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    // same totals as src2 — DuckDB reads the original parquet; the ORC
+    // write/read must be lossless
+    "src7_orc_roundtrip" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
     "src3_json_roundtrip" ->
       """SELECT count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id,
