@@ -22,13 +22,17 @@ object AnnBench {
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
 
     val exact = topSet(SparkEntry.queries("l3_cosine_topk")(spark, sfDir))
-    val rows = for (rassign <- 1 to 2; nprobe <- 1 to 10) yield {
-      val p50 = Harness.timed3(
-        graft.llm.Llm.ivfTopK(spark, sfDir, nprobe, rassign = rassign))(1)
-      val approx = topSet(
-        graft.llm.Llm.ivfTopK(spark, sfDir, nprobe, rassign = rassign))
-      val recall = (exact & approx).size.toDouble / exact.size
-      f"""{"rassign":$rassign,"nprobe":$nprobe,"recall_at_5":$recall%.3f,"p50_sec":$p50%.3f}"""
+    // scoring = "full" (micro-long payload, l3c) vs "int8" (quantized
+    // codes, l3d) — same candidates, different scoring bandwidth
+    val rows = for (scoring <- Seq("full", "int8"); rassign <- 1 to 2;
+                    nprobe <- 1 to 10) yield {
+      def run() =
+        if (scoring == "int8")
+          graft.llm.Llm.ivfInt8TopK(spark, sfDir, nprobe, rassign = rassign)
+        else graft.llm.Llm.ivfTopK(spark, sfDir, nprobe, rassign = rassign)
+      val p50 = Harness.timed3(run())(1)
+      val recall = (exact & topSet(run())).size.toDouble / exact.size
+      f"""{"scoring":"$scoring","rassign":$rassign,"nprobe":$nprobe,"recall_at_5":$recall%.3f,"p50_sec":$p50%.3f}"""
     }
     println(s"""{"metric":"ann_sweep","sf":"$sfDir","baseline":"l3_cosine_topk","sweep":[${rows.mkString(",")}]}""")
     spark.stop()
