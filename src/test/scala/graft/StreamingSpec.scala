@@ -80,6 +80,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == exp, "restarted upsert table diverged from batch argmax")
   }
 
+  test("S10: rank windows ON a streaming DataFrame are rejected — the " +
+       "executable reason for the agg-stream + batch-rank shape") {
+    val dir = Replayer.ensure(s, sf, "clean")
+    val schema = s.read.parquet(dir).schema
+    val st = s.readStream.schema(schema).parquet(dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"))
+    val bad = st.withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(w))
+    val ckpt = Files.createTempDirectory("graft_s10_neg").toString
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      val q = bad.writeStream.format("memory").queryName("s10_neg")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    assert(e.getMessage.toLowerCase.contains("window")
+        || e.getMessage.toLowerCase.contains("streaming"),
+      s"unexpected rejection message: ${e.getMessage.take(200)}")
+  }
+
   test("SRC5: MemoryStream source feeds a streaming aggregation") {
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
