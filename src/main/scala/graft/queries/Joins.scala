@@ -170,17 +170,25 @@ object Joins {
     // engine form therefore MATERIALIZES the iteration-invariant
     // rn-indexed sequence once (localCheckpoint, same move as L22's CC
     // loop) and recurses over the checkpointed view: 22 s → 5.3 s.
-    // The remainder is the floor of 24 SEQUENTIAL level executions
-    // (shuffle-width sweep 32/8/2 → 6.0/5.0/5.0 s: per-level fixed
-    // overhead, not data) — the honest price of depth-24 recursion,
-    // same cost class as L22's iterative fixpoint.
+    // The remaining floor was 24 SEQUENTIAL level executions at ~230 ms
+    // of per-level fixed cost; BROADCAST(walk) in the recursive term
+    // removes it (r7 full-pipeline sweep, sf0.1 p50: 5.6 s → 2.6 s).
+    // The frontier is ≤ |customers with orders remaining| rows (15 k
+    // here) and SHRINKS every level; broadcasting it turns each level's
+    // join from a 32-partition shuffle exchange into one broadcast-hash
+    // stage over the checkpointed sequence. The hint rides in j12Body,
+    // so the identical text still runs in DuckDB (a /*+ */ hint is a
+    // standard SQL comment there). Coalescing the sequence to 1
+    // partition was also swept: it helps the loop but collapses the
+    // (timed) window prep onto one core — natural partitioning wins
+    // end-to-end.
     // PlanSpec pins the hoist (no Window inside the recursive plan).
-    // 100 TB: each level is then one equi-join of the frontier
-    // (≤ |customers| rows) against the materialized sequence — shuffle
-    // volume is bounded by the frontier, never the corpus, and levels
-    // run as ordinary batch jobs (no driver-side state but the loop
-    // counter). On a cluster, swap localCheckpoint for a
-    // reliable checkpoint/table — same hoist, fault-tolerant.
+    // 100 TB: the frontier-broadcast stays right as long as the frontier
+    // side fits the broadcast budget (it is dim-sized: bounded by
+    // customers, shrinking per level); past that, drop the hint and
+    // each level is one frontier-bounded shuffle join — still never
+    // corpus-sized. Swap localCheckpoint for a reliable checkpoint/
+    // table — same hoist, fault-tolerant.
     "j12_recursive" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(j12SeqSql).localCheckpoint()
@@ -228,7 +236,10 @@ object Joins {
   /** The recursive walk over a given sequence relation — `seq` (inline
     * CTE) for the self-contained oracle/parity text, `j12_seq` (the
     * materialized view) for the engine's canonical form. One body, two
-    * bindings: the texts cannot drift apart. */
+    * bindings: the texts cannot drift apart. The BROADCAST(w) hint in
+    * the recursive term keeps each level shuffle-free in Spark (see the
+    * j12 query comment) and reads as a plain block comment in DuckDB —
+    * one text, both engines. */
   private[graft] def j12Body(rel: String): String =
     s"""walk(o_custkey, rn, bal) AS (
       |  SELECT o_custkey, rn,
@@ -237,7 +248,7 @@ object Joins {
       |               CAST(50000.00 AS DECIMAL(18,2)) - price)) AS DECIMAL(18,2))
       |  FROM $rel WHERE rn = 1
       |  UNION ALL
-      |  SELECT s.o_custkey, s.rn,
+      |  SELECT /*+ BROADCAST(w) */ s.o_custkey, s.rn,
       |    CAST(greatest(CAST(0.00 AS DECIMAL(18,2)),
       |         least(CAST(100000.00 AS DECIMAL(18,2)),
       |               w.bal + CAST(50000.00 AS DECIMAL(18,2)) - s.price)) AS DECIMAL(18,2))

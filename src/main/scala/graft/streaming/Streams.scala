@@ -102,8 +102,14 @@ object Streams {
       } catch { case _: java.io.IOException | _: java.io.UncheckedIOException => }
     }
     upsertShutdownHook // register once
+    // sha-8 suffix keeps the dir→root mapping injective: sanitization
+    // alone could collide two distinct dataset paths onto one snapshot
+    // root, and a colliding concurrent run would merge into (and
+    // delete) the other's table
+    val sha8 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     base.resolve(s"p${ProcessHandle.current().pid()}")
-      .resolve(d.replaceAll("[^a-zA-Z0-9.]", "_"))
+      .resolve(d.replaceAll("[^a-zA-Z0-9.]", "_") + "_" + sha8)
   }
 
   private lazy val upsertShutdownHook: Unit =
@@ -124,6 +130,12 @@ object Streams {
     * so the recovery path under test IS the canonical one. */
   private[graft] def upsertMerge(root: java.nio.file.Path)
                                 (batch: DataFrame, id: Long): Unit = {
+    // the struct max orders by (ts, event_id) and only then by the
+    // payload fields; the oracle orders by ts DESC, event_id DESC alone.
+    // The two agree because event_id is UNIQUE in events (asserted in
+    // StreamingSpec "events event_id is unique"), so the payload
+    // positions never decide — if uniqueness ever broke, the spec fails
+    // loudly instead of the hash diverging silently.
     val best = struct(col("ts"), col("event_id"), col("event_type"),
                       col("value"))
     val snap = root.resolve(s"v$id")

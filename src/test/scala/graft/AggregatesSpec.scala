@@ -81,6 +81,20 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("a14 group sizes stay inside the probed percentile_disc " +
+       "agreement range (n <= 300)") {
+    // Spark's percentile_disc rule (smallest value with cume_dist >= p)
+    // and DuckDB's were probed to select the SAME index at p=0.9 for
+    // every n = 1..300 (see the a14 query comment). The a14 input
+    // (orders with o_orderkey < 100) must keep its groups inside that
+    // probed range, or the definitional-agreement claim lapses.
+    val sizes = Tables.orders(s, sf).filter(col("o_orderkey") < 100)
+      .groupBy(col("o_orderstatus")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.nonEmpty && sizes.forall(n => n >= 1 && n <= 300),
+      s"a14 group sizes out of probed range: ${sizes.mkString(",")}")
+  }
+
   test("L10 and L12 find the same verified near-dup pairs") {
     // two independent candidate generators (MinHash-LSH bands vs
     // rare-token blocking) must agree on the >= 0.95-Jaccard pairs

@@ -39,6 +39,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(run() == r1, "re-running the upsert changed the committed table")
   }
 
+  test("events event_id is unique — the precondition that makes " +
+       "upsertMerge's struct-max agree with the (ts, event_id) oracle") {
+    // upsertMerge's max(struct(ts, event_id, event_type, value)) can
+    // only diverge from the oracle's ORDER BY ts DESC, event_id DESC if
+    // two rows of one user share (ts, event_id); global event_id
+    // uniqueness rules that out. Loud failure here beats a silent hash
+    // divergence in snk4_upsert.
+    val ev = Tables.events(s, sf)
+    val n = ev.count()
+    val nd = ev.select(countDistinct(col("event_id"))).head().getLong(0)
+    assert(n == nd, s"event_id not unique: $n rows, $nd distinct")
+  }
+
   test("SNK4: a checkpoint restart resumes the merge from the " +
        "committed v(id-1) snapshot") {
     import graft.streaming.Streams
@@ -49,14 +62,21 @@ class StreamingSpec extends AnyFunSuite {
     def stream() = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
 
-    // phase 1: commit a strict prefix of the batches, then "crash"
-    val q1 = stream().writeStream.foreachBatch(Streams.upsertMerge(root) _)
+    // phase 1: a RESTRICTED glob (first 3 of the 5 replay files) drained
+    // to completion — a deterministic strict prefix, the same shape as
+    // the RocksDB restart test in ScaleSpec. (The previous poll-then-
+    // stop() could drain all 5 batches on a fast machine, making phase 2
+    // vacuous — the exact flakiness that test's comment documents.)
+    def streamPrefix() = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/batch0[0-2].parquet")
+    val q1 = streamPrefix().writeStream
+      .foreachBatch(Streams.upsertMerge(root) _)
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
-    val deadline = System.nanoTime() + 60L * 1000000000L
-    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
-           System.nanoTime() < deadline) Thread.sleep(100)
-    q1.stop() // mid-stream kill
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination() // "crash" after a committed strict prefix
+    assert(q1.recentProgress.map(_.numInputRows).sum > 0,
+      "phase 1 processed nothing — no prefix was committed")
 
     // phase 2: restart from the same checkpoint; the first resumed batch
     // must find phase 1's last snapshot ON DISK (no driver state
