@@ -509,8 +509,48 @@ object Streams {
     // guarantees floor((n−190)/211)+1 deterministic conversions (4 at
     // sf0.001, 47 at sf0.01) with chains straddling micro-batch
     // boundaries — a positive proof that per-key state survives batches.
-    "s8b_funnel_injected" -> ((s, d) => funnelTws(s, d, "funnel"))
+    "s8b_funnel_injected" -> ((s, d) => funnelTws(s, d, "funnel")),
+
+    // S11 — CHAINED stateful operators in ONE streaming query: dedup →
+    // broadcast dim enrich → tumbling window agg, the genre's actual
+    // ODS→DWD→DWS pipeline shape, running in a single
+    // IncrementalExecution (Spark 4 multi-stateful support) instead of
+    // one query per layer. The duplicate-injected replay feeds
+    // dropDuplicatesWithinWatermark; its APPEND output flows straight
+    // into the stream-static customer join (stateless — dim broadcast)
+    // and then a second stateful operator, the watermarked hourly agg.
+    // StreamingSpec pins that the executed plan really ran BOTH state
+    // stores (stateOperators = dedupeWithinWatermark + stateStoreSave).
+    // Append mode end-to-end: only watermark-closed windows emit, and
+    // the oracle models the same strict eviction rule as s3/s7
+    // (win_start + 1h < max(ts) − delay). No NoFinalBatch here — append
+    // emits ON the final watermark advance.
+    // 100 TB: one pipeline = one shuffle per stateful operator (dedup
+    // keys, then window×segment groups), dedup state bounded by the
+    // watermark, agg state by |open windows|·|segments|; the dim side
+    // never shuffles. Chaining removes the intermediate sink+rescan a
+    // per-layer deployment would pay.
+    "s11_chained" -> ((s, d) => {
+      runToMemory(s, s11Plan(s, d), "append")
+        .select(col("window.start").as("win_start"), col("c_mktsegment"),
+                col("n"), col("sv").cast(DoubleType).as("sum_value"))
+        .orderBy(col("win_start"), col("c_mktsegment"))
+    })
   )
+
+  /** S11's streaming plan, shared with StreamingSpec's two-state-stores
+    * pin so the plan under test IS the canonical one. */
+  private[graft] def s11Plan(s: SparkSession, d: String): DataFrame = {
+    val cust = broadcast(Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    Replayer.stream(s, d, "dup")
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .filter(col("event_type") === "purchase")
+      .join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), sum(vdec).as("sv"))
+  }
 
   private val HourUs = 3600L * 1000000L
 
@@ -764,6 +804,24 @@ object Streams {
         |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
         |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 1 HOUR))
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    // s11 — dedup restores the clean events table exactly (the s6
+    // oracle's own premise), so the batch model is clean events ⋈
+    // customer rolled up hourly, with the s3/s7 strict append-mode
+    // eviction rule on the final watermark.
+    "s11_chained" ->
+      """WITH fw AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |agg AS (
+        |  SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS win_start,
+        |    c.c_mktsegment, count(*) AS n,
+        |    CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT a.win_start, a.c_mktsegment, a.n, a.sum_value
+        |FROM agg a CROSS JOIN fw
+        |WHERE a.win_start + INTERVAL 1 HOUR < fw.w
+        |ORDER BY a.win_start, a.c_mktsegment""".stripMargin,
+
     // s8b — identical funnel semantics over the arithmetically-rewritten
     // events (mirrors Replayer's "funnel" variant row-for-row).
     "s8b_funnel_injected" ->
