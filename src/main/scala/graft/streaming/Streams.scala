@@ -349,6 +349,36 @@ object Streams {
         .orderBy(col("user_id"), col("first_ts"))
     }),
 
+    // S3b — DYNAMIC-gap session windows (added r7): the gap is a per-ROW
+    // expression (15 min after a view, 30 after a click, 60 after a
+    // purchase, 20 otherwise), so a session is the union of overlapping
+    // [ts, ts+gap) intervals — the general form of session windowing
+    // that fixed-gap s3 cannot express. Append mode with the same
+    // strict final-watermark eviction as s3; the oracle replays the
+    // interval-union merge as a running-max-end island scan (new
+    // session exactly when ts ≥ max prior end — the same half-open
+    // [start, end) convention Spark applies; verified row-for-row vs
+    // the engine at sf0.01 in the r7 probe).
+    // 100 TB: identical state story to s3 — one shuffle on user_id,
+    // state = open sessions only, watermark-evicted; the gap expression
+    // is evaluated map-side and adds no state.
+    "s3b_session_dynamic" -> ((s, d) => {
+      val gap = expr(
+        """CASE event_type WHEN 'view' THEN '15 minutes'
+          |  WHEN 'click' THEN '30 minutes'
+          |  WHEN 'purchase' THEN '60 minutes'
+          |  ELSE '20 minutes' END""".stripMargin)
+      val agg = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      runToMemory(s, agg, "append")
+        .select(col("user_id"), col("first_ts"), col("last_ts"),
+                col("n_events"))
+        .orderBy(col("user_id"), col("first_ts"))
+    }),
+
     // S4 / J9 — stream-static dim join (broadcast customer) + windowed
     // agg. Complete mode for the oracle only — production is
     // append+watermark into foreachBatch (see S1 note).
@@ -669,6 +699,39 @@ object Streams {
         |FROM sess
         |WHERE last_ts + INTERVAL 30 MINUTE <
         |  (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        |ORDER BY user_id, first_ts""".stripMargin,
+    // s3b — interval-union sessions: running max of prior interval ends
+    // per user; a row opens a new session iff ts >= that max (half-open
+    // [start, end) windows). Eviction = s3's strict rule on the merged
+    // session end max(e_end).
+    "s3b_session_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    ts + CASE event_type WHEN 'view' THEN INTERVAL 15 MINUTE
+        |         WHEN 'click' THEN INTERVAL 30 MINUTE
+        |         WHEN 'purchase' THEN INTERVAL 60 MINUTE
+        |         ELSE INTERVAL 20 MINUTE END AS e_end
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, ts, event_id, e_end,
+        |    max(e_end) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, ts, e_end,
+        |    sum(CASE WHEN pme IS NULL OR ts >= pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, sid,
+        |    CAST(min(ts) AS TIMESTAMP) AS first_ts,
+        |    CAST(max(ts) AS TIMESTAMP) AS last_ts,
+        |    max(e_end) AS s_end, count(*) AS n_events
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, first_ts, last_ts, n_events
+        |FROM sess
+        |WHERE s_end < (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
         |ORDER BY user_id, first_ts""".stripMargin,
     "s4_stream_static" ->
       """SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS win_start,
