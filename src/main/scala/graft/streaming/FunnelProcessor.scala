@@ -13,10 +13,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * Requires the RocksDB state store provider (a transformWithState
   * constraint, which is also the declared 100 TB state backend).
   * Semantics identical to Streams.funnel: a purchase converts when some
-  * click ≤ it has a view ≤ that click with view ≥ purchase − 1 h; state
-  * pruned to the trailing hour per user.
+  * click ≤ it has a view ≤ that click with view ≥ purchase − windowUs;
+  * state pruned to the trailing window per user. The window is a
+  * constructor parameter: s8/s8b run the 1-hour form, s8c the 24-hour
+  * form that converts NATURALLY at every shipped sf (14 purchases at
+  * sf0.001, 143 at sf0.01) — state stays bounded by the per-user
+  * trailing window either way.
   */
-class FunnelProcessor
+class FunnelProcessor(windowUs: Long = 3600L * 1000000L)
     extends StatefulProcessor[Long, FunnelEvent, (Long, Long)] {
 
   @transient private var st: ValueState[FunnelState] = _
@@ -31,7 +35,7 @@ class FunnelProcessor
     var views = prev.views.toList
     var pairs = prev.pairs.toList
     val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
-    val hourUs = 3600L * 1000000L
+    val winUs = windowUs
     var maxTs = 0L
     rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
       maxTs = math.max(maxTs, e.tsu)
@@ -41,13 +45,13 @@ class FunnelProcessor
           val v = views.filter(_ <= e.tsu)
           if (v.nonEmpty) pairs ::= (e.tsu, v.max)
         case "purchase" =>
-          if (pairs.exists { case (c, v) => c <= e.tsu && v >= e.tsu - hourUs })
+          if (pairs.exists { case (c, v) => c <= e.tsu && v >= e.tsu - winUs })
             out += ((user, e.event_id))
         case _ => ()
       }
     }
-    views = views.filter(_ >= maxTs - hourUs)
-    pairs = pairs.filter(_._2 >= maxTs - hourUs)
+    views = views.filter(_ >= maxTs - winUs)
+    pairs = pairs.filter(_._2 >= maxTs - winUs)
     st.update(FunnelState(views, pairs))
     out.iterator
   }

@@ -184,8 +184,8 @@ object Streams {
   /** S8 canonical path — the funnel on Spark 4's `transformWithState`
     * (SURVEY §2.9 names TWS primary) with the RocksDB state store.
     * Emits (user, purchase) pairs; rollup to per-user counts is batch. */
-  private def funnelTws(s: SparkSession, d: String,
-                        variant: String): DataFrame = {
+  private def funnelTws(s: SparkSession, d: String, variant: String,
+                        windowUs: Long = 3600L * 1000000L): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, variant)
@@ -193,7 +193,7 @@ object Streams {
               col("user_id"), col("event_type"))
       .as[FunnelEvent]
     val conversions = ev.groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor, TimeMode.None(),
+      .transformWithState(new FunnelProcessor(windowUs), TimeMode.None(),
         OutputMode.Append())
     runToMemory(s, conversions.toDF("user_id", "purchase_id"), "append",
                 RocksDbConf ++ NoFinalBatch)
@@ -541,6 +541,18 @@ object Streams {
     // boundaries — a positive proof that per-key state survives batches.
     "s8b_funnel_injected" -> ((s, d) => funnelTws(s, d, "funnel")),
 
+    // S8c — the SAME funnel machinery with a 24-HOUR window on the
+    // UNMODIFIED clean replay: the natural corpus converts at this
+    // width at every shipped sf (14 purchases at sf0.001, 143 at
+    // sf0.01), so the natural-path funnel row is positively non-vacuous
+    // at the correctness gate — s8_funnel keeps the 1-hour production
+    // definition (0 natural rows below sf0.1, its schema/empty-result
+    // case is pinned by s8b's injected positives). State cost: the
+    // per-user prune horizon widens to 24 h — still bounded, still
+    // RocksDB-backed.
+    "s8c_funnel_wide" -> ((s, d) =>
+      funnelTws(s, d, "clean", 24L * 3600L * 1000000L)),
+
     // S11 — CHAINED stateful operators in ONE streaming query: dedup →
     // broadcast dim enrich → tumbling window agg, the genre's actual
     // ODS→DWD→DWS pipeline shape, running in a single
@@ -884,6 +896,22 @@ object Streams {
         |FROM agg a CROSS JOIN fw
         |WHERE a.win_start + INTERVAL 1 HOUR < fw.w
         |ORDER BY a.win_start, a.c_mktsegment""".stripMargin,
+
+    // s8c — the natural 24-hour funnel: same nested-EXISTS shape as s8
+    // with the wider view horizon.
+    "s8c_funnel_wide" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, count(*) AS n_conversions
+        |FROM p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND c.ts <= p.ts
+        |    AND EXISTS (
+        |      SELECT 1 FROM events v
+        |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 24 HOUR))
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
 
     // s8b — identical funnel semantics over the arithmetically-rewritten
     // events (mirrors Replayer's "funnel" variant row-for-row).
