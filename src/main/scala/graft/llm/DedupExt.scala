@@ -621,6 +621,67 @@ object DedupExt {
              count(lit(1)).as("n_trigrams"),
              countDistinct(col("h3")).as("n_distinct"))
         .orderBy(col("doc_id"))
+    }),
+
+    // L33 — SUBSTRING-span exact dedup (added r7): the production
+    // corpus-dedup move the doc-level family (L1/L2/L10…) cannot make —
+    // remove duplicated 50-TOKEN SPANS, not whole documents (the
+    // suffix-array dedup of Lee et al. 2022, re-expressed as a
+    // distributed rolling-hash groupBy). Every 50-token window gets a
+    // Horner-rule polynomial hash over md5-prefix token hashes
+    // (acc·31 + th mod 1e9+7 — exact integer arithmetic, bit-portable,
+    // the l16 protocol extended from 3 to 50 tokens); a hash seen at
+    // k > 1 locations keeps its lexicographically-first (doc_id, pos)
+    // occurrence and marks the rest for removal; removed token count =
+    // the UNION of the marked spans' [pos, pos+49] intervals (overlaps
+    // not double-counted). Output is the per-doc removal plan.
+    // 100 TB: span stream is one row per token position (explode —
+    // map-side); duplicate detection is ONE hash-shuffle on the span
+    // hash (the scalable stand-in for a monolithic suffix array); the
+    // join back and the per-doc rollups shuffle span-hash / doc_id
+    // respectively. No all-pairs stage anywhere. LlmSpec pins the
+    // arithmetic against a pure-Scala model and the removal invariant
+    // (re-running on the deduped corpus finds 0 duplicated spans).
+    "l33_span_dedup" -> ((s, d) => {
+      val W = 50
+      val spans = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(split(text, ' '), t -> " +
+               "CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT) " +
+               "% 1000000007L)").as("th"))
+        .filter(size(col("th")) >= W)
+        .select(col("doc_id"), explode(expr(
+          s"""transform(sequence(0, size(th) - $W), k ->
+             |  named_struct('pos', k, 'h',
+             |    aggregate(slice(th, k + 1, $W), 0L,
+             |      (acc, x) -> (acc * 31L + x) % 1000000007L)))""".stripMargin))
+          .as("sp"))
+        .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+      val canon = spans.groupBy(col("h"))
+        .agg(count(lit(1)).as("c"),
+             min(struct(col("doc_id"), col("pos"))).as("keep"))
+      val marked = spans.join(canon, "h")
+        .withColumn("is_dup", col("c") > 1 &&
+          !(col("doc_id") === col("keep.doc_id") &&
+            col("pos") === col("keep.pos")))
+      val removed = marked.filter(col("is_dup"))
+        .select(col("doc_id"),
+                explode(sequence(col("pos"), col("pos") + (W - 1))).as("rp"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("rp")).as("n_removed_tok"))
+      val stats = marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+             sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .join(stats, Seq("doc_id"), "left")
+        .join(removed, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("n_removed_tok"), lit(0L)).as("n_removed_tok"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -973,6 +1034,48 @@ object DedupExt {
         |  FROM tri WHERE th2 IS NOT NULL)
         |SELECT doc_id, min(h3) AS fingerprint, count(*) AS n_trigrams,
         |  count(DISTINCT h3) AS n_distinct
-        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // l33 — same Horner-rule span hash (list_prepend(0, …) seeds the
+    // fold at 0, matching Spark's aggregate(…, 0L, …)); duplicate
+    // marking via a (doc_id, pos)-ordered row_number per hash, which
+    // selects exactly the lexicographic-min occurrence groupBy/min-
+    // struct picks on the engine side.
+    "l33_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ' '), t ->
+        |      CAST('0x' || substring(md5(t), 1, 12) AS BIGINT) % 1000000007)
+        |      AS th
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+49]),
+        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM d, unnest(generate_series(1, len(th) - 49)) AS g(i)
+        |  WHERE len(th) >= 50),
+        |mk AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY h) AS c,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM sp),
+        |rm AS (
+        |  SELECT doc_id, count(DISTINCT rp) AS n_removed_tok
+        |  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 49)) AS rp
+        |        FROM mk WHERE c > 1 AND rn > 1)
+        |  GROUP BY doc_id),
+        |st AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    CAST(sum(CASE WHEN c > 1 AND rn > 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_dup_spans
+        |  FROM mk GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  coalesce(st.n_spans, 0) AS n_spans,
+        |  coalesce(st.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(rm.n_removed_tok, 0) AS n_removed_tok
+        |FROM documents
+        |LEFT JOIN st USING (doc_id) LEFT JOIN rm USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

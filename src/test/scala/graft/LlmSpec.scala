@@ -330,4 +330,61 @@ class LlmSpec extends AnyFunSuite {
         s"vec ${r.getAs[Long]("vec_id")}: err $err vs m $mm")
     }
   }
+
+  test("L33: span-dedup matches a pure-Scala model, and removal is " +
+       "idempotent (re-running on the deduped corpus finds 0 dup spans)") {
+    val sf = TestSpark.Sf
+    val P = 1000000007L
+    val W = 50
+    def th(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(6).map("%02x".format(_)).mkString, 16) % P
+    }
+    def spansOf(toks: Array[String]): Seq[(Int, Long)] = {
+      val hs = toks.map(th)
+      (0 to toks.length - W).map { k =>
+        var acc = 0L; var j = 0
+        while (j < W) { acc = (acc * 31 + hs(k + j)) % P; j += 1 }
+        (k, acc)
+      }
+    }
+    // removal plan over a corpus: per-doc (n_dup_spans, removed positions)
+    def plan(corpus: Seq[(Long, Array[String])])
+        : (Map[Long, Long], Map[Long, Set[Int]], Long) = {
+      val all = corpus.flatMap { case (id, t) =>
+        spansOf(t).map { case (p, h) => (h, id, p) } }
+      val dupGroups = all.groupBy(_._1).values.filter(_.size > 1)
+      val marked = dupGroups.toSeq.flatMap { g =>
+        g.sortBy(x => (x._2, x._3)).tail } // drop the canonical occurrence
+      val nDup = marked.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val removed = marked.groupBy(_._2).view.mapValues(
+        _.flatMap(m => m._3 until m._3 + W).toSet).toMap
+      (nDup, removed, dupGroups.size.toLong)
+    }
+    val corpus = graft.core.Tables.documents(s, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toSeq
+    val (nDup, removed, nDupHashes) = plan(corpus)
+    assert(nDupHashes > 0, "corpus has no duplicated spans — test vacuous")
+
+    // 1. the engine's removal plan equals the model's
+    val engine = SparkEntry.queries("l33_span_dedup")(s, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    corpus.foreach { case (id, _) =>
+      val (eDup, eRem) = engine(id)
+      assert(eDup == nDup.getOrElse(id, 0L),
+        s"doc $id n_dup_spans: engine $eDup vs model ${nDup.getOrElse(id, 0L)}")
+      assert(eRem == removed.get(id).map(_.size.toLong).getOrElse(0L),
+        s"doc $id n_removed_tok mismatch")
+    }
+
+    // 2. idempotence: remove the marked spans, re-run, find nothing
+    val deduped = corpus.map { case (id, toks) =>
+      val rm = removed.getOrElse(id, Set.empty)
+      id -> toks.zipWithIndex.collect { case (t, i) if !rm(i) => t }
+    }
+    val (_, _, again) = plan(deduped)
+    assert(again == 0, s"re-run on deduped corpus still finds $again dup spans")
+  }
 }
