@@ -360,6 +360,10 @@ object Llm {
     // assumed: LlmSpec bounds recall@5 vs the exact l3 baseline.
     "l3d_ivf_int8" -> ((s, d) => ivfInt8TopK(s, d)),
 
+    // L34 — semantic dedup on the reused l3c quantizer (SemDeDup shape:
+    // cell-bucketed intra-cluster cosine, keep-first). See semanticDedup.
+    "l34_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
+
     // X1 — scalar Scala UDF (slugify) used in an L-series shape. The
     // oracle reproduces it with portable SQL (lower + regexp_replace).
     "x1_udf" -> ((s, d) =>
@@ -657,6 +661,100 @@ object Llm {
     rankTopK(scored, k)
   }
 
+  /** L34 semantic-dedup constants. The corpus has NO natural high-cosine
+    * pairs (max pairwise quantized cos ≈ 0.51 at every shipped sf), so —
+    * the s8b/L23 injection pattern — deterministic near-dup copies are
+    * DERIVED from the input: every vec_id % SemEvery == 0 vector gets a
+    * copy at vec_id + SemBase whose components are perturbed by
+    * ((vec_id + i) % 7 − 3) micro-units (±3 on ~1e6-magnitude unit
+    * vectors ⇒ cos ≈ 1 − 1e-11 with its source, far above SemTau, while
+    * staying ≪ SemTau from everything else). Pure per-row arithmetic —
+    * the oracle SQL reproduces the augmentation exactly. */
+  val SemBase = 1000000L
+  val SemEvery = 29L
+  val SemTau = 0.95
+
+  /** The augmented (original ∪ injected near-dup copy) vector relation. */
+  private def augmentedVecs(s: SparkSession, d: String): DataFrame = {
+    val e = qvecs(s, d)
+    val copies = e.filter(col("vec_id") % SemEvery === 0)
+      .withColumn("q2",
+        expr("transform(q, (x, i) -> x + (vec_id + i) % 7 - 3)"))
+      .select((col("vec_id") + SemBase).as("vec_id"), col("q2").as("q"))
+      .withColumn("nrm", qnorm(col("q")))
+    e.unionByName(copies)
+  }
+
+  /** L34 — semantic (embedding-cluster) dedup, the SemDeDup shape:
+    * assign every vector to its single nearest trained IVF cell (the
+    * SAME l3c coarse quantizer — the index is reused, not retrained),
+    * compare pairs only WITHIN a cell (quantized cosine, the l3c scoring
+    * arithmetic), and drop a vector iff some lower-id cell-mate sits at
+    * cos ≥ SemTau (keep = lexicographic-first per duplicate relation).
+    * Never all-pairs: the candidate set is Σ_cells C(|cell|, 2), ~1/K of
+    * the quadratic — LlmSpec pins that bound and that every injected
+    * copy is caught. 100 TB: cells are the unit of work (shuffle on
+    * cell id); K grows with corpus so |cell| stays bounded, and the
+    * quantizer is the already-built ANN index artifact. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val cdf = broadcast(centroidsDf(s, trainCentroids(s, d)))
+    val m0 = augmentedVecs(s, d)
+    val assign = m0.join(cdf)
+      .select(col("vec_id"),
+        (qdist(col("q"), col("c")) * 16 + col("cell")).as("ok"))
+      .groupBy(col("vec_id")).agg(min(col("ok")).as("mo"))
+      .select(col("vec_id"), (col("mo") % 16).cast(IntegerType).as("cell"))
+    val m = m0.join(assign, Seq("vec_id"))
+    val a = m.select(col("cell"), col("vec_id").as("a_id"),
+                     col("q").as("aq"), col("nrm").as("an"))
+    val b = m.select(col("cell"), col("vec_id").as("b_id"),
+                     col("q").as("bq"), col("nrm").as("bn"))
+    val dup = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (qdot(col("aq"), col("bq")).cast(DoubleType) /
+          (sqrt(col("an").cast(DoubleType)) *
+           sqrt(col("bn").cast(DoubleType)))).as("cos"))
+      .filter(col("cos") >= SemTau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of0"))
+    m.select(col("vec_id"), col("cell"))
+      .join(dup, col("vec_id") === col("b_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of0").isNull.as("keep"),
+        coalesce(col("dup_of0"), lit(-1L)).as("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The l34 oracle: the SAME trained quantizer (ivfTrainSql), the same
+    * augmentation arithmetic (DuckDB lambda indices are 1-based, hence
+    * the `i - 1`), single-cell assignment, intra-cell pairwise cosine. */
+  def l34Sql: String =
+    s"""${ivfTrainSql(IvfIters)},
+      |aug AS (
+      |  SELECT vec_id, q, nrm FROM n
+      |  UNION ALL
+      |  SELECT vec_id + $SemBase AS vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nrm
+      |  FROM (SELECT vec_id,
+      |          list_transform(q, (x, i) -> x + (vec_id + i - 1) % 7 - 3) AS q
+      |        FROM n WHERE vec_id % $SemEvery = 0)),
+      |fd2 AS (SELECT v.vec_id, c$IvfIters.cell,
+      |    ${ivfDistSql(s"c$IvfIters", "v")} AS ok
+      |  FROM aug v CROSS JOIN c$IvfIters),
+      |asg AS (SELECT vec_id, CAST(min(ok) % 16 AS INT) AS cell
+      |  FROM fd2 GROUP BY vec_id),
+      |mv AS (SELECT a.vec_id, s.cell, a.q, a.nrm
+      |  FROM aug a JOIN asg s USING (vec_id)),
+      |dp AS (
+      |  SELECT b.vec_id AS b_id, min(a.vec_id) AS dup_of
+      |  FROM mv a JOIN mv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE CAST(CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+      |        / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= $SemTau
+      |  GROUP BY b.vec_id)
+      |SELECT mv.vec_id, mv.cell, dp.dup_of IS NULL AS keep,
+      |  coalesce(dp.dup_of, -1) AS dup_of
+      |FROM mv LEFT JOIN dp ON dp.b_id = mv.vec_id
+      |ORDER BY mv.vec_id""".stripMargin
+
   /** Generate the l3c DuckDB oracle SQL from the SAME constants the Spark
     * pipeline uses: K=10 label-seeded cells, `iters` unrolled Lloyd
     * iterations (exact BIGINT distances, floor(sum/count) centroid
@@ -665,12 +763,17 @@ object Llm {
     * the algorithm must change this generator and the DataFrame code
     * together — they cannot drift apart silently because the driver
     * hash-compares their outputs. */
-  def ivfSql(nprobe: Int, k: Int, iters: Int, rassign: Int,
-             qids: Seq[Int], int8: Boolean = false): String = {
-    def dist(centRel: String): String =
-      s"CAST(list_sum(list_transform(generate_series(1, 64), " +
-      s"i -> (n.q[i] - $centRel.c[i]) * (n.q[i] - $centRel.c[i]))) AS BIGINT) " +
-      s"* 16 + $centRel.cell"
+  /** Squared-L2 distance × 16 + cell (the min-encoding both engines use),
+    * over vector alias `vecAlias` and centroid relation `centRel`. */
+  private def ivfDistSql(centRel: String, vecAlias: String = "n"): String =
+    s"CAST(list_sum(list_transform(generate_series(1, 64), " +
+    s"i -> ($vecAlias.q[i] - $centRel.c[i]) * ($vecAlias.q[i] - $centRel.c[i]))) AS BIGINT) " +
+    s"* 16 + $centRel.cell"
+
+  /** The k-means TRAINING prefix of the IVF oracle (CTEs e, n, c0..c`iters`)
+    * — shared by the l3c/l3d search oracles and the l34 semantic-dedup
+    * oracle, so the trained quantizer is definitionally the same SQL. */
+  private def ivfTrainSql(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH e AS (
       |  SELECT vec_id, label,
@@ -688,7 +791,7 @@ object Llm {
     for (t <- 1 to iters) {
       val p = s"c${t - 1}"
       sb ++= s""",
-      |d$t AS (SELECT n.vec_id, $p.cell, ${dist(p)} AS ok
+      |d$t AS (SELECT n.vec_id, $p.cell, ${ivfDistSql(p)} AS ok
       |  FROM n CROSS JOIN $p),
       |a$t AS (SELECT vec_id, min(ok) % 16 AS cell FROM d$t GROUP BY vec_id),
       |x$t AS (SELECT a.cell, unnest(generate_series(1, 64)) AS i, n.q AS q
@@ -700,9 +803,16 @@ object Llm {
       |c$t AS (SELECT p.cell, coalesce(l.cnew, p.c) AS c
       |  FROM c${t - 1} p LEFT JOIN l$t l USING (cell))""".stripMargin
     }
+    sb.toString
+  }
+
+  def ivfSql(nprobe: Int, k: Int, iters: Int, rassign: Int,
+             qids: Seq[Int], int8: Boolean = false): String = {
+    val sb = new StringBuilder
+    sb ++= ivfTrainSql(iters)
     val cf = s"c$iters"
     sb ++= s""",
-      |fd AS (SELECT n.vec_id, $cf.cell, ${dist(cf)} AS ok
+      |fd AS (SELECT n.vec_id, $cf.cell, ${ivfDistSql(cf)} AS ok
       |  FROM n CROSS JOIN $cf),
       |fa AS (SELECT vec_id, cell FROM (
       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY ok) AS r
@@ -806,6 +916,9 @@ object Llm {
     "l3d_ivf_int8" -> ivfSql(nprobe = IvfNprobe, k = 5, iters = IvfIters,
                              rassign = IvfRassign, qids = IvfQids,
                              int8 = true),
+    // l34 — the same generated training prefix + the augmentation /
+    // assignment / intra-cell pairwise replay (see l34Sql)
+    "l34_semantic_dedup" -> l34Sql,
 
     "l4_token_stats" ->
       """WITH t AS (

@@ -331,6 +331,33 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("L34: semantic dedup catches every injected copy, keeps every " +
+       "original, and its candidate set is cell-bounded") {
+    import graft.llm.Llm
+    val sf = TestSpark.Sf
+    val rows = SparkEntry.queries("l34_semantic_dedup")(s, sf).collect()
+    val (copies, originals) = rows.partition(_.getLong(0) >= Llm.SemBase)
+    assert(copies.nonEmpty, "no injected copies present — test vacuous")
+    copies.foreach { r =>
+      assert(!r.getBoolean(2), s"copy ${r.getLong(0)} survived dedup")
+      assert(r.getLong(3) == r.getLong(0) - Llm.SemBase,
+        s"copy ${r.getLong(0)} attributed to ${r.getLong(3)}, " +
+        s"not its source ${r.getLong(0) - Llm.SemBase}")
+    }
+    // no natural pair reaches SemTau (max natural cos ~0.51), so every
+    // original must survive
+    originals.foreach { r =>
+      assert(r.getBoolean(2), s"original ${r.getLong(0)} wrongly dropped")
+    }
+    // cell-boundedness: pairwise work is Σ C(|cell|,2), a K-fold cut of
+    // the quadratic all-pairs — the SemDeDup scaling argument, asserted
+    val n = rows.length.toLong
+    val cand = rows.groupBy(_.getInt(1)).values
+      .map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(cand * 4 < n * (n - 1) / 2,
+      s"cells do not bound the candidate set: $cand of ${n * (n - 1) / 2}")
+  }
+
   test("L33: span-dedup matches a pure-Scala model, and removal is " +
        "idempotent (re-running on the deduped corpus finds 0 dup spans)") {
     val sf = TestSpark.Sf
