@@ -31,11 +31,12 @@ object Bench {
   /** Fixed-work calibration job: 16M xxhash64 rows over 32 even range
     * partitions — pure CPU + scheduler, no input data, no shuffle. The
     * same work every capture on every machine, so its time is a direct
-    * read of available CPU at capture time. */
+    * read of available CPU at capture time. Folded with bit_xor, not
+    * sum: 16M uniform 64-bit hashes overflow a long sum under ANSI. */
   private def canaryOnce(s: SparkSession): Double =
     Harness.timeOnce(
       s.range(0L, 16L * 1024 * 1024, 1L, 32)
-        .select(sum(xxhash64(col("id"))).as("h")))
+        .select(bit_xor(xxhash64(col("id"))).as("h")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
