@@ -28,6 +28,10 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // checksum-free FileContext for streaming checkpoints — see the
+      // rationale at Harness.session (same key, same trade)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+              "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
     GraftFunctions.ensure(s) // cover the getOrCreate-reuses-session case
     s

@@ -20,6 +20,19 @@ object Harness {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Raw (checksum-free) local FS for FileContext users — i.e. the
+      // structured-streaming checkpoint file manager (offset/commit WAL,
+      // state store delta/changelog commits). Hadoop's default local Fs
+      // writes a .crc twin beside every file; on a per-run tmpfs
+      // checkpoint that doubles the many small synchronous writes every
+      // micro-batch pays, for integrity a single-process local run
+      // cannot use. Measured: offset+commit+wal log time halves
+      // (StreamDiag agg: ~35 ms → ~18 ms per write). Batch parquet I/O
+      // is untouched (FileSystem API, fs.file.impl key). A production
+      // deployment points checkpoints at HDFS/S3, whose AbstractFileSystem
+      // carries its own integrity story — this key only rebinds file:.
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+              "org.apache.hadoop.fs.local.RawLocalFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

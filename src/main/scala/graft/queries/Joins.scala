@@ -170,28 +170,31 @@ object Joins {
     // engine form therefore MATERIALIZES the iteration-invariant
     // rn-indexed sequence once (localCheckpoint, same move as L22's CC
     // loop) and recurses over the checkpointed view: 22 s → 5.3 s.
-    // The remaining floor was 24 SEQUENTIAL level executions at ~230 ms
-    // of per-level fixed cost; BROADCAST(walk) in the recursive term
-    // removes it (r7 full-pipeline sweep, sf0.1 p50: 5.6 s → 2.6 s).
-    // The frontier is ≤ |customers with orders remaining| rows (15 k
-    // here) and SHRINKS every level; broadcasting it turns each level's
-    // join from a 32-partition shuffle exchange into one broadcast-hash
-    // stage over the checkpointed sequence. The hint rides in j12Body,
-    // so the identical text still runs in DuckDB (a /*+ */ hint is a
-    // standard SQL comment there). Coalescing the sequence to 1
-    // partition was also swept: it helps the loop but collapses the
-    // (timed) window prep onto one core — natural partitioning wins
-    // end-to-end.
+    // The remaining floor was 24 SEQUENTIAL level executions of
+    // per-level fixed cost, attacked three ways (each swept at sf0.1):
+    // BROADCAST(walk) turns each level's join from a 32-partition
+    // shuffle exchange into one broadcast-hash stage over the
+    // checkpointed sequence; repartition(1) on the checkpointed
+    // sequence makes each level's probe side a single task (150 k rows
+    // — one core scans it in ~10 ms; 32 tasks of scheduler overhead
+    // per level was the real cost); COALESCE(1) on the recursive term
+    // keeps each level's OUTPUT single-partition, so the next level's
+    // broadcast build reads one block instead of 32. Both hints ride
+    // in j12Body, so the identical text still runs in DuckDB (a
+    // /*+ */ hint is a standard SQL comment there).
     // PlanSpec pins the hoist (no Window inside the recursive plan).
     // 100 TB: the frontier-broadcast stays right as long as the frontier
     // side fits the broadcast budget (it is dim-sized: bounded by
-    // customers, shrinking per level); past that, drop the hint and
-    // each level is one frontier-bounded shuffle join — still never
-    // corpus-sized. Swap localCheckpoint for a reliable checkpoint/
-    // table — same hoist, fault-tolerant.
+    // customers, shrinking per level); past that, drop the BROADCAST
+    // hint and each level is one frontier-bounded shuffle join — still
+    // never corpus-sized. The two single-partition moves are LOCAL
+    // latency tuning for a dim-sized loop; at cluster scale the same
+    // dial is "partitions ∝ frontier size", not 1 — drop them alongside
+    // the hint. Swap localCheckpoint for a reliable checkpoint/table —
+    // same hoist, fault-tolerant.
     "j12_recursive" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      s.sql(j12SeqSql).localCheckpoint()
+      s.sql(j12SeqSql).repartition(1).localCheckpoint()
         .createOrReplaceTempView("j12_seq")
       s.sql("WITH RECURSIVE " + j12Body("j12_seq"))
     }),
@@ -248,7 +251,7 @@ object Joins {
       |               CAST(50000.00 AS DECIMAL(18,2)) - price)) AS DECIMAL(18,2))
       |  FROM $rel WHERE rn = 1
       |  UNION ALL
-      |  SELECT /*+ BROADCAST(w) */ s.o_custkey, s.rn,
+      |  SELECT /*+ BROADCAST(w), COALESCE(1) */ s.o_custkey, s.rn,
       |    CAST(greatest(CAST(0.00 AS DECIMAL(18,2)),
       |         least(CAST(100000.00 AS DECIMAL(18,2)),
       |               w.bal + CAST(50000.00 AS DECIMAL(18,2)) - s.price)) AS DECIMAL(18,2))

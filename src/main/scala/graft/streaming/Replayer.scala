@@ -138,11 +138,17 @@ object Replayer {
     finally walk.close()
   }
 
+  /** Schema per fixture dir, inferred once per process — every timed
+    * replay otherwise pays a footer-read job just to restate a schema
+    * that cannot change under the _DONE marker. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]
+
   /** Open a fixture dir as a file-source stream (SRC4), one file per
     * micro-batch. */
   def stream(s: SparkSession, sfDir: String, variant: String): DataFrame = {
     val dir = ensure(s, sfDir, variant)
-    val schema = s.read.parquet(dir).schema
+    val schema = schemaCache.computeIfAbsent(dir, d => s.read.parquet(d).schema)
     s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)

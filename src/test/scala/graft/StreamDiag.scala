@@ -15,11 +15,52 @@ import graft.core.ConfScope
   * k=v pairs become session confs for the run.
   */
 object StreamDiag {
+  /** Accumulates scheduler-level truth: how many jobs/stages/tasks a run
+    * launched and how much of the wall was actual task compute. */
+  private class StageTally extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+    val stageLines = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet()
+      val i = e.stageInfo
+      val dur = for (a <- i.submissionTime; b <- i.completionTime) yield b - a
+      stageLines.add(s"stage ${i.stageId} [${i.name.takeWhile(_ != '\n').take(60)}] " +
+        s"tasks=${i.numTasks} wallMs=${dur.getOrElse(-1L)}")
+    }
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = e.taskMetrics
+      if (m != null) {
+        taskMs.addAndGet(m.executorRunTime)
+        deserMs.addAndGet(m.executorDeserializeTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+    def report(): String =
+      s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} " +
+        s"taskRunMs=${taskMs.get} deserMs=${deserMs.get} gcMs=${gcMs.get}"
+    def reset(): Unit = { jobs.set(0); stages.set(0); tasks.set(0)
+      taskMs.set(0); deserMs.set(0); gcMs.set(0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val shape = args.headOption.getOrElse("agg")
     val confs = args.drop(1).filter(_.contains("="))
       .map { a => val Array(k, v) = a.split("=", 2); k -> v }.toMap
     val s = Harness.session()
+    // args like hadoop.fs.AbstractFileSystem.file.impl=... go to the
+    // (context-wide) hadoopConfiguration, not the session conf
+    confs.filter(_._1.startsWith("hadoop.")).foreach { case (k, v) =>
+      s.sparkContext.hadoopConfiguration.set(k.stripPrefix("hadoop."), v) }
+    val tally = new StageTally
+    s.sparkContext.addSparkListener(tally)
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     def once(): Unit = {
@@ -39,7 +80,6 @@ object StreamDiag {
             .withWatermark("rts", Replayer.WatermarkDelay)
           l.join(r, l("user_id") === r("ruid") &&
             col("rts").between(col("lts"), col("lts") + expr("interval 5 minutes")))
-            .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
         case "dedup" =>
           Replayer.stream(s, d, "dup")
             .withWatermark("ts", Replayer.WatermarkDelay)
@@ -52,9 +92,10 @@ object StreamDiag {
       try {
         ConfScope.withConf(s, Map(
           "spark.sql.shuffle.partitions" -> "2",
-          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++ confs) {
+          "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") ++
+          confs.filterNot(_._1.startsWith("hadoop."))) {
           val q = df.writeStream.format("memory").queryName(name)
-            .outputMode("complete")
+            .outputMode(if (shape == "join") "append" else "complete")
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()
@@ -69,6 +110,10 @@ object StreamDiag {
           val sums = keys.map(k => k ->
             prog.map(p => Option(p.durationMs.get(k)).fold(0L)(_.longValue)).sum)
           println("  SUM: " + sums.map { case (k, v) => s"$k=$v" }.mkString(" "))
+          println("  SCHED: " + tally.report())
+          tally.stageLines.forEach(l => println("    " + l))
+          tally.stageLines.clear()
+          tally.reset()
         }
       } finally Replayer.dropCheckpoint(ckpt)
       s.catalog.dropTempView(name)
