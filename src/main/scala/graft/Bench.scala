@@ -14,7 +14,7 @@ package graft
   * FIXED-WORK data-independent calibration job runs before and after
   * the sweep; its times ship in the JSON (`canary`) so any capture can
   * be priced against the committed history of the same fixed work —
-  * nominal on this box is ~0.35 s (BASELINE.md). A canary far above
+  * nominal on this box is 0.20–0.35 s (BASELINE.md). A canary far above
   * nominal marks the whole capture as contended, not a regression.
   *
   * Output protocol: the FULL JSON (all per-query timings) is written to

@@ -163,7 +163,7 @@ object Streams {
 
   /** RocksDB provider conf for transformWithState runs (TWS requires it;
     * it is also the declared 100 TB state backend). */
-  private val RocksDbConf = Map(
+  private[graft] val RocksDbConf = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     // Changelog checkpointing: commit the per-batch write-ahead changelog

@@ -1,6 +1,7 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
@@ -55,10 +56,15 @@ class ScaleSpec extends AnyFunSuite {
     val sf = TestSpark.Sf
     val dir = Replayer.ensure(s, sf, "dup")
     val schema = s.read.parquet(dir).schema
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val old = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // run under the CANONICAL RocksDB conf map (provider + changelog
+    // checkpointing), so the exactly-once restart proof covers exactly
+    // what the s8 family ships with
+    val olds = graft.streaming.Streams.RocksDbConf.map {
+      case (k, _) => k -> s.conf.getOption(k) }
+    graft.streaming.Streams.RocksDbConf.foreach {
+      case (k, v) => s.conf.set(k, v) }
+    val restoreConfs = () => olds.foreach {
+      case (k, v) => v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     val ckpt = Files.createTempDirectory("graft_rocks_ckpt").toString
     val out = Files.createTempDirectory("graft_rocks_out").toString
     def stream(path: String) = s.readStream.schema(schema)
@@ -81,6 +87,19 @@ class ScaleSpec extends AnyFunSuite {
       val total = Tables.events(s, sf).count()
       assert(partial > 0 && partial < total,
         s"restart test needs a strict prefix, got $partial of $total rows")
+      // the changelog conf must have TAKEN EFFECT, not just been set:
+      // with changelog checkpointing each batch commits a .changelog
+      // file under the state dir (a full-snapshot .zip per batch is
+      // exactly what the setting removes)
+      val changelogs = {
+        val walk = Files.walk(Paths.get(ckpt, "state"))
+        try walk.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".changelog"))
+        finally walk.close()
+      }
+      assert(changelogs > 0,
+        "no .changelog files under the checkpoint state dir — " +
+          "changelog checkpointing did not engage")
       // phase 2: same checkpoint, full dir — the source's seen-files log
       // resumes after the prefix; the dedup state must survive restart
       val q2 = stream(dir).writeStream.format("parquet")
@@ -91,7 +110,7 @@ class ScaleSpec extends AnyFunSuite {
       // this test degenerates to re-checking batch dedup
       assert(q2.recentProgress.map(_.numInputRows).sum > 0,
         "phase 2 processed no input — restart-resume path was vacuous")
-    } finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
+    } finally restoreConfs()
     val fin = s.read.parquet(out)
       .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
     val exp = Tables.events(s, sf)
@@ -176,5 +195,67 @@ class ScaleSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(j.collect().map(_.toString).toSet == expect)
     cleanup()
+  }
+
+  test("three stateful streaming queries run CONCURRENTLY in one " +
+       "session and each matches its sequential result") {
+    // A production job server multiplexes streaming queries on one
+    // SparkSession; correctness must not depend on queries running
+    // alone. Three different stateful operator classes (windowed agg,
+    // watermarked dedup, complete-mode count) share the session, the
+    // scheduler, and the state-store coordinator, each with its own
+    // checkpoint; every final table must equal the one its query
+    // produces when run by itself (the canonical S-series results).
+    import org.apache.spark.sql.DataFrame
+    val sf = TestSpark.Sf
+    def mk(name: String): (String, DataFrame, String) = name match {
+      case "agg" =>
+        ("complete",
+          Replayer.stream(s, sf, "clean")
+            .withWatermark("ts", Replayer.WatermarkDelay)
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n")),
+          "conc_agg")
+      case "dedup" =>
+        ("append",
+          Replayer.stream(s, sf, "dup")
+            .withWatermark("ts", Replayer.WatermarkDelay)
+            .dropDuplicatesWithinWatermark(Seq("event_id"))
+            .select(col("event_id"), col("event_type")),
+          "conc_dedup")
+      case "count" =>
+        ("complete",
+          Replayer.stream(s, sf, "clean")
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+          "conc_count")
+    }
+    def run(names: Seq[String]): Map[String, Set[String]] = {
+      val started = names.map { n =>
+        val (mode, df, table) = mk(n)
+        val ckpt = Replayer.checkpoint()
+        val q = df.writeStream.format("memory")
+          .queryName(table + names.size) // distinct per run shape
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        (n, table + names.size, q, ckpt)
+      }
+      started.foreach(_._3.awaitTermination())
+      val out = started.map { case (n, table, _, ckpt) =>
+        val rows = s.table(table).collect().map(_.toString).toSet
+        Replayer.dropCheckpoint(ckpt)
+        s.catalog.dropTempView(table)
+        n -> rows
+      }.toMap
+      out
+    }
+    val sequential = Seq("agg", "dedup", "count").map { n =>
+      n -> run(Seq(n))(n) }.toMap
+    val concurrent = run(Seq("agg", "dedup", "count"))
+    for (n <- Seq("agg", "dedup", "count")) {
+      assert(concurrent(n).nonEmpty, s"$n produced no rows")
+      assert(concurrent(n) == sequential(n),
+        s"$n diverged when run concurrently")
+    }
   }
 }
