@@ -362,8 +362,59 @@ object Curation {
         }
         .toDF("doc_id", "n_raw", "n_comp")
         .orderBy(col("doc_id"))
+    }),
+
+    // L35 — deterministic epoch shuffle + shard plan: the reproducible
+    // training-order operator every pretraining run needs. A seeded
+    // portable hash (md5-prefix integer of doc_id:seed — no RNG, no
+    // partition-order dependence) defines the epoch's permutation; the
+    // exact global rank under (key, doc_id) comes from the a8/l26
+    // GlobalRank recipe (range repartition + broadcast prefix-sum
+    // offsets + per-partition row_number — NO single-task window);
+    // shard = idx div ceil(n/16), pos = idx mod ceil(n/16). Re-running
+    // with the same seed reproduces the byte-identical order on any
+    // cluster layout; a new epoch is a new seed, not a reshuffle plan.
+    // Output is the 16-row shard summary (driver-bounded): n_docs,
+    // first/last pos, Σdoc_id, and Σdoc_id·(pos+1) — the last pins the
+    // FULL permutation (any assignment or order change moves it).
+    // 100 TB: one range shuffle + map-side aggregate; the collected
+    // offsets and the 16-row result are metadata-sized.
+    "l35_epoch_shards" -> ((s, d) => {
+      import graft.core.GlobalRank
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val sz = (n + Shards - 1) / Shards
+      val keyed = docs.withColumn("key",
+        conv(substring(md5(concat(col("doc_id").cast(StringType),
+          lit(":" + EpochSeed))), 1, 12), 16, 10).cast(LongType))
+      GlobalRank.withGlobalIndex(keyed, Seq(col("key"), col("doc_id"))) { wi =>
+        // 16-row aggregate materializes inside the helper's scope
+        // (collect) per its eager-consumption contract
+        val rows = wi
+          .withColumn("shard", expr(s"idx div $sz"))
+          .withColumn("pos", col("idx") - col("shard") * sz)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("pos")).as("first_pos"),
+            max(col("pos")).as("last_pos"),
+            sum(col("doc_id")).as("sum_doc"),
+            sum(col("doc_id") * (col("pos") + lit(1L))).as("sum_doc_pos"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+        rows.toSeq
+          .toDF("shard", "n_docs", "first_pos", "last_pos", "sum_doc",
+            "sum_doc_pos")
+          .orderBy(col("shard"))
+      }
     })
   )
+
+  /** L35 epoch-shard parameters: shard count and the declared epoch
+    * seed (a new epoch = a new seed string, same plan). */
+  private val Shards = 16L
+  private val EpochSeed = "ep1"
 
   /** L25 window: 256-token bins over ≤1000-doc blocks. */
   private val PackCap = 256L
@@ -571,6 +622,26 @@ object Curation {
         |t AS (SELECT CAST(sum(sw) AS BIGINT) AS tot FROM w)
         |SELECT source, n_docs, n_tokens,
         |  CAST(sw AS DOUBLE) / CAST(tot AS DOUBLE) AS weight
-        |FROM w CROSS JOIN t ORDER BY source""".stripMargin
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+    "l35_epoch_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':ep1'),
+        |      1, 12) AS BIGINT) AS key
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY key, doc_id) - 1 AS idx
+        |  FROM k),
+        |p AS (SELECT CAST(ceil(count(*) / 16.0) AS BIGINT) AS sz
+        |      FROM documents)
+        |SELECT idx // sz AS shard, count(*) AS n_docs,
+        |  min(idx - (idx // sz) * sz) AS first_pos,
+        |  max(idx - (idx // sz) * sz) AS last_pos,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+        |  CAST(sum(doc_id * (idx - (idx // sz) * sz + 1)) AS BIGINT)
+        |    AS sum_doc_pos
+        |FROM r CROSS JOIN p
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -215,4 +215,27 @@ class CurationSpec extends AnyFunSuite {
     assert(ws.max / ws.min <= math.sqrt(toks.max / toks.min) * (1 + 1e-3),
       "temperature 0.5 must compress the proportional spread")
   }
+
+  test("L35: the epoch shard plan is reproducible and balanced") {
+    import graft.SparkEntry
+    val q = SparkEntry.queries("l35_epoch_shards")
+    val a = q(s, sf).collect().map(_.toString)
+    val b = q(s, sf).collect().map(_.toString)
+    // same seed → byte-identical plan on a re-run (the operator's whole
+    // point: training order must not depend on cluster layout or luck)
+    assert(a.sameElements(b), "same-seed shard plan not reproducible")
+    val rows = q(s, sf).collect()
+    val n = rows.map(_.getAs[Long]("n_docs")).sum
+    val sz = (n + 15) / 16
+    // ceil-split balance: every shard but the last holds exactly sz docs
+    val sizes = rows.sortBy(_.getAs[Long]("shard")).map(_.getAs[Long]("n_docs"))
+    assert(sizes.init.forall(_ == sz) && sizes.last == n - sz * (sizes.length - 1),
+      s"shards unbalanced: ${sizes.mkString(",")}")
+    // positions cover 0..size-1 within each shard (first 0, last size-1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("first_pos") == 0L &&
+        r.getAs[Long]("last_pos") == r.getAs[Long]("n_docs") - 1,
+        s"shard ${r.getAs[Long]("shard")} positions not contiguous")
+    }
+  }
 }
