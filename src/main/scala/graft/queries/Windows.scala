@@ -145,6 +145,30 @@ object Windows {
                 max(col("dr")).over(wAll)
                   .cast(org.apache.spark.sql.types.LongType).as("n_prio"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // W8 — BATCH session windows: `session_window(ts, gap)` inside a
+    // plain groupBy (the batch face of S3's streaming operator — Spark
+    // lowers it to sort-within-user + merge-overlapping-[ts, ts+gap)
+    // intervals, no state store). Per-user session stats, all exact
+    // integers (durations in µs: for a fixed gap the merged end is
+    // last_ts + gap, so duration = last − first + gap). The oracle is
+    // the s3b interval-union island scan with a constant extend and NO
+    // watermark clause — batch sees everything, nothing evicts.
+    // 100 TB: one hash shuffle on user_id + task-local sort — the same
+    // shape as any partitioned window; no all-pairs, no state.
+    "w8_batch_session" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+             sum(col("n_ev")).as("n_events"),
+             max(col("n_ev")).as("max_session"),
+             sum(unix_micros(col("session_window.end")) -
+                 unix_micros(col("session_window.start")))
+               .as("total_dur_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -223,6 +247,31 @@ object Windows {
         |  count(DISTINCT o_orderpriority)
         |    OVER (PARTITION BY o_custkey) AS n_prio
         |FROM orders
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // w8 — fixed-gap interval-union islands (s3b's scan, constant
+    // extend, no eviction clause: batch semantics)
+    "w8_batch_session" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    max(ts + INTERVAL 10 MINUTE) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(CASE WHEN pme IS NULL OR ts >= pme THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o),
+        |sess AS (
+        |  SELECT user_id, sid, count(*) AS n_ev,
+        |    CAST(epoch_us(max(ts) + INTERVAL 10 MINUTE)
+        |         - epoch_us(min(ts)) AS BIGINT) AS dur_us
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(max(n_ev) AS BIGINT) AS max_session,
+        |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

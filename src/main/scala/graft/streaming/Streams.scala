@@ -328,6 +328,76 @@ object Streams {
         .orderBy(col("user_id"))
     }),
 
+    // SNK5 — multi-sink fanout: ONE stream feeds TWO stores per batch
+    // inside a single foreachBatch (the lambda architecture's serving
+    // pair without the second pipeline): the RAW event log (append,
+    // partitioned by batch — the replayable source of truth) and the
+    // rolled-up per-type AGGREGATE snapshot (the snk4 merge shape).
+    // Consistency story, same discipline as SNK4: both writes are
+    // addressed by BATCH ID on disk (raw lands at raw/b$id, the agg
+    // snapshot at agg/v$id reading v$id−1), so a replayed batch
+    // rewrites the same paths with the same bytes — the two stores can
+    // never double-count or diverge across a restart, and the batch is
+    // the atomicity unit between them (a crash between the two writes
+    // replays the id). The returned table joins BOTH stores per
+    // event_type; the oracle computes each side independently from the
+    // batch table, so the hash proves raw totals == merged aggregate ==
+    // batch truth. 100 TB: this is the standard ingest topology — raw
+    // append scales with the batch, the agg merge with |dimension|.
+    "snk5_fanout" -> ((s, d) => {
+      val root = upsertRoot(d + "#fanout")
+      Replayer.deleteTree(root)
+      val rawDir = root.resolve("raw")
+      val aggRoot = root.resolve("agg")
+      java.nio.file.Files.createDirectories(rawDir)
+      java.nio.file.Files.createDirectories(aggRoot)
+      def fanout(batch: DataFrame, id: Long): Unit = {
+        batch.persist()
+        try {
+          // store 1: raw log, batch-addressed (idempotent on replay)
+          batch.write.mode("overwrite")
+            .parquet(rawDir.resolve(s"b$id").toString)
+          // store 2: per-type running (n, sum_value) snapshot chain
+          val part = batch.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(vdec).as("sv"))
+          val prev = aggRoot.resolve(s"v${id - 1}")
+          val merged =
+            if (java.nio.file.Files.exists(prev))
+              batch.sparkSession.read.parquet(prev.toString)
+                .unionByName(part)
+                .groupBy(col("event_type"))
+                .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+            else part
+          merged.write.mode("overwrite")
+            .parquet(aggRoot.resolve(s"v$id").toString)
+        } finally batch.unpersist()
+      }
+      val ckpt = Replayer.checkpoint()
+      try {
+        ConfScope.withConf(s, Map(
+          "spark.sql.shuffle.partitions" -> streamPartitions) ++
+          NoFinalBatch) {
+          val q = Replayer.stream(s, d, "clean").writeStream
+            .foreachBatch(fanout _)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      } finally Replayer.dropCheckpoint(ckpt)
+      val raw = s.read.parquet(rawDir.toString + "/b*")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(vdec).as("sv_raw"))
+      val agg = s.read.parquet(latestSnapshot(aggRoot))
+      raw.join(agg, "event_type")
+        .select(col("event_type"), col("n_raw"),
+          col("sv_raw").cast(DoubleType).as("value_raw"),
+          col("n").as("n_agg"),
+          col("sv").cast(DoubleType).as("value_agg"))
+        .orderBy(col("event_type"))
+    }),
+
     // S2 — sliding window (1 h window, 15 min slide). Complete mode for
     // the oracle only — production is append+watermark (see S1 note);
     // sliding windows multiply state by window/slide (4× here), which the
@@ -673,6 +743,17 @@ object Streams {
         |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
         |  event_type AS last_type, value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // snk5 — both stores must independently equal the batch truth:
+    // the raw side and the merged-aggregate side are computed from one
+    // scan here, so any fanout divergence breaks the hash
+    "snk5_fanout" ->
+      """WITH t AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n AS n_raw, CAST(sv AS DOUBLE) AS value_raw,
+        |  n AS n_agg, CAST(sv AS DOUBLE) AS value_agg
+        |FROM t ORDER BY event_type""".stripMargin,
     "s10_window_topn" ->
       """WITH h AS (
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,

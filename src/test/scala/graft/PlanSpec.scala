@@ -232,6 +232,22 @@ class PlanSpec extends AnyFunSuite {
       s"got $hashEx:\n${p.take(2000)}")
   }
 
+  test("W8: batch session windows run on ONE user_id shuffle with no " +
+       "state store") {
+    val df = SparkEntry.queries("w8_batch_session")(
+      TestSpark.spark, TestSpark.Sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val hashEx =
+      "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected exactly one user_id shuffle for the session merge + " +
+      s"per-user rollup, got $hashEx:\n${p.take(2000)}")
+    assert(!p.contains("StateStore"),
+      "batch session windows must not touch a state store")
+  }
+
   test("L26: the decile rank never materializes a single-task window") {
     // the a8-recipe rank must keep every Window partitioned (by pid);
     // an empty partitionBy would serialize the corpus through one task
