@@ -192,11 +192,26 @@ object Joins {
     // dial is "partitions ∝ frontier size", not 1 — drop them alongside
     // the hint. Swap localCheckpoint for a reliable checkpoint/table —
     // same hoist, fault-tolerant.
+    // Execution form: the loop is 24 SEQUENTIAL width-1 levels, so it
+    // runs under a width-1 scope (shuffle.partitions=1 and AQE off —
+    // AQE re-plans a query stage per level for nothing at this width;
+    // r7 sweep: 4.0 → 2.3 s loop-only). A conf scope covers
+    // CONSTRUCTION, not a later lazy execution, so the result is
+    // materialized (localCheckpoint) inside the scope and the cached
+    // ~|customers| relation is returned — the driver's write then
+    // scans it; every timed run still re-executes the full pipeline
+    // (fresh localCheckpoint per call, nothing rides the cache
+    // manager). PlanSpec pins the loop plan from the same canonical
+    // text this entry executes verbatim.
     "j12_recursive" -> ((s, dir) => {
       Tables.registerAll(s, dir)
-      s.sql(j12SeqSql).repartition(1).localCheckpoint()
-        .createOrReplaceTempView("j12_seq")
-      s.sql("WITH RECURSIVE " + j12Body("j12_seq"))
+      graft.core.ConfScope.withConf(s, Map(
+        "spark.sql.shuffle.partitions" -> "1",
+        "spark.sql.adaptive.enabled" -> "false")) {
+        s.sql(j12SeqSql).repartition(1).localCheckpoint()
+          .createOrReplaceTempView("j12_seq")
+        s.sql("WITH RECURSIVE " + j12Body("j12_seq")).localCheckpoint()
+      }
     }),
 
     // J13 — ANSI LATERAL correlated subquery (top-2 customers per

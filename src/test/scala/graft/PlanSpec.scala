@@ -191,7 +191,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("J12: WITH RECURSIVE lowers to UnionLoop over the MATERIALIZED " +
        "sequence (no window re-ranked inside the loop)") {
-    val df = SparkEntry.queries("j12_recursive")(TestSpark.spark, TestSpark.Sf)
+    // pin the plan of the CANONICAL TEXT (the queries entry executes
+    // this exact text, then returns the materialized result — whose
+    // own plan is a cached-relation scan, not the loop)
+    val s = TestSpark.spark
+    graft.core.Tables.registerAll(s, TestSpark.Sf)
+    s.sql(graft.queries.Joins.j12SeqSql).localCheckpoint()
+      .createOrReplaceTempView("j12_seq")
+    val df = s.sql("WITH RECURSIVE " + graft.queries.Joins.j12Body("j12_seq"))
     df.collect() // finalize AQE
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("UnionLoop"),
