@@ -16,7 +16,7 @@ package graft
 object AnnBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Harness.session()
+    val spark = Harness.session(checksumFreeFs = true)
 
     def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet

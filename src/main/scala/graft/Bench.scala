@@ -18,11 +18,19 @@ package graft
   * nominal marks the whole capture as contended, not a regression.
   *
   * Output protocol: the FULL JSON (all per-query timings) is written to
-  * BENCH.json and printed first; a SHORT self-contained summary line is
-  * printed LAST because the driver's stdout tail buffer has truncated
-  * the head of the full line before (r6: first ~36 queries clipped →
-  * `parsed: null`) — the tail always ends with complete, parseable JSON
-  * carrying the totals, the canary, and the slowest queries.
+  * BENCH.json; on stdout a SHORT self-contained summary line is printed
+  * both FIRST and LAST (with the full line between) because the
+  * driver's stdout buffer has truncated from either end before (r6:
+  * head of the full line clipped → `parsed: null`; r7: tail-only
+  * parsing missed it). Whichever end survives carries complete,
+  * parseable JSON with the totals, the canary, and the slowest queries.
+  *
+  * Per-query bands: BANDS.json (committed) holds [lo, hi] p50 bands per
+  * query from the committed capture history. Any query priced outside
+  * its band ships in `out_of_band` next to the canary, so a capture
+  * self-flags machine-state outliers (r7: the driver capture priced
+  * j8_asof/l10_minhash_lsh 4× over their committed values while the
+  * whole-capture canary stayed in-band).
   */
 object Bench {
   import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -40,7 +48,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Harness.session()
+    val spark = Harness.session(checksumFreeFs = true)
 
     canaryOnce(spark) // warm-up (JIT + range codegen)
     val canaryStart = canaryOnce(spark)
@@ -73,14 +81,47 @@ object Bench {
     // either value far above the committed nominal means it was
     // contended THROUGHOUT (the r6 failure mode).
     val canary = s"""{"start_sec":${ms(canaryStart)},"end_sec":${ms(canaryEnd)},"ratio":${ms(canaryEnd / math.max(canaryStart, 1e-9))}}"""
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"canary":$canary,"sf":"$sfDir"}"""
+    // Per-query band check against the committed capture history.
+    val outOfBand: Seq[(String, Double, Array[Double])] = loadBands() match {
+      case Some(bands) =>
+        results.flatMap { case (k, v) =>
+          bands.get(k).collect { case b if v < b(0) || v > b(1) => (k, v, b) }
+        }
+      case None => Seq.empty
+    }
+    val oobJson = outOfBand
+      .map { case (k, v, b) => s"${q(k)}:{\"sec\":${ms(v)},\"band\":[${ms(b(0))},${ms(b(1))}]}" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"canary":$canary,"out_of_band":$oobJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: $e") }
-    println(line)
-    // Short summary LAST — survives any head-truncating tail capture.
+    // Short summary FIRST and LAST (full line between): complete JSON
+    // survives whether the driver's buffer drops the head or the tail.
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${q(k)}:${ms(v)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"canary":$canary,"slowest":$slowest,"queries_detail":"BENCH.json","sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"canary":$canary,"out_of_band":$oobJson,"slowest":$slowest,"queries_detail":"BENCH.json","sf":"$sfDir"}"""
+    println(summary)
+    println(line)
+    println(summary)
     spark.stop()
+  }
+
+  /** Parse BANDS.json (flat extraction, no JSON lib on the classpath):
+    * pulls every `"name":[lo,hi]` pair under the top-level "bands" key.
+    * Absent or malformed file → None (bench still runs, no flags). */
+  private def loadBands(): Option[Map[String, Array[Double]]] = {
+    val p = java.nio.file.Paths.get("BANDS.json")
+    if (!java.nio.file.Files.exists(p)) return None
+    try {
+      val text = java.nio.file.Files.readString(p)
+      val body = text.substring(text.indexOf("\"bands\""))
+      val re = """"([A-Za-z0-9_]+)"\s*:\s*\[\s*([-0-9.eE]+)\s*,\s*([-0-9.eE]+)\s*\]""".r
+      Some(re.findAllMatchIn(body).map { m =>
+        m.group(1) -> Array(m.group(2).toDouble, m.group(3).toDouble)
+      }.toMap)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] BANDS.json unreadable: $e"); None
+    }
   }
 }

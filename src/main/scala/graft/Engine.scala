@@ -19,8 +19,9 @@ object Engine {
 
   /** A correctly-configured session (UTC, AQE on, nanos-tolerant reads,
     * native functions injected at build time). */
-  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
-    val s = SparkSession.builder()
+  def session(master: String = "local[*]", shufflePartitions: Int = 32,
+              checksumFreeFs: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(master)
       .appName("graft-engine")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -28,11 +29,13 @@ object Engine {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // checksum-free FileContext for streaming checkpoints — see the
-      // rationale at Harness.session (same key, same trade)
-      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
-              "org.apache.hadoop.fs.local.RawLocalFs")
-      .getOrCreate()
+    // opt-in checksum-free FileContext for streaming checkpoints — see
+    // the rationale and the detection trade-off at Harness.session;
+    // default keeps Hadoop's checksummed local FS
+    if (checksumFreeFs)
+      b.config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+               "org.apache.hadoop.fs.local.RawLocalFs")
+    val s = b.getOrCreate()
     GraftFunctions.ensure(s) // cover the getOrCreate-reuses-session case
     s
   }

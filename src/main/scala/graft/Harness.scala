@@ -11,29 +11,34 @@ object Harness {
   /** The driver-contract local session: local[$SPARK_GRAFT_CPUS],
     * matching shuffle parallelism, UTC, nanos-tolerant parquet reads,
     * no UI. (Native functions self-register on first use via
-    * GraftFunctions.ensure inside the queries that need them.) */
-  def session(): SparkSession = {
+    * GraftFunctions.ensure inside the queries that need them.)
+    *
+    * `checksumFreeFs` (TIMING sessions only — Bench/TimeOne/AnnBench):
+    * rebinds file:'s AbstractFileSystem to RawLocalFs so FileContext
+    * users — i.e. the structured-streaming checkpoint file manager
+    * (offset/commit WAL, state delta/changelog commits) — skip the .crc
+    * twin Hadoop's default local Fs writes beside every file. On a
+    * per-run tmpfs checkpoint that halves the many small synchronous
+    * writes every micro-batch pays (StreamDiag agg: ~35 ms → ~18 ms per
+    * write). The trade is losing checksum DETECTION of on-disk
+    * checkpoint corruption, so correctness-gate runs (Verify, tests)
+    * keep the default checksummed FS — a timing capture is re-runnable,
+    * a silently-corrupt correctness verdict is not. Batch parquet I/O
+    * is untouched either way (FileSystem API, fs.file.impl key); a
+    * production deployment points checkpoints at HDFS/S3, whose
+    * AbstractFileSystem carries its own integrity story. */
+  def session(checksumFreeFs: Boolean = false): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // Raw (checksum-free) local FS for FileContext users — i.e. the
-      // structured-streaming checkpoint file manager (offset/commit WAL,
-      // state store delta/changelog commits). Hadoop's default local Fs
-      // writes a .crc twin beside every file; on a per-run tmpfs
-      // checkpoint that doubles the many small synchronous writes every
-      // micro-batch pays, for integrity a single-process local run
-      // cannot use. Measured: offset+commit+wal log time halves
-      // (StreamDiag agg: ~35 ms → ~18 ms per write). Batch parquet I/O
-      // is untouched (FileSystem API, fs.file.impl key). A production
-      // deployment points checkpoints at HDFS/S3, whose AbstractFileSystem
-      // carries its own integrity story — this key only rebinds file:.
-      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
-              "org.apache.hadoop.fs.local.RawLocalFs")
-      .getOrCreate()
+    if (checksumFreeFs)
+      b.config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+               "org.apache.hadoop.fs.local.RawLocalFs")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

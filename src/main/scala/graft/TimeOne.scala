@@ -19,7 +19,10 @@ object TimeOne {
         Seq(n)
       }
     }.distinct
-    val spark = Harness.session()
+    require(picked.nonEmpty,
+      s"no query matches ${names.mkString(", ")} (sfDir=$sfDir) — " +
+      "an sfDir-only invocation times nothing")
+    val spark = Harness.session(checksumFreeFs = true)
     var total = 0.0
     picked.foreach { name =>
       val timed = Harness.timed3(SparkEntry.queries(name)(spark, sfDir))

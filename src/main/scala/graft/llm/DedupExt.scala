@@ -635,28 +635,52 @@ object DedupExt {
     // occurrence and marks the rest for removal; removed token count =
     // the UNION of the marked spans' [pos, pos+49] intervals (overlaps
     // not double-counted). Output is the per-doc removal plan.
-    // 100 TB: span stream is one row per token position (explode —
-    // map-side); duplicate detection is ONE hash-shuffle on the span
-    // hash (the scalable stand-in for a monolithic suffix array); the
-    // join back and the per-doc rollups shuffle span-hash / doc_id
-    // respectively. No all-pairs stage anywhere. LlmSpec pins the
-    // arithmetic against a pure-Scala model and the removal invariant
+    // 100 TB: span stream is one row per token position, produced by a
+    // TRUE O(n) Horner roll — the first window is folded once, then
+    // h[k+1] = (h[k] − th[k]·31^(W−1))·31 + th[k+W] mod M re-uses the
+    // previous hash (a typed flatMap kernel, the declared L8b batched-
+    // kernel pattern: no Catalyst expression computes a dependent scan,
+    // and an aggregate() accumulator appending an array would be O(n²)
+    // in copies). Values are byte-identical to the naive per-span fold
+    // (LlmSpec pins both recurrences against each other). Duplicate
+    // detection is ONE hash-shuffle on the span hash (the scalable
+    // stand-in for a monolithic suffix array); the join back and the
+    // per-doc rollups shuffle span-hash / doc_id respectively. No
+    // all-pairs stage anywhere. LlmSpec also pins the removal invariant
     // (re-running on the deduped corpus finds 0 duplicated spans).
     "l33_span_dedup" -> ((s, d) => {
       val W = 50
-      val spans = Tables.documents(s, d)
-        .select(col("doc_id"),
-          expr("transform(split(text, ' '), t -> " +
-               "CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT) " +
-               "% 1000000007L)").as("th"))
-        .filter(size(col("th")) >= W)
-        .select(col("doc_id"), explode(expr(
-          s"""transform(sequence(0, size(th) - $W), k ->
-             |  named_struct('pos', k, 'h',
-             |    aggregate(slice(th, k + 1, $W), 0L,
-             |      (acc, x) -> (acc * 31L + x) % 1000000007L)))""".stripMargin))
-          .as("sp"))
-        .select(col("doc_id"), col("sp.pos").as("pos"), col("sp.h").as("h"))
+      val spans = {
+        import s.implicits._
+        val M = 1000000007L
+        // removal term 31^(W-1) mod M, hoisted off the per-token path
+        val R = (1 until W).foldLeft(1L)((a, _) => a * 31L % M)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("transform(split(text, ' '), t -> " +
+                 "CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT) " +
+                 "% 1000000007L)").as("th"))
+          .filter(size(col("th")) >= W)
+          .as[(Long, Array[Long])]
+          .flatMap { case (id, th) =>
+            var h = 0L
+            var j = 0
+            while (j < W) { h = (h * 31L + th(j)) % M; j += 1 }
+            val out = new Array[(Long, Int, Long)](th.length - W + 1)
+            out(0) = (id, 0, h)
+            var k = 1
+            while (k < out.length) {
+              // (h − th[k−1]·R) mod M can sit in (−M, M); +M re-centers
+              // before the ·31 step (all intermediates < 2^36).
+              h = (((h - th(k - 1) * R % M) % M + M) * 31L +
+                   th(k + W - 1)) % M
+              out(k) = (id, k, h)
+              k += 1
+            }
+            out
+          }
+          .toDF("doc_id", "pos", "h")
+      }
       val canon = spans.groupBy(col("h"))
         .agg(count(lit(1)).as("c"),
              min(struct(col("doc_id"), col("pos"))).as("keep"))

@@ -76,6 +76,9 @@ object Replayer {
     val dir = root(sfDir).resolve(variant)
     val done = dir.resolve("_DONE")
     if (!Files.exists(done)) {
+      // (re)building this dir — drop any schema cached for a previous
+      // incarnation (a regenerated fixture may carry a changed schema)
+      schemaCache.remove(dir.toString)
       val ev = Tables.events(s, sfDir)
       val n = ev.count()
       Files.createDirectories(dir)

@@ -361,11 +361,19 @@ class LlmSpec extends AnyFunSuite {
     }
     // cell-boundedness: pairwise work is Σ C(|cell|,2), a K-fold cut of
     // the quadratic all-pairs — the SemDeDup scaling argument, asserted
+    // against the ACTUAL K (perfectly balanced cells give allPairs/K;
+    // c=2 tolerates real imbalance but a cell holding ~half the corpus
+    // would blow straight through it)
     val n = rows.length.toLong
-    val cand = rows.groupBy(_.getInt(1)).values
-      .map(g => g.length.toLong * (g.length - 1) / 2).sum
-    assert(cand * 4 < n * (n - 1) / 2,
-      s"cells do not bound the candidate set: $cand of ${n * (n - 1) / 2}")
+    val K = 10L // l3c coarse-quantizer cells (Llm.trainCentroids seeds)
+    val cellSizes = rows.groupBy(_.getInt(1)).values.map(_.length.toLong)
+    val cand = cellSizes.map(c => c * (c - 1) / 2).sum
+    val allPairs = n * (n - 1) / 2
+    assert(cand * K <= 2 * allPairs,
+      s"candidate set not ~1/K of all-pairs: $cand vs $allPairs / K=$K")
+    // and no single cell degenerates toward holding the corpus
+    assert(cellSizes.max * K <= 3 * n,
+      s"max cell ${cellSizes.max} exceeds 3·n/K (n=$n, K=$K)")
   }
 
   test("L33: span-dedup matches a pure-Scala model, and removal is " +
@@ -378,7 +386,27 @@ class LlmSpec extends AnyFunSuite {
         .digest(t.getBytes("UTF-8"))
       java.lang.Long.parseLong(md.take(6).map("%02x".format(_)).mkString, 16) % P
     }
+    // Same O(n) Horner roll as the engine (DedupExt l33): fold the
+    // first window once, then h[k+1] = (h[k] − th[k]·31^(W−1))·31 +
+    // th[k+W] mod P. The naive per-span fold is kept below as the
+    // definitional form and pinned byte-identical to the roll.
+    val R = (1 until W).foldLeft(1L)((a, _) => a * 31L % P)
     def spansOf(toks: Array[String]): Seq[(Int, Long)] = {
+      if (toks.length < W) return Seq.empty
+      val hs = toks.map(th)
+      var h = 0L; var j = 0
+      while (j < W) { h = (h * 31 + hs(j)) % P; j += 1 }
+      val out = Array.newBuilder[(Int, Long)]
+      out += ((0, h))
+      var k = 1
+      while (k <= toks.length - W) {
+        h = (((h - hs(k - 1) * R % P) % P + P) * 31L + hs(k + W - 1)) % P
+        out += ((k, h))
+        k += 1
+      }
+      out.result().toSeq
+    }
+    def spansNaive(toks: Array[String]): Seq[(Int, Long)] = {
       val hs = toks.map(th)
       (0 to toks.length - W).map { k =>
         var acc = 0L; var j = 0
@@ -404,6 +432,13 @@ class LlmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1).split(" ")).toSeq
     val (nDup, removed, nDupHashes) = plan(corpus)
     assert(nDupHashes > 0, "corpus has no duplicated spans — test vacuous")
+
+    // 0. the O(n) roll is byte-identical to the definitional O(n·W)
+    // per-span fold on every document that yields spans
+    corpus.filter(_._2.length >= W).foreach { case (id, toks) =>
+      assert(spansOf(toks) == spansNaive(toks),
+        s"doc $id: rolling-hash spans diverge from the naive fold")
+    }
 
     // 1. the engine's removal plan equals the model's
     val engine = SparkEntry.queries("l33_span_dedup")(s, sf).collect()

@@ -54,7 +54,7 @@ object StreamDiag {
     val shape = args.headOption.getOrElse("agg")
     val confs = args.drop(1).filter(_.contains("="))
       .map { a => val Array(k, v) = a.split("=", 2); k -> v }.toMap
-    val s = Harness.session()
+    val s = Harness.session(checksumFreeFs = true)
     // args like hadoop.fs.AbstractFileSystem.file.impl=... go to the
     // (context-wide) hadoopConfiguration, not the session conf
     confs.filter(_._1.startsWith("hadoop.")).foreach { case (k, v) =>
