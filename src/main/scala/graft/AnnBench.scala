@@ -34,7 +34,18 @@ object AnnBench {
       val recall = (exact & topSet(run())).size.toDouble / exact.size
       f"""{"scoring":"$scoring","rassign":$rassign,"nprobe":$nprobe,"recall_at_5":$recall%.3f,"p50_sec":$p50%.3f}"""
     }
-    println(s"""{"metric":"ann_sweep","sf":"$sfDir","baseline":"l3_cosine_topk","sweep":[${rows.mkString(",")}]}""")
+    // the two compressed-scan designs at their canonical settings:
+    // l3e's whole-corpus ADC scan, and l3f's IVF-PQ (probed-cell ADC) —
+    // one latency-recall point each, comparable to the sweep rows above
+    val fixed = Seq(
+      "pq_adc" -> (() => graft.llm.Llm.pqTopK(spark, sfDir)),
+      "ivf_pq" -> (() => graft.llm.Llm.ivfPqTopK(spark, sfDir))
+    ).map { case (name, run) =>
+      val p50 = Harness.timed3(run())(1)
+      val recall = (exact & topSet(run())).size.toDouble / exact.size
+      f"""{"scoring":"$name","recall_at_5":$recall%.3f,"p50_sec":$p50%.3f}"""
+    }
+    println(s"""{"metric":"ann_sweep","sf":"$sfDir","baseline":"l3_cosine_topk","sweep":[${(rows ++ fixed).mkString(",")}]}""")
     spark.stop()
   }
 }

@@ -368,6 +368,11 @@ object Llm {
     // exact rerank of the top-20 shortlist. See pqTopK.
     "l3e_pq_topk" -> ((s, d) => pqTopK(s, d)),
 
+    // L3f — IVF-PQ: coarse-cell probe (l3c candidates) with PQ-ADC
+    // scoring inside the probed cells (l3e codes) + exact rerank — the
+    // production composition of both index axes. See ivfPqTopK.
+    "l3f_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
+
     // X1 — scalar Scala UDF (slugify) used in an L-series shape. The
     // oracle reproduces it with portable SQL (lower + regexp_replace).
     "x1_udf" -> ((s, d) =>
@@ -828,30 +833,7 @@ object Llm {
   def pqTopK(s: SparkSession, d: String, k: Int = 5,
              qids: Seq[Int] = IvfQids): DataFrame = {
     val e = qvecs(s, d)
-    val cent = trainPqCodebooks(s, d)
-    val cdf = broadcast(pqCentDf(s, cent))
-    val sub = subVecs(e)
-    // codes: argmin cell per (vec_id, m) — the stored index
-    val codes = sub.join(cdf, Seq("m"))
-      .select(col("vec_id"), col("m"),
-        (qdist(col("sq"), col("c")) * 32 + col("cell")).as("ok"))
-      .groupBy(col("vec_id"), col("m")).agg(min(col("ok")).as("mo"))
-      .select(col("vec_id"), col("m"),
-              (col("mo") % 32).cast(IntegerType).as("cell"))
-    // reconstructed norm per vector: Σ_m ‖c_{m,code_m}‖²  (driver-held
-    // per-(m,cell) norms, broadcast)
-    val cn = broadcast(pqCentDf(s, cent)
-      .select(col("m"), col("cell"), qnorm(col("c")).as("cn2")))
-    val rn = codes.join(cn, Seq("m", "cell"))
-      .groupBy(col("vec_id")).agg(sum(col("cn2")).as("rn"))
-    // ADC tables: (qid, m, cell) -> query-subvector · centroid
-    val qsubs = sub.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("qid"), col("m"), col("sq"))
-    val dots = broadcast(qsubs.join(cdf, Seq("m"))
-      .select(col("qid"), col("m"), col("cell"),
-              qdot(col("sq"), col("c")).as("dt")))
-    val qn = broadcast(e.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("qid"), col("nrm").as("qn")))
+    val (codes, rn, dots, qn) = pqParts(s, d, e, qids)
     val adc = codes.join(dots, Seq("m", "cell"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy(col("qid"), col("vec_id")).agg(sum(col("dt")).as("dot"))
@@ -860,12 +842,56 @@ object Llm {
         (col("dot").cast(DoubleType) /
           (sqrt(col("qn").cast(DoubleType)) *
            sqrt(col("rn").cast(DoubleType)))).as("adc"))
+    rerankExact(e, pqShortlist(adc), qids, k)
+  }
+
+  /** The PQ stored index + per-query ADC tables, shared by the pure-PQ
+    * linear scan (l3e) and the IVF-PQ composition (l3f):
+    *  - codes: argmin cell per (vec_id, m) — the stored 8 B/vector index
+    *  - rn: reconstructed norm per vector, Σ_m ‖c_{m,code_m}‖²
+    *    (driver-held per-(m,cell) norms, broadcast)
+    *  - dots: broadcast (qid, m, cell) → query-subvector · centroid
+    *  - qn: true query norms (broadcast) */
+  private def pqParts(s: SparkSession, d: String, e: DataFrame,
+                      qids: Seq[Int])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val cent = trainPqCodebooks(s, d)
+    val cdf = broadcast(pqCentDf(s, cent))
+    val sub = subVecs(e)
+    val codes = sub.join(cdf, Seq("m"))
+      .select(col("vec_id"), col("m"),
+        (qdist(col("sq"), col("c")) * 32 + col("cell")).as("ok"))
+      .groupBy(col("vec_id"), col("m")).agg(min(col("ok")).as("mo"))
+      .select(col("vec_id"), col("m"),
+              (col("mo") % 32).cast(IntegerType).as("cell"))
+    val cn = broadcast(pqCentDf(s, cent)
+      .select(col("m"), col("cell"), qnorm(col("c")).as("cn2")))
+    val rn = codes.join(cn, Seq("m", "cell"))
+      .groupBy(col("vec_id")).agg(sum(col("cn2")).as("rn"))
+    val qsubs = sub.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("m"), col("sq"))
+    val dots = broadcast(qsubs.join(cdf, Seq("m"))
+      .select(col("qid"), col("m"), col("cell"),
+              qdot(col("sq"), col("c")).as("dt")))
+    val qn = broadcast(e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("nrm").as("qn")))
+    (codes, rn, dots, qn)
+  }
+
+  /** Top-PqShort ADC shortlist per query (the corpus-size-independent
+    * rerank budget). */
+  private def pqShortlist(adc: DataFrame): DataFrame = {
     val sw = Window.partitionBy(col("qid"))
       .orderBy(col("adc").desc, col("vid").asc)
-    val shortlist = adc.withColumn("srnk", row_number().over(sw))
+    adc.withColumn("srnk", row_number().over(sw))
       .filter(col("srnk") <= PqShort)
       .select(col("qid"), col("vid"))
-    // exact rerank of the shortlist — the l3 cosine on PqShort vectors
+  }
+
+  /** Exact-cosine rerank of a (qid, vid) shortlist — the l3 scoring on
+    * a bounded candidate set. */
+  private def rerankExact(e: DataFrame, shortlist: DataFrame,
+                          qids: Seq[Int], k: Int): DataFrame = {
     val qs = e.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("qid"), col("q").as("qq"),
               col("nrm").as("qn2"))
@@ -878,6 +904,40 @@ object Llm {
           (sqrt(col("qn2").cast(DoubleType)) *
            sqrt(col("nrm").cast(DoubleType)))).as("cos"))
     rankTopK(reranked, k)
+  }
+
+  /** L3f — IVF-PQ: the production composition of the two index axes
+    * (the IVF-ADC design of Jégou et al.; what FAISS calls IVFx,PQy).
+    * l3c's coarse quantizer prunes the corpus to the `nprobe` probed
+    * cells' members (candidate GENERATION — identical by construction
+    * to l3c/l3d, same `ivfCandidates`); l3e's PQ codes then ADC-score
+    * ONLY those candidates (candidate SCORING — M table lookups per
+    * candidate instead of a 64-dim exact product); the top-PqShort
+    * shortlist gets the exact rerank. 100 TB: the scan cost is
+    * (nprobe/K)·N candidates × M lookups — the probe-fraction AND the
+    * compression win multiply, which is why this is the production
+    * default layout; rerank I/O stays corpus-size-independent. The
+    * oracle replays coarse training, probes, PQ training, coding, the
+    * candidate-restricted ADC scan and the rerank end-to-end (l3fSql).
+    * LlmSpec pins recall@5 ≥ 0.85 vs exact l3; AnnBench compares the
+    * l3c/l3d/l3e/l3f latency-recall points. */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int = 5,
+                nprobe: Int = IvfNprobe, rassign: Int = IvfRassign,
+                qids: Seq[Int] = IvfQids): DataFrame = {
+    val e = qvecs(s, d)
+    val cand = ivfCandidates(s, d, e, nprobe, rassign, qids)
+    val (codes, rn, dots, qn) = pqParts(s, d, e, qids)
+    val adc = cand
+      .join(codes.withColumnRenamed("vec_id", "vid"), Seq("vid"))
+      .join(dots, Seq("qid", "m", "cell"))
+      .groupBy(col("qid"), col("vid")).agg(sum(col("dt")).as("dot"))
+      .join(rn.withColumnRenamed("vec_id", "vid"), Seq("vid"))
+      .join(qn, Seq("qid"))
+      .select(col("qid"), col("vid"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) *
+           sqrt(col("rn").cast(DoubleType)))).as("adc"))
+    rerankExact(e, pqShortlist(adc), qids, k)
   }
 
   /** The l3e oracle: per-subspace training (CTEs keyed (m, cell) — the
@@ -949,6 +1009,95 @@ object Llm {
       |  JOIN n qn ON qn.vec_id = d.qid
       |  WHERE codes.vec_id <> d.qid
       |  GROUP BY d.qid, codes.vec_id, qn.nrm, rn.rn),
+      |short AS (
+      |  SELECT qid, vid FROM (
+      |    SELECT qid, vid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vid ASC) AS srnk
+      |    FROM adc) WHERE srnk <= $PqShort),
+      |scored AS (
+      |  SELECT short.qid, short.vid,
+      |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), i -> qv.q[i] * cv.q[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(cv.nrm AS DOUBLE))) AS cos
+      |  FROM short
+      |  JOIN n qv ON qv.vec_id = short.qid
+      |  JOIN n cv ON cv.vec_id = short.vid),
+      |r AS (
+      |  SELECT qid, vid, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk
+      |  FROM scored)
+      |SELECT qid, rnk, vid, cos FROM r WHERE rnk <= $k
+      |ORDER BY qid, rnk""".stripMargin
+    sb.toString
+  }
+
+  /** The l3f oracle: the ivfSql coarse-training + candidate CTEs (the
+    * SAME trained quantizer and probe set as l3c/l3d, via ivfTrainSql +
+    * ivfCandSql) composed with the l3eSql PQ pipeline — training CTEs
+    * p-prefixed to avoid colliding with the coarse trainer's names —
+    * where the ADC scan runs over `cand` instead of the whole corpus,
+    * then the same shortlist + exact rerank. */
+  def l3fSql(k: Int = 5, nprobe: Int = IvfNprobe, rassign: Int = IvfRassign,
+             coarseIters: Int = IvfIters, pqIters: Int = PqIters,
+             qids: Seq[Int] = IvfQids): String = {
+    val w = 64 / PqM
+    def dist(centRel: String, vecRel: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, $w), " +
+      s"i -> ($vecRel.sq[i] - $centRel.c[i]) * ($vecRel.sq[i] - $centRel.c[i]))) AS BIGINT) " +
+      s"* 32 + $centRel.cell"
+    val sb = new StringBuilder
+    sb ++= ivfTrainSql(coarseIters)
+    sb ++= ivfCandSql(s"c$coarseIters", nprobe, rassign, qids)
+    sb ++= s"""
+      |sub AS (
+      |  SELECT vec_id, m.m, q[m.m * $w + 1 : m.m * $w + $w] AS sq
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) m),
+      |px0 AS (SELECT s.m, e.label AS cell, unnest(generate_series(1, $w)) AS i, s.sq AS sq
+      |  FROM sub s JOIN e ON e.vec_id = s.vec_id),
+      |ps0 AS (SELECT m, cell, i,
+      |    CAST(floor(CAST(sum(sq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM px0 GROUP BY m, cell, i),
+      |pc0 AS (SELECT m, cell, list(cv ORDER BY i) AS c FROM ps0 GROUP BY m, cell)""".stripMargin
+    for (t <- 1 to pqIters) {
+      val p = s"pc${t - 1}"
+      sb ++= s""",
+      |pd$t AS (SELECT s.vec_id, s.m, p.cell, ${dist("p", "s")} AS ok
+      |  FROM sub s JOIN $p p USING (m)),
+      |pa$t AS (SELECT vec_id, m, min(ok) % 32 AS cell FROM pd$t GROUP BY vec_id, m),
+      |px$t AS (SELECT s.m, a.cell, unnest(generate_series(1, $w)) AS i, s.sq AS sq
+      |  FROM pa$t a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m),
+      |ps$t AS (SELECT m, cell, i,
+      |    CAST(floor(CAST(sum(sq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM px$t GROUP BY m, cell, i),
+      |pl$t AS (SELECT m, cell, list(cv ORDER BY i) AS cnew FROM ps$t GROUP BY m, cell),
+      |pc$t AS (SELECT p.m, p.cell, coalesce(l.cnew, p.c) AS c
+      |  FROM pc${t - 1} p LEFT JOIN pl$t l USING (m, cell))""".stripMargin
+    }
+    val cf = s"pc$pqIters"
+    sb ++= s""",
+      |codes AS (
+      |  SELECT vec_id, m, CAST(mo % 32 AS INT) AS cell
+      |  FROM (SELECT s.vec_id, s.m, min(${dist(cf, "s")}) AS mo
+      |        FROM sub s JOIN $cf USING (m) GROUP BY s.vec_id, s.m)),
+      |cn AS (SELECT m, cell,
+      |    CAST(list_sum(list_transform(c, x -> x * x)) AS BIGINT) AS cn2
+      |  FROM $cf),
+      |rn AS (SELECT codes.vec_id, CAST(sum(cn.cn2) AS BIGINT) AS rn
+      |  FROM codes JOIN cn USING (m, cell) GROUP BY codes.vec_id),
+      |dots AS (
+      |  SELECT s.vec_id AS qid, s.m, c.cell,
+      |    CAST(list_sum(list_transform(generate_series(1, $w), i -> s.sq[i] * c.c[i])) AS BIGINT) AS dt
+      |  FROM sub s JOIN $cf c USING (m)
+      |  WHERE s.vec_id IN (${qids.mkString(", ")})),
+      |adc AS (
+      |  SELECT cand.qid, cand.vid,
+      |    CAST(CAST(sum(d.dt) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(rn.rn AS DOUBLE))) AS adc
+      |  FROM cand
+      |  JOIN codes ON codes.vec_id = cand.vid
+      |  JOIN dots d ON d.qid = cand.qid AND d.m = codes.m AND d.cell = codes.cell
+      |  JOIN rn ON rn.vec_id = cand.vid
+      |  JOIN n qn ON qn.vec_id = cand.qid
+      |  GROUP BY cand.qid, cand.vid, qn.nrm, rn.rn),
       |short AS (
       |  SELECT qid, vid FROM (
       |    SELECT qid, vid,
@@ -1052,12 +1201,13 @@ object Llm {
     sb.toString
   }
 
-  def ivfSql(nprobe: Int, k: Int, iters: Int, rassign: Int,
-             qids: Seq[Int], int8: Boolean = false): String = {
-    val sb = new StringBuilder
-    sb ++= ivfTrainSql(iters)
-    val cf = s"c$iters"
-    sb ++= s""",
+  /** The candidate-generation CTEs of the IVF oracle (fd/fa/probes/cand
+    * over trained centroid relation `cf`) — shared by the l3c/l3d search
+    * oracles and the l3f IVF-PQ oracle, so the candidate set is
+    * definitionally the same SQL. */
+  private def ivfCandSql(cf: String, nprobe: Int, rassign: Int,
+                         qids: Seq[Int]): String =
+    s""",
       |fd AS (SELECT n.vec_id, $cf.cell, ${ivfDistSql(cf)} AS ok
       |  FROM n CROSS JOIN $cf),
       |fa AS (SELECT vec_id, cell FROM (
@@ -1068,6 +1218,12 @@ object Llm {
       |    FROM fd WHERE vec_id IN (${qids.mkString(", ")})) WHERE r <= $nprobe),
       |cand AS (SELECT DISTINCT p.qid, a.vec_id AS vid
       |  FROM probes p JOIN fa a ON a.cell = p.cell AND a.vec_id <> p.qid),""".stripMargin
+
+  def ivfSql(nprobe: Int, k: Int, iters: Int, rassign: Int,
+             qids: Seq[Int], int8: Boolean = false): String = {
+    val sb = new StringBuilder
+    sb ++= ivfTrainSql(iters)
+    sb ++= ivfCandSql(s"c$iters", nprobe, rassign, qids)
     if (int8) {
       // l29's symmetric quantization replayed verbatim, then the scored
       // CTE runs the SAME cosine shape on codes instead of micro-longs
@@ -1168,6 +1324,9 @@ object Llm {
     // l3e — per-subspace PQ training, coding, ADC scan and exact rerank,
     // all generated from the same Scala constants (see l3eSql)
     "l3e_pq_topk" -> l3eSql(),
+    // l3f — the l3c candidate CTEs composed with the l3e PQ pipeline,
+    // ADC restricted to the candidate set (see l3fSql)
+    "l3f_ivfpq_topk" -> l3fSql(),
 
     "l4_token_stats" ->
       """WITH t AS (

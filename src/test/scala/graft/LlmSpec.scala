@@ -74,6 +74,16 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("L3f: IVF-PQ recall@5 vs the exact l3 baseline at sf0.001 " +
+       "and sf0.01") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val r = recallOf(topkPairs("l3_cosine_topk", sf),
+                       topkPairs("l3f_ivfpq_topk", sf))
+      info(f"IVF-PQ recall@5 at $sf = $r%.3f")
+      assert(r >= 0.85, f"IVF-PQ recall@5 at $sf: $r%.3f < 0.85")
+    }
+  }
+
   test("L31: the bloom screen prunes the batch and never drops a true dup") {
     val sf = "/root/testdata/sf0.01"
     val (batch, _, cand) = graft.llm.DedupExt.l31Parts(s, sf)
