@@ -71,7 +71,7 @@ object Replayer {
 
   /** Ensure a fixture variant exists; returns its directory. */
   def ensure(s: SparkSession, sfDir: String, variant: String): String = synchronized {
-    require(Set("clean", "late", "dup", "funnel")(variant),
+    require(Set("clean", "late", "dup", "dup10", "funnel")(variant),
       s"unknown replay variant: $variant")
     val dir = root(sfDir).resolve(variant)
     val done = dir.resolve("_DONE")
@@ -91,6 +91,18 @@ object Replayer {
             .withColumn("b", least(batchExpr(n, late = false) + 1,
                                    lit(NumFiles - 1)))
           base.unionByName(dups)
+        case "dup10" =>
+          // EVERY event re-sent 9 more times, copy i landing i files
+          // later (capped at the last file) — 10× the ingested rows over
+          // the same 1× distinct keys, the bounded-state stress fixture
+          // (StreamingSpec's S11 plateau pin). Copies whose ts has
+          // fallen behind the watermark by arrival time are late rows
+          // and are dropped before the dedup store — exactly the
+          // production behavior the pin quantifies.
+          val base = ev.withColumn("b", batchExpr(n, late = false))
+          (1 to 9).map(i => ev.withColumn("b",
+              least(batchExpr(n, late = false) + i, lit(NumFiles - 1))))
+            .foldLeft(base)(_ unionByName _)
         case "funnel" =>
           // chain g = event_id/211; members at offsets {0,95,190} become
           // view/click/purchase of synthetic user FunnelUserBase+g at

@@ -659,11 +659,13 @@ object Streams {
   )
 
   /** S11's streaming plan, shared with StreamingSpec's two-state-stores
-    * pin so the plan under test IS the canonical one. */
-  private[graft] def s11Plan(s: SparkSession, d: String): DataFrame = {
+    * pin so the plan under test IS the canonical one (the spec's
+    * bounded-state pin swaps in the 10× dup10 stress variant). */
+  private[graft] def s11Plan(s: SparkSession, d: String,
+                             variant: String = "dup"): DataFrame = {
     val cust = broadcast(Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment")))
-    Replayer.stream(s, d, "dup")
+    Replayer.stream(s, d, variant)
       .withWatermark("ts", WatermarkDelay)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
       .filter(col("event_type") === "purchase")

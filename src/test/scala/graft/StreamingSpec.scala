@@ -62,6 +62,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(dedupKeys > 0, "dedup state was never exercised")
   }
 
+  test("S11 bounded state at 10x replay: both state stores plateau " +
+       "(dedup ~ watermark span, agg ~ open windows), not with ingest") {
+    import graft.streaming.Streams
+    // dup10: every event re-sent 9x in later files — 10x the ingested
+    // rows over the same distinct keys. If either store scaled with
+    // ingest instead of its declared bound, this replay exposes it.
+    val ckpt = Files.createTempDirectory("graft_s11_bound").toString
+    val q = Streams.s11Plan(s, sf, variant = "dup10").writeStream
+      .format("memory").queryName("s11_bound").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def rowsOf(op: String): Seq[Long] = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.filter(_.operatorName == op)
+        .map(_.numRowsTotal))
+    val dedup = rowsOf("dedupeWithinWatermark")
+    val agg = rowsOf("stateStoreSave")
+    assert(dedup.nonEmpty && agg.nonEmpty, "missing state operators")
+
+    val nDistinct = Tables.events(s, sf).count()
+    val ingested = q.recentProgress.map(_.numInputRows).sum
+    assert(ingested >= 9 * nDistinct, // cap-at-last-file keeps all copies
+      s"fixture not 10x: ingested $ingested of ${10 * nDistinct}")
+    // dedup store: keyed by event_id, holds only keys within the
+    // watermark horizon. The replay files are contiguous ts ranges, so
+    // the live span at any batch is ~one file's worth of distinct keys
+    // (+ the 10-minute tail of the previous) — NEVER the whole corpus,
+    // and NEVER a function of the 10x ingest.
+    val filesWorth = (nDistinct + Replayer.NumFiles - 1) / Replayer.NumFiles
+    assert(dedup.max <= 2 * filesWorth,
+      s"dedup state ${dedup.max} exceeds ~watermark-span bound " +
+      s"${2 * filesWorth} (distinct=$nDistinct, ingested=$ingested)")
+    assert(dedup.max < nDistinct,
+      s"dedup state ${dedup.max} reached corpus size — eviction dead")
+
+    // agg store: one row per OPEN (window, segment) group. Conservation
+    // (as in the S1 append pin): every purchase group is either closed
+    // (emitted) or still open (in state) — and eviction ran mid-replay.
+    val totalGroups = Tables.events(s, sf)
+      .filter(col("event_type") === "purchase")
+      .join(Tables.customer(s, sf),
+            col("user_id") === col("c_custkey"))
+      .select(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .distinct().count()
+    val emitted = s.table("s11_bound").count()
+    assert(emitted + agg.last == totalGroups,
+      s"emitted=$emitted + open=${agg.last} != groups=$totalGroups")
+    assert(agg.max < totalGroups,
+      s"agg state peaked at ${agg.max} of $totalGroups groups — " +
+      "window eviction never ran during the replay")
+  }
+
   test("events event_id is unique — the precondition that makes " +
        "upsertMerge's struct-max agree with the (ts, event_id) oracle") {
     // upsertMerge's max(struct(ts, event_id, event_type, value)) can
