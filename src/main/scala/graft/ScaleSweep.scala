@@ -1,0 +1,80 @@
+package graft
+
+/** Scale sweep: time the engine's most expensive queries at two data
+  * scales (default: the shipped sf0.1 and the GenScale-derived 10×
+  * target/sf1) and report the per-query scaling exponent
+  * e = log(t_big / t_small) / log(ratio) — e ≈ 1 is linear scaling,
+  * e ≈ 2 quadratic, e < 1 sublinear (fixed overhead amortizing out).
+  *
+  * Protocol per query and scale: 1 warm-up + 3 timed noop-sink runs,
+  * p50 (the BASELINE.md rule, via Harness.timed3). The warm-up also
+  * absorbs build-once artifacts so the timed runs measure the steady
+  * state the 100 TB story is about: replay fixtures (disk-cached),
+  * IVF/PQ codebooks (the index is a build-once artifact — timed runs
+  * measure SEARCH scaling, declared in the JSON), and JIT.
+  *
+  * Streaming queries would otherwise be served from the shared
+  * ingestion core (see Streams.sharedCore) after the first run; each
+  * timed run uses a FRESH child session (s.newSession() — new core
+  * cache key, same JVM/context) so the measured time is the full
+  * replay + stateful pipeline, which is the part whose scaling matters.
+  *
+  * Output: one JSON line (stdout, first and last) + SCALE_r08.json.
+  */
+object ScaleSweep {
+  /** Batch queries — index/codebook training amortized by warm-up. */
+  private val BatchQ = Seq(
+    "a8_percentile", "j8_asof", "j12_recursive",
+    "l10_minhash_lsh", "l10b_minhash_tuned", "l22_dup_clusters",
+    "l26_quality_resample", "l33_span_dedup", "l34_semantic_dedup",
+    "l35_epoch_shards", "l3f_ivfpq_topk")
+  /** Streaming queries — timed on fresh child sessions (full replay). */
+  private val StreamQ = Seq(
+    "s5_interval_join", "s5b_interval_left", "s5c_interval_full",
+    "s11_chained")
+
+  def main(args: Array[String]): Unit = {
+    val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val big = if (args.length > 1) args(1) else "target/sf1"
+    val ratio = if (args.length > 2) args(2).toDouble else 10.0
+    val spark = Harness.session(checksumFreeFs = true)
+
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    def sweep(dir: String): Seq[(String, Double)] = {
+      val batch = BatchQ.map { q =>
+        val t = Harness.timed3(SparkEntry.queries(q)(spark, dir))(1)
+        System.err.println(f"[scale] $dir $q p50=$t%.3f")
+        q -> t
+      }
+      val stream = StreamQ.map { q =>
+        SparkEntry.queries(q)(spark, dir).count() // fixture + JIT warm-up
+        val ts = Seq.fill(3) {
+          Harness.timeOnce(SparkEntry.queries(q)(spark.newSession(), dir))
+        }.sorted
+        System.err.println(f"[scale] $dir $q p50=${ts(1)}%.3f (fresh-session replays)")
+        q -> ts(1)
+      }
+      batch ++ stream
+    }
+
+    val tSmall = sweep(small).toMap
+    val tBig = sweep(big)
+    val rows = tBig.map { case (q, b) =>
+      val a = tSmall(q)
+      val e = math.log(b / a) / math.log(ratio)
+      s""""$q":{"small_sec":${ms(a)},"big_sec":${ms(b)},"exponent":${ms(e)}}"""
+    }
+    val line =
+      s"""{"metric":"scale_sweep","small":"$small","big":"$big","ratio":$ratio,""" +
+      s""""protocol":"p50 of 3 after warm-up; streaming replays on fresh child sessions; """ +
+      s"""index build (IVF/PQ codebooks) amortized by warm-up - timed runs measure search",""" +
+      s""""queries":{${rows.mkString(",")}}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALE_r08.json"), line)
+    catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }
+    println(line)
+    spark.stop()
+  }
+}

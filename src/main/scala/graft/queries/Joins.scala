@@ -207,7 +207,12 @@ object Joins {
       Tables.registerAll(s, dir)
       graft.core.ConfScope.withConf(s, Map(
         "spark.sql.shuffle.partitions" -> "1",
-        "spark.sql.adaptive.enabled" -> "false")) {
+        "spark.sql.adaptive.enabled" -> "false",
+        // the walk is data-bounded (customers × max orders-per-customer
+        // levels); Spark's default 1M cumulative-row safety valve trips
+        // from ~sf1 (150k customers × ~24 levels) — scale it with data,
+        // it guards only against non-terminating recursion
+        "spark.sql.cteRecursionRowLimit" -> "1000000000")) {
         s.sql(j12SeqSql).repartition(1).localCheckpoint()
           .createOrReplaceTempView("j12_seq")
         s.sql("WITH RECURSIVE " + j12Body("j12_seq")).localCheckpoint()
