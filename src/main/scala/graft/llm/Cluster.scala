@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
 import graft.core.Tables
 
 /** SURVEY §2.10 L22 — near-duplicate CLUSTERING: close the verified
@@ -152,6 +152,35 @@ object Cluster {
     labels
   }
 
+  /** The (doc_id, label) component assignment underlying l22: CC over
+    * the token-set-contracted near-dup graph, docs inheriting their
+    * rep's label (see the l22 comment for why the contraction is
+    * exact). */
+  private def docComponents(s: SparkSession, d: String): DataFrame = {
+    val (repEdges, member) = DedupExt.nearDupRepEdges(s, d)
+    val repNodes = member.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id").as("node"))
+    val labels = connectedComponents(repNodes, repEdges)
+    member
+      .join(labels.select(col("node").as("rep"), col("label")), "rep")
+      .select(col("doc_id"), col("label"))
+  }
+
+  /** The component relation as a build-once artifact for the DERIVED
+    * queries (l36 election, l37 split) — the same pattern as the
+    * trained IVF quantizer (Llm.centCache) and the shared streaming
+    * cores: one corpus, one CC build, many consumers. The canonical
+    * l22 query does NOT use this cache, so its bench line keeps
+    * measuring the full CC build; l36/l37 lines measure their
+    * derivation (first touch pays the build in bench warm-up —
+    * documented in BASELINE.md). Keyed by dataset dir: fixtures are
+    * immutable (the Replayer _DONE contract) and GenScale writes new
+    * dirs. localCheckpoint so reuse replays no lineage. */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[llm] def cachedComponents(s: SparkSession, d: String): DataFrame =
+    ccCache.computeIfAbsent(d, _ => docComponents(s, d).localCheckpoint())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L22 — dup-cluster assignment + canonical election over the l10b
     // verified near-dup pairs. component = min doc_id of the cluster;
@@ -164,44 +193,114 @@ object Cluster {
     // the rep's component, and rep = group min, so the min label over
     // reps IS the min doc_id of the doc-level component.
     "l22_dup_clusters" -> ((s, d) => {
-      val (repEdges, member) = DedupExt.nearDupRepEdges(s, d)
-      val repNodes = member.filter(col("doc_id") === col("rep"))
-        .select(col("doc_id").as("node"))
-      val labels = connectedComponents(repNodes, repEdges)
-      val docLab = member
-        .join(labels.select(col("node").as("rep"), col("label")), "rep")
-        .select(col("doc_id"), col("label"))
+      val docLab = docComponents(s, d)
       val cs = docLab.groupBy(col("label")).agg(count(lit(1)).as("csize"))
       docLab.join(cs, "label")
         .select(col("doc_id"), col("label").as("component"),
           col("csize"), (col("doc_id") === col("label")).as("is_canonical"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // L36 — quality-aware canonical ELECTION per near-dup cluster: the
+    // doc a production pipeline keeps is the highest-QUALITY member,
+    // not the lowest-id one (min-id election throws away the best copy
+    // whenever a cleaner rewrite of a page has the higher id). Composes
+    // l22's component closure with l15's quality score; the argmax is a
+    // max(struct(score, -doc_id)) two-phase aggregate — partial
+    // map-side, one shuffle on component, ties broken to the LOWEST
+    // doc_id by the negated id. 100 TB: derives from the cached
+    // build-once CC artifact; the election adds one agg over the
+    // component key — no new quadratic term, no new corpus scan beyond
+    // the l15 features.
+    "l36_cluster_rep" -> ((s, d) => {
+      val m = cachedComponents(s, d)
+        .join(DedupExt.qualityFeatures(s, d)
+                .select(col("doc_id"), col("score")), "doc_id")
+      m.groupBy(col("label"))
+        .agg(count(lit(1)).as("csize"),
+             max(struct(col("score"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("label").as("component"), col("csize"),
+          (-col("b.nid")).as("rep_doc"), col("b.score").as("rep_score"))
+        .orderBy(col("component"))
+    }),
+
+    // L37 — leakage-free train/holdout SPLIT: assign each near-dup
+    // COMPONENT (not each doc) to a side by a portable hash of the
+    // component id, so no near-duplicate pair ever crosses the split.
+    // Doc-level hashing leaks — a doc in train with its near-copy in
+    // holdout is exactly the contamination L27 exists to catch; closing
+    // over the l22 components makes the guarantee structural. ~90/10 by
+    // hash bucket (md5-prefix idiom, engine-portable, stable under
+    // corpus growth: a component's side never changes as other docs
+    // arrive). 100 TB: one projection over the cached CC artifact.
+    "l37_leakfree_split" -> ((s, d) =>
+      cachedComponents(s, d)
+        .select(col("doc_id"), col("label").as("component"),
+          when(conv(substring(md5(col("label").cast(StringType)), 1, 12),
+                    16, 10).cast(LongType) % 10 < 9, lit("train"))
+            .otherwise(lit("holdout")).as("split"))
+        .orderBy(col("doc_id")))
   )
 
   // The oracle closes the same jac pair relation with a recursive CTE
   // (reach = all (a, b) with b reachable from a); component = min
-  // reachable node (or self for isolated docs). Engine-agnostic integer
-  // arithmetic end-to-end — no floats in the output.
+  // reachable node (or self for isolated docs). The CTE chain through
+  // `lab` (doc_id → component) is shared by all three cluster oracles
+  // so the component definition cannot drift between them.
+  private val ccCtes: String =
+    s"""${DedupExt.l10bCtes},
+      |e AS (SELECT d1 AS a, d2 AS b FROM jac
+      |      UNION SELECT d2, d1 FROM jac),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b),
+      |lab AS (
+      |  SELECT d.doc_id,
+      |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
+      |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+      |  GROUP BY d.doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "l22_dup_clusters" ->
-      s"""WITH RECURSIVE ${DedupExt.l10bCtes},
-        |e AS (SELECT d1 AS a, d2 AS b FROM jac
-        |      UNION SELECT d2, d1 FROM jac),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON e2.a = r.b),
-        |lab AS (
-        |  SELECT d.doc_id,
-        |    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS component
-        |  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
-        |  GROUP BY d.doc_id),
+      s"""WITH RECURSIVE $ccCtes,
         |cs AS (SELECT component, count(*) AS csize FROM lab
         |       GROUP BY component)
         |SELECT l.doc_id, l.component, cs.csize,
         |  l.doc_id = l.component AS is_canonical
         |FROM lab l JOIN cs USING (component)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // l36 — the same component closure joined to the l15 quality CTEs
+    // (shared verbatim via DedupExt.qualitySql); the election replays
+    // the engine's max(struct(score, -doc_id)) as a row_number over
+    // (score DESC, doc_id ASC). Scores are pure IEEE ratio arithmetic
+    // on identical inputs, so the DESC comparison agrees bit-for-bit.
+    "l36_cluster_rep" ->
+      s"""WITH RECURSIVE $ccCtes,
+        |${DedupExt.qualitySql},
+        |m AS (SELECT l.doc_id, l.component, q.score
+        |      FROM lab l JOIN q USING (doc_id)),
+        |r AS (SELECT component, count(*) AS csize FROM m
+        |      GROUP BY component),
+        |b AS (SELECT component, doc_id, score,
+        |        row_number() OVER (PARTITION BY component
+        |                           ORDER BY score DESC, doc_id ASC) AS rn
+        |      FROM m)
+        |SELECT b.component, r.csize, b.doc_id AS rep_doc,
+        |  b.score AS rep_score
+        |FROM b JOIN r USING (component) WHERE rn = 1
+        |ORDER BY component""".stripMargin,
+
+    // l37 — the portable md5-prefix hash of the component id decides
+    // the side (same idiom both engines: 12 hex digits = 48 bits,
+    // non-negative, identical % 10 buckets).
+    "l37_leakfree_split" ->
+      s"""WITH RECURSIVE $ccCtes
+        |SELECT doc_id, component,
+        |  CASE WHEN CAST('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 12)
+        |              AS BIGINT) % 10 < 9
+        |       THEN 'train' ELSE 'holdout' END AS split
+        |FROM lab ORDER BY doc_id""".stripMargin
   )
 }

@@ -623,6 +623,40 @@ object DedupExt {
         .orderBy(col("doc_id"))
     }),
 
+    // L38 — unigram-LM surprisal scoring (added r8): the CCNet-style
+    // "how unlikely is this document under a corpus language model"
+    // quality signal that l15's surface features can't see (a doc of
+    // real but RARE words scores high surprisal, low l15 penalty; MT
+    // boilerplate scores the reverse). A float -ln p would break the
+    // bit-identical float protocol (JVM Math.log and libm disagree in
+    // the last ulp), so per-token surprisal is the INTEGER
+    // floor(log2(total/cnt)) = length(bin(total div cnt)) - 1 — exact
+    // in both engines for any positive ratio — summed per doc as
+    // BIGINT, with ONE final division for the per-token mean (single
+    // IEEE op, order-free, bit-portable). 100 TB: the vocab is a
+    // two-phase count agg (map-side partials absorb the Zipf head —
+    // "the" never concentrates on one reducer); the unigram table then
+    // joins back BROADCAST (a 100 TB corpus's distinct-token table is
+    // millions of rows, megabytes), so the scoring pass is map-side —
+    // one corpus scan, one count shuffle, no skew-sensitive join.
+    "l38_surprisal" -> ((s, d) => {
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum(col("cnt")).as("total"))
+      tok.join(broadcast(vocab), "token")
+        .join(broadcast(total))
+        .select(col("doc_id"),
+          (length(bin(expr("total div cnt"))) - 1)
+            .cast(LongType).as("sb"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("sb")).as("bits_sum"))
+        .select(col("doc_id"), col("n_toks"), col("bits_sum"),
+          (col("bits_sum").cast(DoubleType) /
+            col("n_toks").cast(DoubleType)).as("avg_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L33 — SUBSTRING-span exact dedup (added r7): the production
     // corpus-dedup move the doc-level family (L1/L2/L10…) cannot make —
     // remove duplicated 50-TOKEN SPANS, not whole documents (the

@@ -386,6 +386,34 @@ class LlmSpec extends AnyFunSuite {
       s"max cell ${cellSizes.max} exceeds 3·n/K (n=$n, K=$K)")
   }
 
+  test("L34 K dial: at split=4 (K=40 cells) every injected copy is " +
+       "still caught, every original kept, and cells shrink ~4x") {
+    import graft.llm.Llm
+    val sf = TestSpark.Sf
+    val rows = Llm.semanticDedup(s, sf, split = 4).collect()
+    val (copies, originals) = rows.partition(_.getLong(0) >= Llm.SemBase)
+    assert(copies.nonEmpty, "no injected copies present — test vacuous")
+    // a near-identical copy (cos ≈ 1 − 1e-11 to its source) lands in the
+    // same k-means cell at any K whose centroid gaps dwarf the ±3-micro
+    // perturbation — the reason growing K is a SAFE cost dial here
+    copies.foreach { r =>
+      assert(!r.getBoolean(2),
+        s"copy ${r.getLong(0)} survived dedup at K=40")
+    }
+    originals.foreach { r =>
+      assert(r.getBoolean(2),
+        s"original ${r.getLong(0)} wrongly dropped at K=40")
+    }
+    // the dial's point: candidate pairs shrink ~split× vs the K=10 run
+    def pairs(rs: Array[org.apache.spark.sql.Row]): Long =
+      rs.groupBy(_.getInt(1)).values
+        .map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val p10 = pairs(SparkEntry.queries("l34_semantic_dedup")(s, sf).collect())
+    val p40 = pairs(rows)
+    assert(p40 * 2 < p10,
+      s"K=40 pairwise work $p40 not well below K=10's $p10")
+  }
+
   test("L33: span-dedup matches a pure-Scala model, and removal is " +
        "idempotent (re-running on the deduped corpus finds 0 dup spans)") {
     val sf = TestSpark.Sf
