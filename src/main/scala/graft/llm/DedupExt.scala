@@ -856,6 +856,26 @@ object DedupExt {
   }
 
   val oracle: Map[String, String] = Map(
+    // l38 — the per-token surprisal is the INTEGER floor(log2(total/cnt))
+    // = length(bin(total // cnt)) - 1, exact in both engines (Spark `div`
+    // and DuckDB `//` agree on positive BIGINTs; both `bin()`s print the
+    // same minimal binary string). Only the final per-doc mean is IEEE —
+    // one double division, order-free, bit-portable.
+    "l38_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY token),
+        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(length(bin(total // cnt)) - 1) AS BIGINT) AS bits_sum,
+        |  CAST(sum(length(bin(total // cnt)) - 1) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS avg_bits
+        |FROM tok JOIN vocab USING (token) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "l31_bloom_dedup" ->
       // the oracle is the EXACT semantics the bloom path must equal: a
       // plain left join of the new batch against distinct historical
