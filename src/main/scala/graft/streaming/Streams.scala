@@ -466,6 +466,27 @@ object Streams {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    // S2b — the PRODUCTION shape of s2 (added r9): the same 1 h / 15 min
+    // sliding aggregate in APPEND mode, so the sliding-window operator's
+    // scale story is hash-gated, not just documented. Only windows the
+    // final watermark has closed emit (strict rule, same protocol as
+    // s1's append pin and s3's eviction oracle: win_start + 1h < wm =
+    // max(ts) − delay); the oracle replays the 4-per-event window fanout
+    // and applies the identical horizon. 100 TB: state = |open windows|
+    // × |types| with open windows ≤ window/slide + 1 per key — the 4×
+    // state multiplier the complete-mode canonical line carries is
+    // exactly what the watermark bounds here; StreamingSpec pins the
+    // plateau + conservation for this shape.
+    "s2b_sliding_append" -> ((s, d) => {
+      val agg = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(s, agg, "append")
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // S3 — session windows (30 min gap) per user, append mode: only
     // sessions closed by the final watermark are emitted (oracle models
     // the same rule: last_ts + gap < max_ts − delay).
@@ -790,6 +811,20 @@ object Streams {
         |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
         |SELECT win_start, event_type, count(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // s2b — the same 4-per-event window fanout, filtered to windows the
+    // final watermark closed (strict horizon, the s3 eviction protocol)
+    "s2b_sliding_append" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+        |         - k.k * INTERVAL 15 MINUTE AS TIMESTAMP) AS win_start
+        |  FROM events
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT win_start, event_type, count(*) AS n
+        |FROM w
+        |WHERE win_start + INTERVAL 1 HOUR <
+        |  (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "s3_session" ->
       """WITH o AS (
         |  SELECT user_id, ts,

@@ -347,6 +347,42 @@ class StreamingSpec extends AnyFunSuite {
       "watermark eviction never ran during the replay")
   }
 
+  test("S2 production shape: append-mode sliding windows keep state " +
+       "bounded once the watermark advances") {
+    // s2b_sliding_append is the hash-gated production variant; this pins
+    // its scale claim executably: sliding windows multiply state by
+    // window/slide (4x here), and the watermark must evict closed
+    // windows DURING the replay, never hold the full 4x window history.
+    val src = Replayer.stream(s, sf, "clean")
+      .withWatermark("ts", Replayer.WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "s2_append_" + java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = Replayer.checkpoint()
+    val q = src.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally Replayer.dropCheckpoint(ckpt)
+    val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    // the full 4x-fanned (window, event_type) group set a no-eviction
+    // run would hold at the end
+    val totalGroups = Tables.events(s, sf)
+      .select(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .distinct().count()
+    val emitted = s.table(name).count()
+    assert(stateRows.nonEmpty && emitted > 0,
+      s"append run produced no progress/output (state=${stateRows.toSeq})")
+    // conservation: every sliding group is either closed (emitted) or
+    // still open (in state)
+    assert(emitted + stateRows.last == totalGroups,
+      s"emitted=$emitted + state=${stateRows.last} != groups=$totalGroups")
+    // bounded: eviction ran during the replay
+    assert(stateRows.max < totalGroups,
+      s"state peaked at ${stateRows.max} of $totalGroups groups — " +
+      "watermark eviction never ran during the replay")
+  }
+
   test("watermark model pin (Spark 4.1.2): engine-reported watermark " +
        "equals the oracle's modeled horizon on the two-sided join") {
     // The s5b/s5c oracles hard-code three Spark-internal mechanics,
