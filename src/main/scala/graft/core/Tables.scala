@@ -14,21 +14,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * behaves identically to the single test file.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    Schemas.assertMatches(name, df.schema) // fail fast on testdata drift (§1.3)
+    df
+  }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark 4 reader rejects at schema inference ([PARQUET_TYPE_ILLEGAL]).
-    * Read it as a raw nanosecond Long (legacy conf) and convert back to a
-    * proper microsecond TimestampType. The conf is a runtime SQL conf, so
-    * setting it here covers every session (Verify, Bench, tests).
-    * 100 TB note: the conversion is a codegen'd per-row projection on the
+  /** `events.parquet` has shipped `ts` under different physical types across
+    * testdata generations: parquet TIMESTAMP(NANOS) (which the Spark 4 reader
+    * surfaces as a raw nanosecond Long under the legacy `nanosAsLong` conf),
+    * and TIMESTAMP_MICROS with isAdjustedToUTC=0 (which Spark 4 reads
+    * natively as TIMESTAMP_NTZ). Normalize every variant to a proper
+    * session-TZ TimestampType by branching on the LOADED schema, so a
+    * driver-side data regeneration can never break callers again. The
+    * session is pinned UTC, so NTZ → TZ is a lossless reinterpretation.
+    * 100 TB note: either branch is a codegen'd per-row projection on the
     * scan output — no extra pass, no shuffle. */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => // legacy TIMESTAMP(NANOS) read as nanos Long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // TIMESTAMP_MICROS, isAdjustedToUTC=0
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: expected LongType (nanos), TIMESTAMP_NTZ or TIMESTAMP, got $other")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
