@@ -100,6 +100,12 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${q(k)}:${ms(v)}" }.mkString("{", ",", "}")
     val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"canary":$canary,"out_of_band":$oobJson,"slowest":$slowest,"queries_detail":"BENCH.json","sf":"$sfDir"}"""
+    // File sidecar of the same summary: the driver has recorded
+    // `parsed:null` when BOTH stdout ends were clipped — a file survives
+    // regardless of stdout buffering.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_SUMMARY.json write failed: $e") }
     println(summary)
     println(line)
     println(summary)

@@ -87,8 +87,12 @@ object GenScale {
       .withColumn("l_suppkey", col("l_suppkey") + col("cp") * so)
       .drop("cp"), "lineitem")
 
-    // events: raw read keeps ts as int64 nanos (the source contract);
-    // interleaved ids keep the table ts-ordered in event_id order.
+    // events: raw read passes ts through in whatever physical type the
+    // source generation used (int64 nanos under the legacy conf, or
+    // TIMESTAMP_NTZ for the current TIMESTAMP_MICROS data) — the
+    // synthesized copy keeps the same type, and Tables.events normalizes
+    // at load. Interleaved ids keep the table ts-ordered in event_id
+    // order (the Replayer's contiguous-id batch split requires it).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$src/events.parquet")
     write(fan(ev, n)

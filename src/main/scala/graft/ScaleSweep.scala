@@ -1,10 +1,14 @@
 package graft
 
-/** Scale sweep: time the engine's most expensive queries at two data
-  * scales (default: the shipped sf0.1 and the GenScale-derived 10×
-  * target/sf1) and report the per-query scaling exponent
+/** Scale sweep: time the engine's most expensive queries at multiple data
+  * scales (the shipped sf0.1 plus GenScale-derived 10× and 30× targets)
+  * and report the per-query, per-decade scaling exponent
   * e = log(t_big / t_small) / log(ratio) — e ≈ 1 is linear scaling,
   * e ≈ 2 quadratic, e < 1 sublinear (fixed overhead amortizing out).
+  * Two decades (10×, 30×) distinguish "sublinear because fixed costs
+  * dominate" from "sublinear so far": an exponent that HOLDS across
+  * decades is evidence the asymptote is tame, one that climbs says the
+  * fixed costs are done amortizing.
   *
   * Protocol per query and scale: 1 warm-up + 3 timed noop-sink runs,
   * p50 (the BASELINE.md rule, via Harness.timed3). The warm-up also
@@ -19,7 +23,15 @@ package graft
   * cache key, same JVM/context) so the measured time is the full
   * replay + stateful pipeline, which is the part whose scaling matters.
   *
-  * Output: one JSON line (stdout, first and last) + SCALE_r08.json.
+  * Usage: `runMain graft.ScaleSweep [small] [big:ratio[,big:ratio...]]
+  * [onlyCsv|-] [outFile]` — e.g.
+  * `runMain graft.ScaleSweep /root/testdata/sf0.1
+  *  target/sf1:10,target/sf3:30 - SCALE_r10.json`.
+  * A query subset (3rd arg) re-measures only those queries; untouched
+  * rows carry over from the existing outFile.
+  *
+  * Output: one JSON line (stdout, first and last) + outFile. Per query:
+  * `{"small_sec":s,"decades":{"10":{"big_sec":b,"exponent":e},...}}`.
   */
 object ScaleSweep {
   /** Batch queries — index/codebook training amortized by warm-up. */
@@ -33,46 +45,53 @@ object ScaleSweep {
     "s5_interval_join", "s5b_interval_left", "s5c_interval_full",
     "s11_chained")
 
-  /** Rows of the committed SCALE_r08.json, for carrying non-re-measured
-    * queries through a subset (`only`) run. Jackson is on the Spark
-    * classpath; a missing/unparseable file just yields no carry-over. */
-  private def readExisting(): Map[String, (Double, Double, Double)] =
+  private case class Row(smallSec: Double,
+                         decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
+
+  /** Carry-over rows from the existing outFile (new multi-decade format).
+    * Jackson is on the Spark classpath; missing/unparseable → empty. */
+  private def readExisting(path: String): Map[String, Row] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
-        java.nio.file.Files.readString(
-          java.nio.file.Paths.get("SCALE_r08.json")))
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
       val qs = root.get("queries")
       import scala.jdk.CollectionConverters._
       qs.fieldNames().asScala.map { q =>
         val v = qs.get(q)
-        q -> (v.get("small_sec").asDouble, v.get("big_sec").asDouble,
-              v.get("exponent").asDouble)
+        val decs = v.get("decades")
+        q -> Row(v.get("small_sec").asDouble,
+          decs.fieldNames().asScala.map { r =>
+            val d = decs.get(r)
+            r -> (d.get("big_sec").asDouble, d.get("exponent").asDouble)
+          }.toMap)
       }.toMap
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val small = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val big = if (args.length > 1) args(1) else "target/sf1"
-    val ratio = if (args.length > 2) args(2).toDouble else 10.0
-    // optional 4th arg: comma-separated query subset to re-measure; the
-    // untouched queries' rows are carried over from the existing
-    // SCALE_r08.json so a single-query re-run doesn't discard (or
-    // re-pay) the other 14 measurements
+    val decadeSpecs: Seq[(String, Double)] =
+      (if (args.length > 1) args(1) else "target/sf1:10")
+        .split(",").toSeq.map { s =>
+          val Array(d, r) = s.split(":"); (d, r.toDouble) }
     val only: Set[String] =
-      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+      if (args.length > 2 && args(2) != "-")
+        args(2).split(",").map(_.trim).toSet else Set.empty
+    val outFile = if (args.length > 3) args(3) else "SCALE_r10.json"
     def selected(q: String) = only.isEmpty || only(q)
     val spark = Harness.session(checksumFreeFs = true)
 
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def rkey(r: Double): String =
+      if (r == r.floor) r.toLong.toString else r.toString
 
-    def sweep(dir: String): Seq[(String, Double)] = {
-      val batch = BatchQ.filter(selected).map { q =>
+    def sweep(dir: String, qs: Seq[String]): Map[String, Double] = {
+      val batch = qs.filter(BatchQ.contains).map { q =>
         val t = Harness.timed3(SparkEntry.queries(q)(spark, dir))(1)
         System.err.println(f"[scale] $dir $q p50=$t%.3f")
         q -> t
       }
-      val stream = StreamQ.filter(selected).map { q =>
+      val stream = qs.filter(StreamQ.contains).map { q =>
         SparkEntry.queries(q)(spark, dir).count() // fixture + JIT warm-up
         val ts = Seq.fill(3) {
           Harness.timeOnce(SparkEntry.queries(q)(spark.newSession(), dir))
@@ -80,39 +99,58 @@ object ScaleSweep {
         System.err.println(f"[scale] $dir $q p50=${ts(1)}%.3f (fresh-session replays)")
         q -> ts(1)
       }
-      batch ++ stream
+      (batch ++ stream).toMap
     }
 
-    val tSmall = sweep(small).toMap
-    val tBig = sweep(big)
-    // the l34 production dial, measured: at the big scale, grow K with
-    // the corpus (split = ratio → K = 10·ratio cells) so |cell| matches
-    // the small scale's. small_sec is the canonical K=10 small run —
-    // the exponent is the end-to-end cost of "N× data at N× K", the
-    // claim the fixed-K superlinear note defers to. Warm-up inside
-    // timed3 absorbs the K=100 training (centCache), as for the other
-    // index builds.
-    val dial: Seq[(String, Double, Double)] =
-      if (selected("l34_semantic_dedup")) {
+    val allQ = BatchQ ++ StreamQ
+    val tSmall = sweep(small, allQ.filter(selected))
+
+    // measured: query -> ratio-key -> big_sec (plus the l34 K-dial rows,
+    // see below). Decade selection: every selected query runs at the
+    // FIRST decade; later (larger) decades run only the high-exponent
+    // watchlist unless the subset arg names others — the point of the
+    // second decade is confirming the worst exponents hold.
+    val watchlist = Set("j8_asof", "j12_recursive", "l10b_minhash_tuned",
+      "l33_span_dedup", "l3f_ivfpq_topk")
+    val measured = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, (Double, Double)]]()
+    def record(q: String, ratio: Double, sSec: Double, bSec: Double): Unit =
+      measured.getOrElseUpdate(q, scala.collection.mutable.Map.empty)
+        .update(rkey(ratio), (bSec, math.log(bSec / sSec) / math.log(ratio)))
+
+    decadeSpecs.zipWithIndex.foreach { case ((big, ratio), i) =>
+      val qs = allQ.filter(selected).filter(q => i == 0 || watchlist(q) || only(q))
+      sweep(big, qs).foreach { case (q, b) => record(q, ratio, tSmall(q), b) }
+      // the l34 production dial, measured: at the big scale, grow K with
+      // the corpus (split = ratio → K = 10·ratio cells) so |cell| matches
+      // the small scale's. small_sec is the canonical K=10 small run —
+      // the exponent is the end-to-end cost of "N× data at N× K", the
+      // claim the fixed-K superlinear note defers to.
+      if (qs.contains("l34_semantic_dedup")) {
         val split = math.max(2, math.round(ratio).toInt)
         val t = Harness.timed3(
           graft.llm.Llm.semanticDedup(spark, big, split))(1)
         System.err.println(f"[scale] $big l34 kdial split=$split p50=$t%.3f")
-        Seq(("l34_semantic_dedup_kdial", tSmall("l34_semantic_dedup"), t))
-      } else Seq.empty
-    val fresh: Map[String, (Double, Double, Double)] =
-      (tBig.map { case (q, b) => (q, tSmall(q), b) } ++ dial)
-        .map { case (q, a, b) =>
-          q -> (a, b, math.log(b / a) / math.log(ratio)) }.toMap
-    val carried: Map[String, (Double, Double, Double)] =
-      if (only.isEmpty) Map.empty else readExisting()
+        record("l34_semantic_dedup_kdial", ratio,
+          tSmall("l34_semantic_dedup"), t)
+      }
+    }
+
+    val carried: Map[String, Row] = readExisting(outFile)
     val order = BatchQ.flatMap(q =>
       if (q == "l34_semantic_dedup") Seq(q, "l34_semantic_dedup_kdial")
       else Seq(q)) ++ StreamQ
-    val rows = order.flatMap(q => fresh.get(q).orElse(carried.get(q)).map {
-      case (a, b, e) =>
-        s""""$q":{"small_sec":${ms(a)},"big_sec":${ms(b)},"exponent":${ms(e)}}"""
-    })
+    val rows = order.flatMap { q =>
+      val sSec = tSmall.get(if (q.endsWith("_kdial")) "l34_semantic_dedup" else q)
+        .orElse(carried.get(q).map(_.smallSec))
+      val decs: Map[String, (Double, Double)] =
+        carried.get(q).map(_.decades).getOrElse(Map.empty) ++
+          measured.getOrElse(q, scala.collection.mutable.Map.empty).toMap
+      sSec.filter(_ => decs.nonEmpty).map { s =>
+        val dJson = decs.toSeq.sortBy(_._1.toDouble).map { case (r, (b, e)) =>
+          s""""$r":{"big_sec":${ms(b)},"exponent":${ms(e)}}""" }.mkString(",")
+        s""""$q":{"small_sec":${ms(s)},"decades":{$dJson}}"""
+      }
+    }
     // Shape notes for the exponents a reader will ask about — the
     // explanation ships with the measurement so adjudication needs no
     // code spelunking. l34 is the one DESIGNED superlinear at fixed K.
@@ -141,13 +179,16 @@ object ScaleSweep {
          ", constant work at both scales) - l10b, unbounded, is the " +
          "scaling measurement for MinHash-LSH"))
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    val decadesDesc = decadeSpecs
+      .map { case (d, r) => s""""${rkey(r)}":"$d"""" }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"scale_sweep","small":"$small","big":"$big","ratio":$ratio,""" +
+      s"""{"metric":"scale_sweep","small":"$small","decades":$decadesDesc,""" +
       s""""protocol":"p50 of 3 after warm-up; streaming replays on fresh child sessions; """ +
-      s"""index build (IVF/PQ codebooks) amortized by warm-up - timed runs measure search",""" +
+      s"""index build (IVF/PQ codebooks) amortized by warm-up - timed runs measure search; """ +
+      s"""larger decades re-measure the high-exponent watchlist",""" +
       s""""queries":{${rows.mkString(",")}},"notes":$notes}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_r08.json"), line)
+      java.nio.file.Paths.get(outFile), line)
     catch { case e: Throwable => System.err.println(s"[scale] write failed: $e") }
     println(line)
     spark.stop()
