@@ -239,7 +239,76 @@ object Cluster {
           when(conv(substring(md5(col("label").cast(StringType)), 1, 12),
                     16, 10).cast(LongType) % 10 < 9, lit("train"))
             .otherwise(lit("holdout")).as("split"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // L39 — the END-TO-END corpus-EXPORT composition as ONE declarative
+    // query: span-dedup accounting (l33) → quality-aware canonical
+    // election per near-dup cluster (l36) → leakage-free train/holdout
+    // split on the component hash (l37) → seeded epoch permutation +
+    // shard plan within each split (l35). This is the query a training
+    // run actually consumes: which docs ship, on which side, in which
+    // shard, at what position, carrying how many effective (post-span-
+    // removal) tokens. Output is the per-(split, shard) manifest —
+    // n_docs, Σdoc_id, Σdoc_id·(pos+1) (pins the full permutation) and
+    // Σeff_tok (pins the l33 stage) — aggregate-cardinality (≤ 17 rows
+    // per side), all-integer, hash-exact.
+    // 100 TB: every stage keeps its own scale shape — spanStats is the
+    // one-shuffle rolling-hash plan, the election derives from the
+    // build-once CC artifact, the split is a projection, and the
+    // permutation uses the GlobalRank recipe (range shuffle + broadcast
+    // offsets, NO single-task window); the final collect is the ≤34-row
+    // manifest, metadata-sized.
+    "l39_corpus_export" -> ((s, d) => {
+      import s.implicits._
+      import graft.core.GlobalRank
+      // (1) l33: effective token count after span removal
+      val eff = DedupExt.spanStats(s, d)
+        .select(col("doc_id"),
+          (col("n_tok") - col("n_removed_tok")).as("eff_tok"))
+      // (2) l36: one kept doc per component, highest quality wins
+      val reps = cachedComponents(s, d)
+        .join(DedupExt.qualityFeatures(s, d)
+          .select(col("doc_id"), col("score")), "doc_id")
+        .groupBy(col("label"))
+        .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("label").as("component"), (-col("b.nid")).as("doc_id"))
+      // (3) l37: component-hash split — no near-dup pair crosses sides
+      val sides = reps.withColumn("split",
+        when(conv(substring(md5(col("component").cast(StringType)), 1, 12),
+                  16, 10).cast(LongType) % 10 < 9, lit("train"))
+          .otherwise(lit("holdout")))
+      // (4) l35: epoch permutation + 16-way shard plan within each split
+      val keyed = sides.join(eff, "doc_id")
+        .withColumn("key",
+          conv(substring(md5(concat(col("doc_id").cast(StringType),
+            lit(":ep1"))), 1, 12), 16, 10).cast(LongType))
+      GlobalRank.withGlobalIndex(keyed,
+          Seq(col("split"), col("key"), col("doc_id"))) { wi =>
+        val w = wi.select(col("split"), col("idx"), col("doc_id"),
+          col("eff_tok"))
+        // per-split offset + shard size: 2-row aggregate, broadcast back
+        val parts = w.groupBy(col("split"))
+          .agg(min(col("idx")).as("o"), count(lit(1)).as("n")).collect()
+          .map(r => (r.getString(0), r.getLong(1), (r.getLong(2) + 15L) / 16L))
+        val partDf = broadcast(parts.toSeq.toDF("split", "o", "sz"))
+        val rows = w.join(partDf, "split")
+          .withColumn("sidx", col("idx") - col("o"))
+          .withColumn("shard", expr("sidx div sz"))
+          .withColumn("pos", col("sidx") - col("shard") * col("sz"))
+          .groupBy(col("split"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_doc"),
+            sum(col("doc_id") * (col("pos") + lit(1L))).as("sum_doc_pos"),
+            sum(col("eff_tok")).as("sum_eff_tok"))
+          .collect() // ≤34-row manifest inside the helper's eager scope
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+        rows.toSeq
+          .toDF("split", "shard", "n_docs", "sum_doc", "sum_doc_pos",
+            "sum_eff_tok")
+          .orderBy(col("split"), col("shard"))
+      }
+    })
   )
 
   // The oracle closes the same jac pair relation with a recursive CTE
@@ -301,6 +370,52 @@ object Cluster {
         |  CASE WHEN CAST('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 12)
         |              AS BIGINT) % 10 < 9
         |       THEN 'train' ELSE 'holdout' END AS split
-        |FROM lab ORDER BY doc_id""".stripMargin
+        |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // l39 — the four stage definitions are the SHARED fragments of their
+    // standalone oracles (ccCtes for the components, qualitySql for the
+    // election score, spanRmCtes for the removal plan, the l35 md5 key
+    // idiom for the permutation), so the composition cannot drift from
+    // the stages it claims to compose. All-integer output.
+    "l39_corpus_export" ->
+      s"""WITH RECURSIVE $ccCtes,
+        |${DedupExt.qualitySql},
+        |${DedupExt.spanRmCtes},
+        |eff AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT)
+        |      - coalesce(rm33.n_removed_tok, 0) AS eff_tok
+        |  FROM documents LEFT JOIN rm33 USING (doc_id)),
+        |m39 AS (SELECT l.doc_id, l.component, q.score
+        |        FROM lab l JOIN q USING (doc_id)),
+        |b39 AS (SELECT component, doc_id,
+        |          row_number() OVER (PARTITION BY component
+        |                             ORDER BY score DESC, doc_id ASC) AS rn
+        |        FROM m39),
+        |reps AS (SELECT component, doc_id FROM b39 WHERE rn = 1),
+        |spl AS (
+        |  SELECT doc_id, component,
+        |    CASE WHEN CAST('0x' || substring(md5(CAST(component AS VARCHAR)),
+        |                1, 12) AS BIGINT) % 10 < 9
+        |         THEN 'train' ELSE 'holdout' END AS split
+        |  FROM reps),
+        |k39 AS (
+        |  SELECT spl.doc_id, spl.split, eff.eff_tok,
+        |    CAST('0x' || substring(md5(CAST(spl.doc_id AS VARCHAR) || ':ep1'),
+        |      1, 12) AS BIGINT) AS key
+        |  FROM spl JOIN eff USING (doc_id)),
+        |r39 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY split
+        |                               ORDER BY key, doc_id) - 1 AS sidx
+        |  FROM k39),
+        |p39 AS (SELECT split, CAST(ceil(count(*) / 16.0) AS BIGINT) AS sz
+        |        FROM k39 GROUP BY split)
+        |SELECT split, sidx // sz AS shard, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+        |  CAST(sum(doc_id * (sidx - (sidx // sz) * sz + 1)) AS BIGINT)
+        |    AS sum_doc_pos,
+        |  CAST(sum(eff_tok) AS BIGINT) AS sum_eff_tok
+        |FROM r39 JOIN p39 USING (split)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

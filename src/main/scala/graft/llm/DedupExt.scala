@@ -682,7 +682,14 @@ object DedupExt {
     // per-doc rollups shuffle span-hash / doc_id respectively. No
     // all-pairs stage anywhere. LlmSpec also pins the removal invariant
     // (re-running on the deduped corpus finds 0 duplicated spans).
-    "l33_span_dedup" -> ((s, d) => {
+    "l33_span_dedup" -> ((s, d) => spanStats(s, d).orderBy(col("doc_id")))
+  )
+
+  /** L33 core, shared with Cluster's L39 corpus-export composition:
+    * per-doc span-dedup removal plan (doc_id, n_tok, n_spans,
+    * n_dup_spans, n_removed_tok), unsorted. See the l33 query comment
+    * above for the algorithm and 100 TB shape. */
+  private[llm] def spanStats(s: SparkSession, d: String): DataFrame = {
       val W = 50
       val spans = {
         import s.implicits._
@@ -739,9 +746,7 @@ object DedupExt {
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
           coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
           coalesce(col("n_removed_tok"), lit(0L)).as("n_removed_tok"))
-        .orderBy(col("doc_id"))
-    })
-  )
+  }
 
   /** Shared SQL fragment: distinct (doc_id, token, th) with the md5-prefix
     * integer hash — DuckDB's hex-literal cast mirrors Spark's conv(). */
@@ -1120,40 +1125,50 @@ object DedupExt {
     // selects exactly the lexicographic-min occurrence groupBy/min-
     // struct picks on the engine side.
     "l33_span_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_transform(string_split(text, ' '), t ->
-        |      CAST('0x' || substring(md5(t), 1, 12) AS BIGINT) % 1000000007)
-        |      AS th
-        |  FROM documents),
-        |sp AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+49]),
-        |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
-        |  FROM d, unnest(generate_series(1, len(th) - 49)) AS g(i)
-        |  WHERE len(th) >= 50),
-        |mk AS (
-        |  SELECT doc_id, pos,
-        |    count(*) OVER (PARTITION BY h) AS c,
-        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-        |  FROM sp),
-        |rm AS (
-        |  SELECT doc_id, count(DISTINCT rp) AS n_removed_tok
-        |  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 49)) AS rp
-        |        FROM mk WHERE c > 1 AND rn > 1)
-        |  GROUP BY doc_id),
+      s"""WITH $spanRmCtes,
         |st AS (
         |  SELECT doc_id, count(*) AS n_spans,
         |    CAST(sum(CASE WHEN c > 1 AND rn > 1 THEN 1 ELSE 0 END)
         |         AS BIGINT) AS n_dup_spans
-        |  FROM mk GROUP BY doc_id)
+        |  FROM mk33 GROUP BY doc_id)
         |SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
         |  coalesce(st.n_spans, 0) AS n_spans,
         |  coalesce(st.n_dup_spans, 0) AS n_dup_spans,
-        |  coalesce(rm.n_removed_tok, 0) AS n_removed_tok
+        |  coalesce(rm33.n_removed_tok, 0) AS n_removed_tok
         |FROM documents
-        |LEFT JOIN st USING (doc_id) LEFT JOIN rm USING (doc_id)
+        |LEFT JOIN st USING (doc_id) LEFT JOIN rm33 USING (doc_id)
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** The L33 rolling-hash span chain ending in `rm33` (per-doc removed
+    * token counts) — shared between the l33 oracle and Cluster's L39
+    * corpus-export oracle so the span-dedup definition cannot drift
+    * between them. CTE names are 33-suffixed to compose cleanly with
+    * the l10b/cc/quality chains. */
+  // lazy: referenced by the `oracle` val above (declaration-order forward
+  // reference inside the object)
+  private[llm] lazy val spanRmCtes: String =
+    """d33 AS (
+      |  SELECT doc_id,
+      |    list_transform(string_split(text, ' '), t ->
+      |      CAST('0x' || substring(md5(t), 1, 12) AS BIGINT) % 1000000007)
+      |      AS th
+      |  FROM documents),
+      |sp33 AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), th[i:i+49]),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM d33, unnest(generate_series(1, len(th) - 49)) AS g(i)
+      |  WHERE len(th) >= 50),
+      |mk33 AS (
+      |  SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY h) AS c,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      |  FROM sp33),
+      |rm33 AS (
+      |  SELECT doc_id, count(DISTINCT rp) AS n_removed_tok
+      |  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 49)) AS rp
+      |        FROM mk33 WHERE c > 1 AND rn > 1)
+      |  GROUP BY doc_id)""".stripMargin
 }
