@@ -170,10 +170,18 @@ object ScaleSweep {
          "at 1M rows - at cluster scale batch count, not batch size, " +
          "is the fixed term"),
       "j12_recursive" ->
-        ("e ~ 0.5: level COUNT is max orders-per-customer (scale-" +
-         "invariant); each width-1 level processes a 10x frontier, " +
-         "and per-level UnionLoop machinery amortizes - the " +
-         "documented dial raises loop partitions with frontier size"),
+        ("first decade e ~ 0.5 is per-level UnionLoop machinery " +
+         "amortizing; the SECOND decade (10x->30x marginal e ~ 1.1) " +
+         "is the true asymptote - level count is scale-invariant " +
+         "(max orders-per-customer) and each level does frontier-" +
+         "linear work, so the walk is LINEAR in data once fixed " +
+         "costs are paid; the documented dial raises loop " +
+         "partitions with frontier size"),
+      "l33_span_dedup" ->
+        ("10x->30x marginal e ~ 0.9: the span stream is one row per " +
+         "token position, so linear IS the algorithm's asymptote; " +
+         "the sub-linear first decade was scan/shuffle fixed cost " +
+         "amortizing"),
       "l10_minhash_lsh" ->
         ("e ~ 0: the canonical check is slice-bounded (doc_id < 1000" +
          ", constant work at both scales) - l10b, unbounded, is the " +
