@@ -91,4 +91,53 @@ class ClusterSpec extends AnyFunSuite {
     assert(res.filter(col("csize") >= 3).count() > 0L,
       "no multi-hop components — CC adds nothing over pair-dedup here")
   }
+
+  test("L39: the export manifest is consistent with its four stages") {
+    // cross-stage invariants the hash-match cannot localize: the
+    // manifest must account for EXACTLY the l36-elected reps, split
+    // them exactly as l37 splits their components, and carry the l33
+    // effective-token mass of exactly those reps.
+    val man = SparkEntry.queries("l39_corpus_export")(s, TestSpark.Sf)
+      .cache()
+    val reps = SparkEntry.queries("l36_cluster_rep")(s, TestSpark.Sf)
+      .select(col("rep_doc").as("doc_id"), col("component")).cache()
+    try {
+      // (1) doc accounting: manifest docs == elected reps, and Σdoc_id
+      // matches — nothing dropped, nothing invented, no doc twice
+      val nMan = man.agg(sum(col("n_docs"))).as[Long].head()
+      val nReps = reps.count()
+      assert(nMan === nReps, s"manifest holds $nMan docs, election kept $nReps")
+      assert(man.agg(sum(col("sum_doc"))).as[Long].head() ===
+        reps.agg(sum(col("doc_id"))).as[Long].head())
+      // (2) split sides follow the l37 component hash of the rep's
+      // component: per-side doc counts must match the l37 assignment
+      // restricted to reps
+      val l37 = SparkEntry.queries("l37_leakfree_split")(s, TestSpark.Sf)
+      val expSides = l37.join(reps.select(col("doc_id")), "doc_id")
+        .groupBy(col("split")).count()
+        .as[(String, Long)].collect().toMap
+      val gotSides = man.groupBy(col("split")).agg(sum(col("n_docs")))
+        .as[(String, Long)].collect().toMap
+      assert(gotSides === expSides, s"split sides $gotSides != $expSides")
+      // (3) token mass: Σ eff_tok over the manifest == Σ (n_tok −
+      // n_removed_tok) over exactly the rep docs (the l33 stage)
+      val l33 = SparkEntry.queries("l33_span_dedup")(s, TestSpark.Sf)
+      val expTok = l33.join(reps.select(col("doc_id")), "doc_id")
+        .agg(sum(col("n_tok") - col("n_removed_tok"))).as[Long].head()
+      assert(man.agg(sum(col("sum_eff_tok"))).as[Long].head() === expTok)
+      // (4) shard plan shape: per split, shards are contiguous from 0
+      // and sized ≤ ceil(n/16)
+      man.select(col("split"), col("shard"), col("n_docs"))
+        .as[(String, Long, Long)].collect().groupBy(_._1)
+        .foreach { case (side, rows) =>
+          val shards = rows.map(_._2).sorted
+          assert(shards === (0L until shards.length).toArray.toSeq,
+            s"$side shards not contiguous: ${shards.mkString(",")}")
+          val n = rows.map(_._3).sum
+          val cap = (n + 15L) / 16L
+          assert(rows.forall(_._3 <= cap),
+            s"$side has a shard above the ceil(n/16)=$cap cap")
+        }
+    } finally { man.unpersist(); reps.unpersist() }
+  }
 }
