@@ -364,6 +364,13 @@ object Llm {
     // cell-bucketed intra-cluster cosine, keep-first). See semanticDedup.
     "l34_semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
 
+    // L34b — the self-tuning production form: K derived from the corpus
+    // size (split = max(1, N/2000)). At every shipped sf this resolves
+    // to the canonical split=1 quantizer byte-for-byte, so the l34
+    // oracle gates it too; the >1 branch is pinned by LlmSpec (rule +
+    // dialed copy-recall) and measured by ScaleSweep's kdial row.
+    "l34b_semantic_autok" -> ((s, d) => semanticDedup(s, d, autoSplit(s, d))),
+
     // L3e — product-quantization ANN: ADC compressed linear scan +
     // exact rerank of the top-20 shortlist. See pqTopK.
     "l3e_pq_topk" -> ((s, d) => pqTopK(s, d)),
@@ -725,6 +732,23 @@ object Llm {
     * copy is caught. 100 TB: cells are the unit of work (shuffle on
     * cell id); K grows with corpus so |cell| stays bounded, and the
     * quantizer is the already-built ANN index artifact. */
+  /** Corpus size per unit of the l34 K dial: split = max(1, N/2000) —
+    * the sf0.1 corpus (2 000 vectors) is the calibration point where
+    * K=10 cells gives the |cell| ≈ 200 the pairwise stage prices
+    * against. Growing the corpus N× grows K N× and keeps |cell| (and
+    * so per-cell pairwise cost) constant — the dial ScaleSweep measured
+    * at e≈0.98 (SCALE_r10 kdial row). */
+  val SemCorpusPerSplit = 2000L
+
+  /** The l34 production dial made self-tuning: derive `split` from the
+    * corpus size (one count job — index-build-class cost). At every
+    * shipped sf (≤ 2 000 vectors) this resolves to split=1, i.e. the
+    * canonical oracle-gated quantizer byte-for-byte; on synthesized
+    * larger corpora it grows K linearly (LlmSpec pins both the rule and
+    * split>1 copy-recall). */
+  def autoSplit(s: SparkSession, d: String): Int =
+    math.max(1L, Tables.embeddings(s, d).count() / SemCorpusPerSplit).toInt
+
   def semanticDedup(s: SparkSession, d: String,
                     split: Int = 1): DataFrame = {
     val enc = 16 * split
@@ -1344,6 +1368,9 @@ object Llm {
     // l34 — the same generated training prefix + the augmentation /
     // assignment / intra-cell pairwise replay (see l34Sql)
     "l34_semantic_dedup" -> l34Sql,
+    // l34b — at the gate sfs the auto dial resolves to split=1, so the
+    // same generated replay gates it; the >1 branch is property-pinned
+    "l34b_semantic_autok" -> l34Sql,
     // l3e — per-subspace PQ training, coding, ADC scan and exact rerank,
     // all generated from the same Scala constants (see l3eSql)
     "l3e_pq_topk" -> l3eSql(),

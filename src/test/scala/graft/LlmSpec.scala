@@ -414,6 +414,31 @@ class LlmSpec extends AnyFunSuite {
       s"K=40 pairwise work $p40 not well below K=10's $p10")
   }
 
+  test("L34b auto-K: the dial rule resolves to split=1 at every shipped " +
+       "sf (l34b IS l34 there) and grows linearly on a bigger corpus") {
+    import graft.llm.Llm
+    import org.apache.spark.sql.functions._
+    // rule at the shipped scales: ≤2000 vectors → split 1
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1").foreach { d =>
+      assert(Llm.autoSplit(s, d) === 1, s"autoSplit($d)")
+    }
+    // l34b ≡ l34 row-for-row at the gate sf (same quantizer, same keeps)
+    val a = SparkEntry.queries("l34_semantic_dedup")(s, TestSpark.Sf).collect()
+    val b = SparkEntry.queries("l34b_semantic_autok")(s, TestSpark.Sf).collect()
+    assert(a.toSeq === b.toSeq, "auto-K diverged from canonical at split=1")
+    // rule above the calibration point: a synthetic 6000-vector corpus
+    // (the sf0.001 embeddings fanned 12×, ids offset per copy) → split 3
+    val dir = java.nio.file.Files.createTempDirectory("autok").toString
+    val e = graft.core.Tables.embeddings(s, TestSpark.Sf)
+    e.select(col("vec_id"), col("embedding"), col("label"),
+        explode(sequence(lit(0L), lit(11L))).as("cp"))
+      .select((col("vec_id") + lit(100000L) * col("cp")).as("vec_id"),
+        col("embedding"), col("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Llm.autoSplit(s, dir) === 3,
+      "6000-vector corpus must dial split=3 (K=30 cells)")
+  }
+
   test("L33: span-dedup matches a pure-Scala model, and removal is " +
        "idempotent (re-running on the deduped corpus finds 0 dup spans)") {
     val sf = TestSpark.Sf
