@@ -35,15 +35,10 @@ for q, v in sorted(p50s.items()):
 
 out = {
     "_comment": (
-        "per-query p50 bands [lo,hi] sec at sf0.1. r10 refresh: derived from "
-        "the r10 clean capture (canary 0.304/0.307, ratio 1.011, n_failed 0) "
-        "after the events-loader fix; queries inside their r8 band keep the "
-        "history union, queries moved by the events regeneration (the "
-        "S-series replay re-based) and new queries (l36/l37/l38/s2b/l39) "
-        "band on the r10 capture alone, x1.5 slack. j12_recursive: the "
-        "4-5 s level-loop floor is DECLARED (materialized sequence + "
-        "BROADCAST + single-task levels is already the minimal per-level "
-        "plan; see Joins.scala j12 comment) and banded at that floor."),
+        "per-query p50 bands [lo,hi] sec at sf0.1, refreshed from the latest "
+        "clean (canary-in-band) BENCH.json: in-band queries keep the history "
+        "union, moved/new queries band on the capture alone, x1.5 slack. "
+        "EDIT the capture details into this comment after each refresh."),
     "_canary": old["_canary"],
     "bands": bands,
 }
