@@ -122,26 +122,63 @@ object Replayer {
                 .when(m === 190, "purchase").otherwise(col("event_type")))
             .withColumn("b", batchExpr(n, late = false))
       }
-      batched.cache()
-      try {
-        (0 until NumFiles).foreach { i =>
-          val tmp = dir.resolve(s"stage$i").toString
-          batched.filter(col("b") === i).drop("b")
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val listed = Files.list(Paths.get(tmp))
-          val part = try listed.filter(_.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally listed.close()
-          val target = dir.resolve(f"batch$i%02d.parquet")
-          Files.move(part, target)
-          // pin replay order: FileStreamSource sorts by mtime
-          Files.setLastModifiedTime(target, FileTime.fromMillis(1000000000000L + i * 1000L))
-          deleteTree(Paths.get(tmp)) // clean staging dir
-        }
-      } finally batched.unpersist()
+      writeBatches(dir, batched)
       Files.createFile(done)
     }
     dir.toString
+  }
+
+  /** Materialize a `b`-batched frame as NumFiles mtime-ordered parquet
+    * files (the replay layout). Shared by the events variants and the
+    * documents fixture. */
+  private def writeBatches(dir: Path, batched: DataFrame): Unit = {
+    batched.cache()
+    try {
+      (0 until NumFiles).foreach { i =>
+        val tmp = dir.resolve(s"stage$i").toString
+        batched.filter(col("b") === i).drop("b")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val listed = Files.list(Paths.get(tmp))
+        val part = try listed.filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listed.close()
+        val target = dir.resolve(f"batch$i%02d.parquet")
+        Files.move(part, target)
+        // pin replay order: FileStreamSource sorts by mtime
+        Files.setLastModifiedTime(target, FileTime.fromMillis(1000000000000L + i * 1000L))
+        deleteTree(Paths.get(tmp)) // clean staging dir
+      }
+    } finally batched.unpersist()
+  }
+
+  /** Documents replay fixture (S12 streaming ingestion): NumFiles
+    * contiguous doc_id-range files, mtime-ordered — the corpus arriving
+    * in five deterministic batches. Same _DONE/immutability contract as
+    * the events variants. */
+  def ensureDocs(s: SparkSession, sfDir: String): String = synchronized {
+    val dir = root(sfDir).resolve("docs")
+    val done = dir.resolve("_DONE")
+    if (!Files.exists(done)) {
+      schemaCache.remove(dir.toString)
+      val docs = Tables.documents(s, sfDir)
+      val n = docs.count()
+      val b = (n + NumFiles - 1) / NumFiles
+      Files.createDirectories(dir)
+      writeBatches(dir, docs.withColumn("b",
+        least(floor(col("doc_id") / b).cast("int"), lit(NumFiles - 1))))
+      Files.createFile(done)
+    }
+    dir.toString
+  }
+
+  /** Open the documents fixture as a file-source stream, one file per
+    * micro-batch. */
+  def streamDocs(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureDocs(s, sfDir)
+    val schema = schemaCache.computeIfAbsent(dir, d => s.read.parquet(d).schema)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
   }
 
   /** Recursively delete, closing the walk stream (a leaked stream holds a

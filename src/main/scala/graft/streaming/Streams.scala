@@ -689,6 +689,44 @@ object Streams {
         .select(col("window.start").as("win_start"), col("c_mktsegment"),
                 col("n"), col("sv").cast(DoubleType).as("sum_value"))
         .orderBy(col("win_start"), col("c_mktsegment"))
+    }),
+
+    // S12 — STREAMING corpus-ingestion gate: the incremental-arrival face
+    // of the L-series intake (l31's historical-dedup semantics + a
+    // stateless quality gate) as ONE streaming query. Documents arrive in
+    // 5 deterministic micro-batches (Replayer.streamDocs); each batch is
+    // (a) deduplicated against the STATIC historical signature dim via a
+    // stream-static LEFT ANTI join (the join form J9's inner/outer rows
+    // don't cover — static side broadcast, stream side never buffered:
+    // stateless, so no watermark and exact append semantics), then
+    // (b) gated on per-row quality (n_toks ≥ 20, type-token ratio ≥ 0.3 —
+    // corpus-independent features; the corpus-level stop-list score l15
+    // uses would make the gate stateful). Accepted rows append as they
+    // arrive — at 100 TB/day this is the shape of the intake tier: a
+    // broadcast signature index, a map-side anti join, zero state stores,
+    // each arriving file one bounded task wave.
+    "s12_ingest_gate" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      val sig = sha2(concat_ws(" ",
+        array_sort(array_distinct(toks))), 256)
+      // the signature index is a build-once artifact (the l31 story):
+      // materialize it so the static side of the stream-static join does
+      // not recompute the sha2 corpus scan every micro-batch
+      val hist = broadcast(Tables.documents(s, d)
+        .filter(col("doc_id") % 7 =!= 0).select(sig.as("sig")).distinct()
+        .localCheckpoint())
+      val gated = Replayer.streamDocs(s, d)
+        .filter(col("doc_id") % 7 === 0) // the arriving (new) slice
+        .withColumn("sig", sig)
+        .join(hist, Seq("sig"), "left_anti")
+        .withColumn("n_toks", size(toks).cast(LongType))
+        .withColumn("n_uniq", size(array_distinct(toks)).cast(LongType))
+        .withColumn("ttr",
+          col("n_uniq").cast(DoubleType) / col("n_toks").cast(DoubleType))
+        .filter(col("n_toks") >= 20 && col("ttr") >= 0.3)
+        .select(col("doc_id"), col("lang"), col("n_toks"), col("n_uniq"),
+                col("ttr"))
+      runToMemory(s, gated, "append").orderBy(col("doc_id"))
     })
   )
 
@@ -1080,6 +1118,28 @@ object Streams {
         |      SELECT 1 FROM rt v
         |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
         |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 1 HOUR))
-        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    // s12 — stateless streaming ops + a static right side means the
+    // append-mode result is EXACTLY the batch anti-join + gate (no
+    // watermark horizon to model); the signature idiom is l31's, the
+    // ttr an IEEE ratio of exact integers (the l15 protocol).
+    "s12_ingest_gate" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, lang, doc_id % 7 = 0 AS is_new,
+        |    sha256(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS sig,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_uniq
+        |  FROM documents)
+        |SELECT n.doc_id, n.lang, n.n_toks, n.n_uniq,
+        |  CAST(n.n_uniq AS DOUBLE) / CAST(n.n_toks AS DOUBLE) AS ttr
+        |FROM (SELECT * FROM sigs WHERE is_new) n
+        |LEFT JOIN (SELECT DISTINCT sig FROM sigs WHERE NOT is_new) h
+        |  USING (sig)
+        |WHERE h.sig IS NULL AND n.n_toks >= 20
+        |  AND CAST(n.n_uniq AS DOUBLE) / CAST(n.n_toks AS DOUBLE) >= 0.3
+        |ORDER BY n.doc_id""".stripMargin
   )
 }

@@ -496,4 +496,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("watermark") ||
            err.getMessage.toLowerCase.contains("append"))
   }
+
+  test("S12: the ingestion gate is STATELESS (no state stores, no " +
+       "watermark) and consumes the replay one file per micro-batch") {
+    // the 100 TB claim: a broadcast signature index + map-side anti join
+    // means the intake tier carries zero streaming state — each arriving
+    // file is one bounded task wave, nothing buffered across batches
+    import org.apache.spark.sql.functions._
+    val toks = split(col("text"), " ")
+    val sig = sha2(concat_ws(" ", array_sort(array_distinct(toks))), 256)
+    val hist = broadcast(graft.core.Tables.documents(s, sf)
+      .filter(col("doc_id") % 7 =!= 0).select(sig.as("sig")).distinct())
+    val gated = Replayer.streamDocs(s, sf)
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("sig", sig)
+      .join(hist, Seq("sig"), "left_anti")
+      .withColumn("n_toks", size(toks).cast("long"))
+    val ckpt = Replayer.checkpoint()
+    val q = try {
+      val q = gated.writeStream.format("memory").queryName("s12_pin")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    } finally Replayer.dropCheckpoint(ckpt)
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.flatMap(_.stateOperators).isEmpty,
+      "the stateless gate opened a state store")
+    assert(progress.length == Replayer.NumFiles,
+      s"expected ${Replayer.NumFiles} data micro-batches, got ${progress.length}")
+    assert(s.table("s12_pin").count() > 0, "gate emitted nothing")
+  }
 }
