@@ -50,6 +50,54 @@ object Replayer {
     Paths.get(sys.props("java.io.tmpdir"), "graft_fixtures_v2", key)
   }
 
+  /** Fingerprint of a source table's physical files (names, sizes,
+    * mtimes) — the centCache idiom applied to fixtures. The r9/r10
+    * lesson: the driver regenerates /root/testdata IN PLACE between
+    * rounds (same path, new files), and a fixture keyed by path alone
+    * would keep serving the OLD data under its _DONE marker — the
+    * oracle hash would catch it, but as a cryptic mismatch rather than
+    * a rebuild. Folding the fingerprint into the fixture dir name makes
+    * regeneration force a rebuild automatically. */
+  private def fingerprint(sfDir: String, table: String): String = {
+    val p = Paths.get(sfDir, s"$table.parquet")
+    val entries =
+      if (Files.isDirectory(p)) {
+        val l = Files.list(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator().asScala.toSeq.sortBy(_.toString)
+        } finally l.close()
+      } else Seq(p)
+    val desc = entries.map(e => s"${e.getFileName}:${Files.size(e)}:" +
+      s"${Files.getLastModifiedTime(e).toMillis}").mkString("|")
+    f"${scala.util.hashing.MurmurHash3.stringHash(desc)}%08x"
+  }
+
+  /** Resolve (and stale-sweep) the fingerprinted dir for one variant:
+    * `<root>/<variant>-<fp>`; sibling dirs of the same variant with a
+    * different fingerprint are leftovers of a regenerated source and are
+    * deleted (best-effort — a racing process may have swept already). */
+  private def variantDir(sfDir: String, variant: String,
+                         table: String): Path = {
+    val r = root(sfDir)
+    val fp = fingerprint(sfDir, table)
+    val dir = r.resolve(s"$variant-$fp")
+    if (Files.isDirectory(r)) {
+      val l = Files.list(r)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith(variant + "-") &&
+                       p != dir)
+          .foreach { stale =>
+            schemaCache.remove(stale.toString)
+            try deleteTree(stale) catch { case _: Throwable => }
+          }
+      } finally l.close()
+    }
+    dir
+  }
+
   /** Batch index of an event in the given variant (same rule as oracle
     * SQL): base = floor(event_id / ceil(n/NumFiles)); late rows move TWO
     * files later (capped) — see the eviction-horizon note above. */
@@ -73,7 +121,7 @@ object Replayer {
   def ensure(s: SparkSession, sfDir: String, variant: String): String = synchronized {
     require(Set("clean", "late", "dup", "dup10", "funnel")(variant),
       s"unknown replay variant: $variant")
-    val dir = root(sfDir).resolve(variant)
+    val dir = variantDir(sfDir, variant, "events")
     val done = dir.resolve("_DONE")
     if (!Files.exists(done)) {
       // (re)building this dir — drop any schema cached for a previous
@@ -156,7 +204,7 @@ object Replayer {
     * in five deterministic batches. Same _DONE/immutability contract as
     * the events variants. */
   def ensureDocs(s: SparkSession, sfDir: String): String = synchronized {
-    val dir = root(sfDir).resolve("docs")
+    val dir = variantDir(sfDir, "docs", "documents")
     val done = dir.resolve("_DONE")
     if (!Files.exists(done)) {
       schemaCache.remove(dir.toString)

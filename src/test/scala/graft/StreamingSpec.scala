@@ -527,4 +527,26 @@ class StreamingSpec extends AnyFunSuite {
       s"expected ${Replayer.NumFiles} data micro-batches, got ${progress.length}")
     assert(s.table("s12_pin").count() > 0, "gate emitted nothing")
   }
+
+  test("fixtures: regenerating the source table IN PLACE invalidates " +
+       "the replay fixture (fingerprinted dir, stale sibling swept)") {
+    // the r9/r10 failure class: the driver rewrites /root/testdata at
+    // the same path; a path-keyed fixture would keep serving old data
+    import org.apache.spark.sql.functions._
+    val sfTmp = Files.createTempDirectory("fixfp").toString
+    graft.core.Tables.documents(s, sf).limit(50)
+      .write.mode("overwrite").parquet(s"$sfTmp/documents.parquet")
+    val d1 = Replayer.ensureDocs(s, sfTmp)
+    // regenerate in place: same path, new physical files
+    graft.core.Tables.documents(s, sf).limit(50)
+      .withColumn("text", concat(col("text"), lit(" regen")))
+      .write.mode("overwrite").parquet(s"$sfTmp/documents.parquet")
+    val d2 = Replayer.ensureDocs(s, sfTmp)
+    assert(d1 != d2, "regenerated source served the stale fixture dir")
+    assert(!Files.exists(java.nio.file.Paths.get(d1)),
+      "stale fixture dir not swept")
+    // and the fresh fixture carries the regenerated content
+    assert(s.read.parquet(d2).filter(col("text").endsWith("regen")).count()
+      === 50L)
+  }
 }
