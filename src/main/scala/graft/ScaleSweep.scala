@@ -48,8 +48,10 @@ object ScaleSweep {
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
 
-  /** Carry-over rows from the existing outFile (new multi-decade format).
-    * Jackson is on the Spark classpath; missing/unparseable → empty. */
+  /** Carry-over rows from the existing outFile (new multi-decade format
+    * ONLY — an old-format file yields nothing, loudly, instead of being
+    * silently discarded and overwritten). Jackson is on the Spark
+    * classpath. */
   private def readExisting(path: String): Map[String, Row] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
@@ -65,6 +67,24 @@ object ScaleSweep {
             r -> (d.get("big_sec").asDouble, d.get("exponent").asDouble)
           }.toMap)
       }.toMap
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[scale] WARNING: no carry-over — $path unreadable or not in " +
+          s"the multi-decade format ($e); untouched queries will be " +
+          "ABSENT from the rewritten file")
+        Map.empty
+    }
+
+  /** The existing outFile's ratio→directory header, so carried rows'
+    * decade keys stay described when this run measures fewer decades. */
+  private def readExistingDecades(path: String): Map[String, String] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+      val d = root.get("decades")
+      import scala.jdk.CollectionConverters._
+      d.fieldNames().asScala.map(r => r -> d.get(r).asText).toMap
     } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
@@ -135,17 +155,25 @@ object ScaleSweep {
       }
     }
 
-    val carried: Map[String, Row] = readExisting(outFile)
+    // Carry-over is WHOLE-ROW and subset-only: an unselected query keeps
+    // its existing (small_sec, decades) verbatim; a re-measured query's
+    // row is built ONLY from this run's measurements (a carried big_sec
+    // paired with a fresh small_sec would publish an exponent
+    // inconsistent with the numbers beside it). A full run carries
+    // nothing — every published number is from this build.
+    val carried: Map[String, Row] =
+      if (only.isEmpty) Map.empty else readExisting(outFile)
     val order = BatchQ.flatMap(q =>
       if (q == "l34_semantic_dedup") Seq(q, "l34_semantic_dedup_kdial")
       else Seq(q)) ++ StreamQ
     val rows = order.flatMap { q =>
-      val sSec = tSmall.get(if (q.endsWith("_kdial")) "l34_semantic_dedup" else q)
-        .orElse(carried.get(q).map(_.smallSec))
-      val decs: Map[String, (Double, Double)] =
-        carried.get(q).map(_.decades).getOrElse(Map.empty) ++
-          measured.getOrElse(q, scala.collection.mutable.Map.empty).toMap
-      sSec.filter(_ => decs.nonEmpty).map { s =>
+      val base = if (q.endsWith("_kdial")) "l34_semantic_dedup" else q
+      val fresh: Option[(Double, Map[String, (Double, Double)])] =
+        tSmall.get(base).map(s =>
+          (s, measured.getOrElse(q, scala.collection.mutable.Map.empty).toMap))
+      val row: Option[(Double, Map[String, (Double, Double)])] =
+        fresh.orElse(carried.get(q).map(r => (r.smallSec, r.decades)))
+      row.filter(_._2.nonEmpty).map { case (s, decs) =>
         val dJson = decs.toSeq.sortBy(_._1.toDouble).map { case (r, (b, e)) =>
           s""""$r":{"big_sec":${ms(b)},"exponent":${ms(e)}}""" }.mkString(",")
         s""""$q":{"small_sec":${ms(s)},"decades":{$dJson}}"""
@@ -185,10 +213,24 @@ object ScaleSweep {
       "l10_minhash_lsh" ->
         ("e ~ 0: the canonical check is slice-bounded (doc_id < 1000" +
          ", constant work at both scales) - l10b, unbounded, is the " +
-         "scaling measurement for MinHash-LSH"))
+         "scaling measurement for MinHash-LSH"),
+      "j8_asof" ->
+        ("30x runs FASTER than 10x (verified plan diff, not noise): at " +
+         "10x the 1.5M-row orders side still fits the broadcast " +
+         "threshold and the as-of pre-join runs as a conditional " +
+         "BroadcastHashJoin (broadcast build + per-probe order-list " +
+         "scan); at 30x it crosses the threshold and flips to a " +
+         "better-parallelized SortMergeJoin - the flip a real cluster " +
+         "would also make, and the reason single-point exponents need " +
+         "the second decade"))
       .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
-    val decadesDesc = decadeSpecs
-      .map { case (d, r) => s""""${rkey(r)}":"$d"""" }.mkString("{", ",", "}")
+    // this run's specs win; keys only present in the carried file stay
+    // described so carried rows' decade entries keep their provenance
+    val decadesDesc =
+      (if (carried.nonEmpty) readExistingDecades(outFile) else Map.empty[String, String])
+        .++(decadeSpecs.map { case (d, r) => rkey(r) -> d })
+        .toSeq.sortBy(_._1.toDouble)
+        .map { case (r, d) => s""""$r":"$d"""" }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale_sweep","small":"$small","decades":$decadesDesc,""" +
       s""""protocol":"p50 of 3 after warm-up; streaming replays on fresh child sessions; """ +

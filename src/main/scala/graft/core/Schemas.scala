@@ -58,12 +58,22 @@ object Schemas {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
-  /** Physical readings tolerated for a declared logical type. */
-  private def compatible(declaredT: DataType, actual: DataType): Boolean =
+  /** Physical readings tolerated for a declared logical type. NTZ is a
+    * valid reading for every timestamp column (the current generation
+    * writes TIMESTAMP_MICROS with isAdjustedToUTC=0 across orders /
+    * lineitem / events). A raw nanosecond Long is tolerated ONLY for
+    * `events.ts` — the one column [[Tables]] has a nanos normalizer
+    * for; anywhere else a Long-typed timestamp is drift and must fail
+    * here with the named column, not later with a cryptic per-query
+    * analysis error. */
+  private def compatible(table: String, column: String,
+                         declaredT: DataType, actual: DataType): Boolean =
     (declaredT, actual) match {
-      case (TimestampType, TimestampType | TimestampNTZType | LongType) => true
+      case (TimestampType, LongType) => table == "events" && column == "ts"
+      case (TimestampType, TimestampType | TimestampNTZType) => true
       // parquet list element nullability is writer-dependent; type is what matters
-      case (ArrayType(de, _), ArrayType(ae, _)) => compatible(de, ae)
+      case (ArrayType(de, _), ArrayType(ae, _)) =>
+        compatible(table, column, de, ae)
       case (d, a) => d == a
     }
 
@@ -78,7 +88,7 @@ object Schemas {
         s"testdata drift in '$table': expected columns ${expNames.mkString("[", ", ", "]")}, " +
           s"got ${actNames.mkString("[", ", ", "]")}")
       exp.fields.zip(actual.fields).foreach { case (e, a) =>
-        require(compatible(e.dataType, a.dataType),
+        require(compatible(table, e.name, e.dataType, a.dataType),
           s"testdata drift in '$table.${e.name}': expected ${e.dataType.sql} " +
             s"(or a tolerated timestamp physical variant), got ${a.dataType.sql}")
       }

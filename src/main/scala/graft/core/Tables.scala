@@ -15,6 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events may ship as legacy TIMESTAMP(NANOS), which the reader rejects
+    // at SCHEMA INFERENCE without this conf — set it before the read so a
+    // direct t(..., "events") reaches the named-column drift diagnosis
+    // below instead of dying with PARQUET_TYPE_ILLEGAL (order-dependent
+    // on which loader ran first otherwise)
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     Schemas.assertMatches(name, df.schema) // fail fast on testdata drift (§1.3)
     df

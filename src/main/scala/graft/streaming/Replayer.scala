@@ -87,8 +87,12 @@ object Replayer {
       try {
         import scala.jdk.CollectionConverters._
         l.iterator().asScala
-          .filter(p => p.getFileName.toString.startsWith(variant + "-") &&
-                       p != dir)
+          .filter { p =>
+            val n = p.getFileName.toString
+            // fingerprinted siblings of another generation, plus bare
+            // `variant` dirs left by pre-fingerprint builds
+            (n.startsWith(variant + "-") || n == variant) && p != dir
+          }
           .foreach { stale =>
             schemaCache.remove(stale.toString)
             try deleteTree(stale) catch { case _: Throwable => }

@@ -31,6 +31,20 @@ class SchemasSpec extends AnyFunSuite {
     assert(e.getMessage.contains("drift"), e.getMessage)
   }
 
+  test("raw-Long timestamp is tolerated ONLY for events.ts (the one " +
+       "column with a nanos normalizer)") {
+    val s = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("drift3").toString
+    // orders with o_orderdate as epoch-long: the exact r9 drift class on
+    // a column Tables does NOT normalize — must fail with the name
+    Tables.t(s, TestSpark.Sf, "orders")
+      .withColumn("o_orderdate",
+        unix_micros(col("o_orderdate").cast("timestamp")))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val e = intercept[IllegalArgumentException](Tables.t(s, dir, "orders"))
+    assert(e.getMessage.contains("orders.o_orderdate"), e.getMessage)
+  }
+
   test("missing/renamed column fails fast naming the column sets") {
     val s = TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("drift2").toString

@@ -11,14 +11,26 @@ Policy (the r8 protocol, r10 edition):
   regeneration + loader change re-based the whole S-series): it re-bands
   on the clean capture alone, [p50/1.5, p50*1.5].
 - A query with no old band (new this round) bands on the capture alone.
+- A query with an old band but ABSENT from the capture (errored, or a
+  partial capture) KEEPS its old band — coverage is never silently lost.
 - extra_p50s.json (optional): {"name": p50} for queries measured outside
   the committed capture (e.g. added after it) — treated as new.
-The canary band is preserved verbatim.
+The canary band is preserved verbatim. Refuses a dirty capture
+(n_failed > 0 or canary outside the committed band) — the policy's
+"clean capture" precondition, enforced rather than assumed.
 """
 import json, sys
 
 bench = json.load(open("BENCH.json"))
 old = json.load(open("BANDS.json"))
+if bench.get("n_failed", len(bench.get("errors", {}))) or bench.get("errors"):
+    sys.exit(f"REFUSING: capture has failures: {bench.get('errors')}")
+clo, chi = old["_canary"]
+canary = bench.get("canary", {})
+for side in ("start_sec", "end_sec"):
+    if not (clo <= canary.get(side, clo) <= chi):
+        sys.exit(f"REFUSING: canary {side}={canary.get(side)} outside "
+                 f"the committed [{clo}, {chi}] band — contended capture")
 p50s = dict(bench["queries"])
 if len(sys.argv) > 1:
     p50s.update(json.load(open(sys.argv[1])))
@@ -32,6 +44,9 @@ for q, v in sorted(p50s.items()):
     else:
         bands[q] = [lo, hi]
         (moved if ob else fresh).append(q)
+kept = sorted(set(old["bands"]) - set(p50s))
+for q in kept:  # absent from the capture: keep coverage, loudly
+    bands[q] = old["bands"][q]
 
 out = {
     "_comment": (
@@ -45,3 +60,5 @@ out = {
 json.dump(out, open("BANDS.json", "w"), indent=1)
 print(f"{len(bands)} bands; re-based (moved): {moved}")
 print(f"new: {fresh}")
+if kept:
+    print(f"KEPT OLD BAND (absent from capture — investigate): {kept}")
