@@ -36,6 +36,20 @@ object Bench {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions._
 
+  /** Repo root for the capture artifacts (BENCH.json, BENCH_SUMMARY.json)
+    * and the committed BANDS.json: the cwd when it holds BANDS.json (the
+    * normal sbt-in-repo case), else the canonical checkout — a driver
+    * invoking Bench from another cwd would otherwise write the sidecar
+    * where nobody looks and silently skip the band self-flagging. */
+  private val repoRoot: java.nio.file.Path = {
+    val cwd = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+    if (java.nio.file.Files.exists(cwd.resolve("BANDS.json"))) cwd
+    else {
+      val r = java.nio.file.Paths.get("/root/repo")
+      if (java.nio.file.Files.exists(r.resolve("BANDS.json"))) r else cwd
+    }
+  }
+
   /** Fixed-work calibration job: 16M xxhash64 rows over 32 even range
     * partitions — pure CPU + scheduler, no input data, no shuffle. The
     * same work every capture on every machine, so its time is a direct
@@ -93,7 +107,7 @@ object Bench {
       .map { case (k, v, b) => s"${q(k)}:{\"sec\":${ms(v)},\"band\":[${ms(b(0))},${ms(b(1))}]}" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"canary":$canary,"out_of_band":$oobJson,"sf":"$sfDir"}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line)
+    try java.nio.file.Files.writeString(repoRoot.resolve("BENCH.json"), line)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: $e") }
     // Short summary FIRST and LAST (full line between): complete JSON
     // survives whether the driver's buffer drops the head or the tail.
@@ -104,7 +118,7 @@ object Bench {
     // `parsed:null` when BOTH stdout ends were clipped — a file survives
     // regardless of stdout buffering.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary)
+      repoRoot.resolve("BENCH_SUMMARY.json"), summary)
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_SUMMARY.json write failed: $e") }
     println(summary)
     println(line)
@@ -116,7 +130,7 @@ object Bench {
     * pulls every `"name":[lo,hi]` pair under the top-level "bands" key.
     * Absent or malformed file → None (bench still runs, no flags). */
   private def loadBands(): Option[Map[String, Array[Double]]] = {
-    val p = java.nio.file.Paths.get("BANDS.json")
+    val p = repoRoot.resolve("BANDS.json")
     if (!java.nio.file.Files.exists(p)) return None
     try {
       val text = java.nio.file.Files.readString(p)
