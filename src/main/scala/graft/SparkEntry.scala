@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
-import graft.llm.{Cluster, Curation, DedupExt, Llm, Multimodal}
+import graft.llm.{Bpe, Cluster, Curation, DedupExt, Llm, Multimodal}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,6 +29,7 @@ object SparkEntry {
     (DedupExt.queries, DedupExt.oracle),
     (Curation.queries, Curation.oracle),
     (Cluster.queries, Cluster.oracle),
+    (Bpe.queries, Bpe.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Streams.queries, Streams.oracle)
   )

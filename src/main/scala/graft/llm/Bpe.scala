@@ -1,0 +1,278 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** L40 — BPE merge training (SURVEY §2.10): learn a byte-pair-encoding
+  * merge table from the corpus (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") and re-tokenize the
+  * corpus under the trained vocabulary. This is the one member of the
+  * tokenization family L21's fixed-regex counter cannot provide: L21
+  * COUNTS pieces under a static rule; L40 LEARNS the pieces.
+  *
+  * Algorithm (the standard word-level BPE trainer):
+  *  1. word-frequency table over the corpus (2-phase groupBy — the only
+  *     corpus-scale pass in training);
+  *  2. training vocabulary = top-`VocabCap` words by (freq DESC, word
+  *     ASC) — the standard frequency-truncated trainer input, and the
+  *     bound that makes every later stage corpus-size-INDEPENDENT;
+  *  3. `Merges` rounds: count adjacent symbol pairs weighted by word
+  *     freq (a distributed 2-phase aggregation per round — the L28
+  *     shape — over the VocabCap-bounded segmentation relation), pick
+  *     the argmax pair under the deterministic (cnt DESC, x ASC, y ASC)
+  *     tie-break, and re-segment every word greedily left-to-right (a
+  *     single `aggregate` higher-order fold per row — no UDF). A round
+  *     with no pair of weighted count ≥ `MinPair` stops training (the
+  *     stop is stable: merging only ever removes qualifying pairs of
+  *     the argmax round).
+  *  4. the trained model = the merge table (≤ `Merges` rows) + the final
+  *     per-word segmentation (≤ `VocabCap` rows) — an index artifact,
+  *     cached per corpus fingerprint like the IVF/PQ codebooks.
+  *
+  * Encoding (`l40b`) joins the corpus's word occurrences against the
+  * BROADCAST segmentation table: token count = |syms| for trained
+  * words, character count for out-of-vocabulary words (symbols = chars,
+  * no merges apply) — a total, engine-replayable rule.
+  *
+  * 100 TB shape: the corpus-scale work is one word-count aggregation
+  * (training) and one broadcast-join scan (encoding). Each training
+  * round runs on the VocabCap-bounded relation — driver traffic per
+  * round is ONE row (the argmax pair); the final segmentation collect
+  * is VocabCap-bounded by construction (the trainCentroids contract).
+  * Lineage across rounds is truncated by periodic localCheckpoint
+  * (the L22 pointer-jumping idiom).
+  *
+  * Determinism: counts are exact integers; the tie-break is total;
+  * string comparison is binary in both engines. The DuckDB oracle
+  * replays the full trainer — vocabulary, every round's pair counts,
+  * argmax and greedy re-segmentation (`list_reduce` over singleton
+  * lists, seeded empty — the l33 `list_prepend` fold idiom), unrolled
+  * from the SAME Scala constants (the l3c generated-oracle idiom). */
+object Bpe {
+
+  /** Training-vocabulary cap: top-V words by frequency. The bound that
+    * makes per-round cost and the final collect corpus-size-independent
+    * (every shipped sf's distinct-word count sits far below it — the
+    * cap exists for the 100 TB story, where the word table is millions
+    * of rows and the trainer input must be truncated). */
+  val VocabCap = 1000
+
+  /** Merge-table size: rounds of pair-merge training. */
+  val Merges = 50
+
+  /** Minimum weighted pair count for a merge to fire (merging a
+    * once-seen pair learns noise; the stop rule below MinPair is
+    * replayed by the oracle's HAVING). */
+  val MinPair = 2L
+
+  /** Trained model: merge table (rank, lhs, rhs, weighted freq) + final
+    * word segmentation (word, freq, symbols). Both driver-held and
+    * bounded (≤ Merges rows; ≤ VocabCap rows). */
+  final case class Model(merges: Seq[(Int, String, String, Long)],
+                         seg: Seq[(String, Long, Seq[String])])
+
+  /** Build-once model cache, fingerprint-invalidated (the centCache
+    * idiom — a regenerated corpus at the same path must retrain, never
+    * serve stale merges). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Model]()
+
+  /** Cheap content fingerprint of the documents source: every file's
+    * (name, size, mtime) under the table path. */
+  private def docFingerprint(d: String): String = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(d, "documents.parquet")
+    if (!java.nio.file.Files.exists(p)) "absent"
+    else {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => s"$f:${java.nio.file.Files.size(f)}:" +
+          java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        .toSeq.sorted.mkString("|")
+      finally walk.close()
+    }
+  }
+
+  def train(s: SparkSession, d: String): Model = {
+    val key = (d, docFingerprint(d))
+    cache.keySet.removeIf(k => k._1 == d && k._2 != key._2)
+    cache.computeIfAbsent(key, _ => trainUncached(s, d))
+  }
+
+  /** One greedy left-to-right application of merge (x, y) to a symbol
+    * array, as a Catalyst `aggregate` fold (no UDF): the accumulator is
+    * the output array; a symbol equal to y whose predecessor in the
+    * accumulator is x replaces that predecessor with the merged symbol
+    * (and the merged symbol does NOT re-merge with a following y — the
+    * standard non-overlapping greedy pass: "aaa" + (a,a) → [aa, a]).
+    * The size(acc) > 0 guard short-circuits (Catalyst And) so
+    * element_at never sees index 0. Exposed for the BpeSpec pin against
+    * a reference Scala implementation. */
+  private[graft] def mergeCol(syms: Column, x: String, y: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, sym) =>
+        when(size(acc) > 0 &&
+             element_at(acc, size(acc)) === lit(x) && sym === lit(y),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+          .otherwise(concat(acc, array(sym))))
+
+  /** Adjacent-pair weighted counts of a segmentation relation, the
+    * per-round 2-phase aggregation (exposed for BpeSpec). */
+  private[llm] def pairCounts(seg: DataFrame): DataFrame =
+    seg.filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
+        "'x', element_at(syms, i), 'y', element_at(syms, i + 1)))")).as("p"))
+      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** The VocabCap-bounded initial segmentation: top words split to
+    * characters. localCheckpoint so 50 rounds do not each re-run the
+    * corpus word count. */
+  private def seg0(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word").asc)
+      .limit(VocabCap)
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+
+  private def trainUncached(s: SparkSession, d: String): Model = {
+    var seg = seg0(s, d)
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    var t = 1
+    var done = false
+    while (t <= Merges && !done) {
+      val best = pairCounts(seg)
+        .filter(col("cnt") >= MinPair)
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val r = best(0)
+        val (x, y, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((t, x, y, c))
+        seg = seg.withColumn("syms", mergeCol(col("syms"), x, y))
+        // truncate the stacked-fold lineage before it grows past a
+        // handful of nested expressions (the L22 contraction idiom)
+        if (t % 8 == 0) seg = seg.localCheckpoint()
+        t += 1
+      }
+    }
+    val segRows = seg.select(col("word"), col("freq"), col("syms"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
+      .toSeq
+    Model(merges.toList, segRows)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L40 — the trained merge table itself: rank order IS training
+    // order, pair_freq the argmax weighted count that round.
+    "l40_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      train(s, d).merges.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+        .orderBy(col("merge_rank"))
+    }),
+
+    // L40b — the corpus re-tokenized under the trained vocabulary:
+    // per-doc whitespace-word count and BPE token count (|syms| for
+    // trained words, character count for OOV). One broadcast join +
+    // one groupBy — map-side at any corpus size.
+    "l40b_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val segDf = broadcast(
+        train(s, d).seg.map { case (w, _, sy) => (w, sy.length.toLong) }
+          .toDF("word", "n_sym"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .join(segDf, Seq("word"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_sym"), length(col("word")).cast(LongType)).as("nt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** The shared trainer CTE chain (wc → tv → w0 → {p,b,w}1..Merges),
+    * generated from the SAME constants the Spark trainer uses. The w/b
+    * CTEs are MATERIALIZED: each is referenced more than once and an
+    * inlining engine would otherwise re-execute the whole prefix per
+    * reference. `list_reduce` seeds the fold with an empty VARCHAR[]
+    * via `list_prepend` (the l33 idiom) over singleton-wrapped symbols,
+    * because DuckDB's reduce accumulator must share the element type. */
+  private def trainerCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH wc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY word),
+      |tv AS (SELECT word, freq FROM wc
+      |       ORDER BY freq DESC, word ASC LIMIT $VocabCap),
+      |w0 AS MATERIALIZED (
+      |  SELECT word, freq,
+      |    list_transform(generate_series(1, length(word)),
+      |                   i -> substr(word, i, 1)) AS syms
+      |  FROM tv)""".stripMargin
+    for (t <- 1 to Merges) {
+      val p = s"w${t - 1}"
+      sb ++= s""",
+      |p$t AS (
+      |  SELECT syms[i] AS x, syms[i + 1] AS y,
+      |    CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM (SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+      |        FROM $p WHERE len(syms) >= 2)
+      |  GROUP BY 1, 2 HAVING sum(freq) >= $MinPair),
+      |b$t AS MATERIALIZED (
+      |  SELECT x, y, cnt FROM p$t ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+      |w$t AS MATERIALIZED (
+      |  SELECT w.word, w.freq,
+      |    CASE WHEN b.x IS NULL THEN w.syms
+      |         ELSE list_reduce(
+      |           list_prepend(CAST([] AS VARCHAR[]),
+      |                        list_transform(w.syms, s -> [s])),
+      |           (acc, e) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = b.x
+      |                                 AND e[1] = b.y
+      |                       THEN acc[1:len(acc)-1] || [b.x || b.y]
+      |                       ELSE acc || e END) END AS syms
+      |  FROM $p w LEFT JOIN b$t b ON true)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** l40 oracle: the merge table = each round's argmax row. */
+  private def l40Sql: String = {
+    val union = (1 to Merges).map(t =>
+      s"SELECT CAST($t AS INT) AS merge_rank, x AS lhs, y AS rhs, cnt AS pair_freq FROM b$t")
+      .mkString("\n  UNION ALL ")
+    s"""$trainerCtes
+      |SELECT merge_rank, lhs, rhs, pair_freq FROM (
+      |  $union)
+      |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** l40b oracle: occurrences joined against the final segmentation. */
+  private def l40bSql: String =
+    s"""$trainerCtes,
+      |occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents),
+      |tc AS (
+      |  SELECT o.doc_id,
+      |    CASE WHEN s.word IS NULL THEN CAST(length(o.word) AS BIGINT)
+      |         ELSE CAST(len(s.syms) AS BIGINT) END AS nt
+      |  FROM occ o LEFT JOIN w$Merges s ON s.word = o.word)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |  CAST(sum(nt) AS BIGINT) AS n_bpe
+      |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "l40_bpe_train" -> l40Sql,
+    "l40b_bpe_encode" -> l40bSql
+  )
+}
