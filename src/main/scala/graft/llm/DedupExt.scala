@@ -635,27 +635,13 @@ object DedupExt {
     // BIGINT, with ONE final division for the per-token mean (single
     // IEEE op, order-free, bit-portable). 100 TB: the vocab is a
     // two-phase count agg (map-side partials absorb the Zipf head —
-    // "the" never concentrates on one reducer); the unigram table then
-    // joins back BROADCAST (a 100 TB corpus's distinct-token table is
-    // millions of rows, megabytes), so the scoring pass is map-side —
-    // one corpus scan, one count shuffle, no skew-sensitive join.
-    "l38_surprisal" -> ((s, d) => {
-      val tok = Tables.documents(s, d).select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val total = vocab.agg(sum(col("cnt")).as("total"))
-      tok.join(broadcast(vocab), "token")
-        .join(broadcast(total))
-        .select(col("doc_id"),
-          (length(bin(expr("total div cnt"))) - 1)
-            .cast(LongType).as("sb"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("sb")).as("bits_sum"))
-        .select(col("doc_id"), col("n_toks"), col("bits_sum"),
-          (col("bits_sum").cast(DoubleType) /
-            col("n_toks").cast(DoubleType)).as("avg_bits"))
-        .orderBy(col("doc_id"))
-    }),
+    // "the" never concentrates on one reducer); the unigram table joins
+    // back in two tiers (see l38Scored): the top-L38HeadK tokens
+    // broadcast — bounded BY CONSTRUCTION, so an adversarial web-crawl
+    // vocabulary can never outgrow the driver — and the tail (which by
+    // construction excludes the Zipf head, so it is both small and
+    // skew-free) joins without a hint, letting AQE pick the strategy.
+    "l38_surprisal" -> ((s, d) => l38Scored(s, d)),
 
     // L33 — SUBSTRING-span exact dedup (added r7): the production
     // corpus-dedup move the doc-level family (L1/L2/L10…) cannot make —
@@ -684,6 +670,43 @@ object DedupExt {
     // (re-running on the deduped corpus finds 0 duplicated spans).
     "l33_span_dedup" -> ((s, d) => spanStats(s, d).orderBy(col("doc_id")))
   )
+
+  /** L38 head cap: unigram-table rows broadcast for the map-side scoring
+    * join — the top-L38HeadK tokens by (cnt DESC, token ASC). 64 Ki rows
+    * of (token, count) is single-digit MBs; every shipped sf's whole
+    * vocabulary sits far below it (head = vocab, tail = ∅), which is
+    * exactly why the canonical hash is unchanged by the bound. */
+  val L38HeadK = 1 << 16
+
+  /** The l38 scoring pipeline with the head cap exposed (PlanSpec pins
+    * that a 2-token head — forcing a real shuffle-joined tail at test
+    * scale — produces the identical output). Head and tail occurrences
+    * are disjoint by the anti-join, and head ⊆ vocab carries identical
+    * counts, so the split can re-route rows but never change the
+    * answer (the l31 bloom argument applied to a broadcast bound). */
+  private[graft] def l38Scored(s: SparkSession, d: String,
+                               headK: Int = L38HeadK): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val head = vocab.orderBy(col("cnt").desc, col("token").asc).limit(headK)
+    val scoredHead = tok.join(broadcast(head), "token")
+    val scoredTail = tok
+      .join(broadcast(head.select(col("token"))), Seq("token"), "left_anti")
+      .join(vocab, "token")
+    scoredHead.unionByName(scoredTail)
+      .join(broadcast(total))
+      .select(col("doc_id"),
+        (length(bin(expr("total div cnt"))) - 1)
+          .cast(LongType).as("sb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("sb")).as("bits_sum"))
+      .select(col("doc_id"), col("n_toks"), col("bits_sum"),
+        (col("bits_sum").cast(DoubleType) /
+          col("n_toks").cast(DoubleType)).as("avg_bits"))
+      .orderBy(col("doc_id"))
+  }
 
   /** L33 core, shared with Cluster's L39 corpus-export composition:
     * per-doc span-dedup removal plan (doc_id, n_tok, n_spans,

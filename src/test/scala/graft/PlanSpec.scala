@@ -262,4 +262,22 @@ class PlanSpec extends AnyFunSuite {
       TestSpark.spark, TestSpark.Sf)
     assert(df.count() == 10)
   }
+
+  test("L38: the scoring broadcast is bounded to the df-head, and the " +
+       "head/tail split never changes the answer") {
+    val p = plan("l38_surprisal")
+    // bounded shape: the broadcast relation is capped by a top-K
+    // (TakeOrdered), and the head join is map-side
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected the df-head cap (TakeOrdered) feeding the broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // dial invariance: a 2-token head forces a REAL tail (shuffle-joined,
+    // hint-free) at test scale; the output must be byte-identical
+    val full = SparkEntry.queries("l38_surprisal")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    val tiny = graft.llm.DedupExt.l38Scored(
+      TestSpark.spark, TestSpark.Sf, headK = 2).collect()
+    assert(full.toSeq == tiny.toSeq,
+      "head/tail split changed the l38 output")
+  }
 }
