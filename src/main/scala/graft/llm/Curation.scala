@@ -364,6 +364,54 @@ object Curation {
         .orderBy(col("doc_id"))
     }),
 
+    // L41 — line-level boilerplate stripping (r12): the structural text
+    // cleaner of the jusText/trafilatura family that the document-level
+    // quality family (L15/L18/L32/L38) cannot express — nav bars,
+    // copyright footers and subscribe/tracker lines live INSIDE
+    // otherwise-good documents. The synthetic corpus is single-line, so
+    // the canonical query first INJECTS deterministic boilerplate lines
+    // derived from doc_id arithmetic (the L23/s8b injection pattern —
+    // the oracle replays the injection exactly, making the stripper
+    // provably fire): a pipe-separated nav header (doc_id % 4), a
+    // copyright footer (% 5), a link-bearing subscribe line (% 6).
+    // Line classification is the published jusText-style feature rule,
+    // in EXACT INTEGER form (no float boundary drift): boilerplate iff
+    // a token starts with 'http' (link density), OR '|'-separator
+    // tokens are ≥ 1/5 of the line (sep_cnt·5 ≥ n), OR the line is
+    // short AND nearly stopword-free (stop_cnt·20 < n AND n < 10; stop
+    // list = the L15 corpus top-10, a 10-row broadcast). The whole
+    // strip is ONE higher-order-function projection per document —
+    // lines never explode into rows, nothing shuffles before the final
+    // ORDER BY — so at 100 TB it is a map-side scan like L23.
+    "l41_boilerplate" -> ((s, d) => {
+      val stops = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc).limit(10)
+        .agg(array_sort(collect_list(col("token"))).as("stops"))
+      val t = concat(
+        when(col("doc_id") % 4 === 0,
+          lit(NavLine + "\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\n" + FooterLine)).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          concat(lit("\nclick here to subscribe http://tracker.example.com/?id="),
+            col("doc_id").cast(StringType), lit(" unsubscribe")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("t", t)
+        .crossJoin(broadcast(stops))
+        .withColumn("lines", split(col("t"), "\n"))
+        .withColumn("kept", expr(KeptLinesExpr))
+        .select(col("doc_id"),
+          size(col("lines")).cast(LongType).as("n_lines"),
+          (size(col("lines")) - size(col("kept")))
+            .cast(LongType).as("n_removed"),
+          array_join(col("kept"), "\n").as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // L35 — deterministic epoch shuffle + shard plan: the reproducible
     // training-order operator every pretraining run needs. A seeded
     // portable hash (md5-prefix integer of doc_id:seed — no RNG, no
@@ -431,6 +479,25 @@ object Curation {
   /** L24 window: 50-token chunks every 40 tokens (10-token overlap). */
   private val ChunkSize = 50
   private val ChunkStride = 40
+
+  /** L41 injected boilerplate lines (shared with the oracle SQL and
+    * CurationSpec's removal pin — one source of truth). */
+  private[graft] val NavLine = "home | about | contact | privacy | terms"
+  private[graft] val FooterLine =
+    "copyright 2024 example corp all rights reserved"
+
+  /** L41 line classifier as one HOF projection over the `lines` array
+    * (with the 10-token `stops` array in scope): keep a line unless a
+    * token starts with 'http', or separators dominate (sep·5 ≥ n), or
+    * it is short and stopword-free (stop·20 < n AND n < 10) — all
+    * integer comparisons, no float boundary. */
+  private[graft] val KeptLinesExpr: String =
+    "filter(lines, ln -> NOT (" +
+      "exists(split(ln, ' '), tk -> startswith(tk, 'http')) OR " +
+      "size(filter(split(ln, ' '), tk -> tk = '|')) * 5 >= " +
+      "size(split(ln, ' ')) OR " +
+      "(size(filter(split(ln, ' '), tk -> array_contains(stops, tk))) * 20" +
+      " < size(split(ln, ' ')) AND size(split(ln, ' ')) < 10)))"
 
   private val bucketSql =
     "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100"
@@ -623,6 +690,47 @@ object Curation {
         |SELECT source, n_docs, n_tokens,
         |  CAST(sw AS DOUBLE) / CAST(tot AS DOUBLE) AS weight
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+    // l41 — injection arithmetic, stop-list derivation and the integer
+    // line rule replayed verbatim; the per-line lambda captures the
+    // row's `stops` list (the l38-oracle lambda-capture idiom).
+    "l41_boilerplate" ->
+      s"""WITH tokall AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |stop AS (
+        |  SELECT token FROM tokall GROUP BY token
+        |  ORDER BY count(*) DESC, token ASC LIMIT 10),
+        |st AS (SELECT list_sort(list(token)) AS stops FROM stop),
+        |inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN '$NavLine' || chr(10)
+        |         ELSE '' END ||
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || '$FooterLine'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN chr(10) ||
+        |      'click here to subscribe http://tracker.example.com/?id=' ||
+        |      doc_id || ' unsubscribe' ELSE '' END AS t
+        |  FROM documents),
+        |lw AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS lines, stops
+        |  FROM inj CROSS JOIN st),
+        |kp AS (
+        |  SELECT doc_id, lines,
+        |    list_filter(lines, ln -> NOT (
+        |      len(list_filter(string_split(ln, ' '),
+        |                      tk -> starts_with(tk, 'http'))) > 0 OR
+        |      len(list_filter(string_split(ln, ' '), tk -> tk = '|')) * 5
+        |        >= len(string_split(ln, ' ')) OR
+        |      (len(list_filter(string_split(ln, ' '),
+        |                       tk -> list_contains(stops, tk))) * 20
+        |         < len(string_split(ln, ' '))
+        |       AND len(string_split(ln, ' ')) < 10))) AS kept
+        |  FROM lw)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(lines) - len(kept) AS BIGINT) AS n_removed,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM kp ORDER BY doc_id""".stripMargin,
     "l35_epoch_shards" ->
       """WITH k AS (
         |  SELECT doc_id,

@@ -238,4 +238,49 @@ class CurationSpec extends AnyFunSuite {
         s"shard ${r.getAs[Long]("shard")} positions not contiguous")
     }
   }
+
+  test("L41: every injected boilerplate line is stripped and every " +
+       "clean content line survives") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("l41_boilerplate")(s, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.size == docs.length)
+    docs.foreach { case (id, text) =>
+      val (nLines, nRemoved, clean) = out(id)
+      val injected = Seq(id % 4 == 0, id % 5 == 0, id % 6 == 0).count(identity)
+      assert(nLines == 1 + injected, s"doc $id line count")
+      // no boilerplate marker survives the strip
+      assert(!clean.contains("http") && !clean.contains("|") &&
+             !clean.contains("copyright"), s"doc $id kept boilerplate: $clean")
+      // on this corpus every content line is stopword-dense enough to
+      // survive, so the strip removes EXACTLY the injected lines and
+      // returns the original text — a positive proof both ways
+      assert(nRemoved == injected, s"doc $id removed $nRemoved != $injected")
+      assert(clean == text, s"doc $id content line altered")
+    }
+  }
+
+  test("L41 rule edges: separator fraction and short-stopword-free " +
+       "thresholds are exact-integer") {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    // stops = {the}; lines exercise each rule boundary
+    val lines = Seq(
+      "a | b c d",                  // n=5, sep=1: 1·5 ≥ 5 → removed
+      "a | b c d e f g h i j",      // n=11, sep=1: 5 < 11, not short → kept
+      "x y z q w r s t u",          // n=9 < 10, stop=0 → removed
+      "x y z q w r s t u v",        // n=10 → kept (not short)
+      "the y z q w r s t u",        // n=9, stop=1: 20 ≥ 9 → kept
+      "see http://a.b now")         // link token → removed
+    val df = Seq((lines.mkString("\n"), Seq("the")))
+      .toDF("t", "stops")
+      .withColumn("lines", split(col("t"), "\n"))
+      .withColumn("kept", expr(graft.llm.Curation.KeptLinesExpr))
+    val kept = df.select(col("kept")).collect()(0).getSeq[String](0)
+    assert(kept == Seq(lines(1), lines(3), lines(4)), kept.toString)
+  }
 }
