@@ -34,16 +34,25 @@ package graft
   * `{"small_sec":s,"decades":{"10":{"big_sec":b,"exponent":e},...}}`.
   */
 object ScaleSweep {
-  /** Batch queries — index/codebook training amortized by warm-up. */
+  /** Batch queries — index/codebook training amortized by warm-up.
+    * r12 adds the heavies the r11 verdict named without 30× evidence:
+    * l39 (the composed 4-stage export), l34b (the self-tuning K dial —
+    * autoSplit grows K with the corpus, so the BIG runs measure the
+    * production setting end-to-end, training included in warm-up), and
+    * the new l40 BPE trainer (50 bounded pair-count rounds; per-round
+    * cost is the linear part, round count is corpus-independent). */
   private val BatchQ = Seq(
     "a8_percentile", "j8_asof", "j12_recursive",
     "l10_minhash_lsh", "l10b_minhash_tuned", "l22_dup_clusters",
     "l26_quality_resample", "l33_span_dedup", "l34_semantic_dedup",
-    "l35_epoch_shards", "l3f_ivfpq_topk")
-  /** Streaming queries — timed on fresh child sessions (full replay). */
+    "l34b_semantic_autok", "l35_epoch_shards", "l39_corpus_export",
+    "l40_bpe_train", "l3f_ivfpq_topk", "l3g_ivfadc_topk")
+  /** Streaming queries — timed on fresh child sessions (full replay).
+    * r12 adds s13 (the incremental signature-index refresh — the
+    * per-batch index merge is the part whose scaling matters). */
   private val StreamQ = Seq(
     "s5_interval_join", "s5b_interval_left", "s5c_interval_full",
-    "s11_chained")
+    "s11_chained", "s13_sig_refresh")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
@@ -131,7 +140,10 @@ object ScaleSweep {
     // watchlist unless the subset arg names others — the point of the
     // second decade is confirming the worst exponents hold.
     val watchlist = Set("j8_asof", "j12_recursive", "l10b_minhash_tuned",
-      "l33_span_dedup", "l3f_ivfpq_topk")
+      "l33_span_dedup", "l3f_ivfpq_topk",
+      // r11 verdict task: the heavies needing a SECOND decade —
+      // l22's contraction rounds, l39's composed stages, l34b's dial
+      "l22_dup_clusters", "l39_corpus_export", "l34b_semantic_autok")
     val measured = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, (Double, Double)]]()
     def record(q: String, ratio: Double, sSec: Double, bSec: Double): Unit =
       measured.getOrElseUpdate(q, scala.collection.mutable.Map.empty)

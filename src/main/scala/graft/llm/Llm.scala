@@ -380,6 +380,11 @@ object Llm {
     // production composition of both index axes. See ivfPqTopK.
     "l3f_ivfpq_topk" -> ((s, d) => ivfPqTopK(s, d)),
 
+    // L3g — residual PQ (IVFADC): l3f's layout with the PQ codes spent
+    // on vec − coarse-centroid residuals — same bytes per vector,
+    // strictly finer reconstruction. See ivfAdcTopK.
+    "l3g_ivfadc_topk" -> ((s, d) => ivfAdcTopK(s, d)),
+
     // X1 — scalar Scala UDF (slugify) used in an L-series shape. The
     // oracle reproduces it with portable SQL (lower + regexp_replace).
     "x1_udf" -> ((s, d) =>
@@ -815,9 +820,128 @@ object Llm {
     val key = (d, iters, embedFingerprint(d))
     pqCache.keySet.removeIf(k =>
       k._1 == d && k._2 == iters && k._3 != key._3)
-    pqCache.computeIfAbsent(key, _ => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), qz(col("embedding")).as("q"))
+    pqCache.computeIfAbsent(key, _ =>
+      pqLloyd(Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), qz(col("embedding")).as("q")),
+        iters))
+  }
+
+  /** L3g's residual codebooks — trained PER COARSE CELL (the full
+    * IVFADC refinement): the joint Lloyd trainer keyed (ccell, m, cell)
+    * over the coarse-quantization residuals (vec − nearest l3c
+    * centroid). Per-cell training matters doubly here: (a) the
+    * codebook adapts to each cell's local residual distribution —
+    * strictly finer reconstruction than one shared codebook at the
+    * same stored bytes per vector (still one cell id + M codes);
+    * (b) seeds stripe by vec_id % 10 WITHIN the cell, not by label —
+    * residuals are precisely the variance the label-correlated coarse
+    * structure does not explain, so per-label residual means are all
+    * ≈ 0 and label seeding collapses the trajectory (measured:
+    * recall@5 0.867 vs the 0.933 target). Codebook traffic is
+    * K·M·K_pq centroids — index-sized, corpus-independent. Same
+    * cache/fingerprint contract as trainPqCodebooks. */
+  def trainResidualCodebooks(s: SparkSession, d: String,
+                             iters: Int = PqIters)
+      : Map[(Int, Int, Int), Seq[Long]] = {
+    val key = (d, iters, embedFingerprint(d))
+    pqResCache.keySet.removeIf(k =>
+      k._1 == d && k._2 == iters && k._3 != key._3)
+    pqResCache.computeIfAbsent(key, _ =>
+      pqLloydGrouped(residualVecs(s, d)
+        .select(col("vec_id"), col("ccell"),
+                pmod(col("vec_id"), lit(10)).cast(IntegerType).as("scell"),
+                col("q")), iters))
+  }
+
+  private val pqResCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String), Map[(Int, Int, Int), Seq[Long]]]()
+
+  /** The joint Lloyd trainer keyed (g, m, cell) — the pqLloyd shape
+    * with a grouping column, so every group's subspace codebooks train
+    * in the SAME distributed jobs (one assign + one update per
+    * iteration regardless of |groups|·M). ev: (vec_id, ccell, scell,
+    * q); a vector only ever competes for its own group's cells (the
+    * join is keyed on the group), and a (g, m, cell) that loses all
+    * members keeps its previous centroid, exactly as in pqLloyd. An
+    * empty seed stratum simply never exists as a cell — both engines
+    * agree because both build the cell set from the same non-empty
+    * groupBy. */
+  private def pqLloydGrouped(ev: DataFrame, iters: Int)
+      : Map[(Int, Int, Int), Seq[Long]] = {
+    val s = ev.sparkSession
+    val sub = subVecs(ev.select(col("vec_id"), col("q")))
+      .join(ev.select(col("vec_id"), col("ccell")), "vec_id")
+      .persist()
+    try {
+      def collect(df: DataFrame): Map[(Int, Int, Int), Seq[Long]] =
+        df.groupBy(col("g"), col("m"), col("cell"), col("pos"))
+          .agg(sum(col("col")).as("sv"), count(lit(1)).as("cnt"))
+          .withColumn("cv",
+            floor(col("sv").cast(DoubleType) / col("cnt")).cast(LongType))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+                     r.getLong(6)))
+          .groupBy(t => (t._1, t._2, t._3)).view
+          .mapValues(_.sortBy(_._4).map(_._5).toSeq).toMap
+      var cent: Map[(Int, Int, Int), Seq[Long]] = collect(
+        sub.join(ev.select(col("vec_id"), col("scell")), "vec_id")
+          .select(col("ccell").as("g"), col("m"),
+                  col("scell").as("cell"), posexplode(col("sq"))))
+      for (_ <- 1 to iters) {
+        val cdf = broadcast(grpCentDf(s, cent))
+        val assign = sub
+          .join(cdf, sub("ccell") === cdf("g") && sub("m") === cdf("cm"))
+          .select(col("vec_id"), col("m"),
+            (qdist(col("sq"), col("c")) * 32 + col("cell")).as("ok"))
+          .groupBy(col("vec_id"), col("m")).agg(min(col("ok")).as("mo"))
+          .select(col("vec_id"), col("m"),
+                  (col("mo") % 32).cast(IntegerType).as("cell"))
+        val upd = collect(
+          sub.join(assign, Seq("vec_id", "m"))
+            .select(col("ccell").as("g"), col("m"), col("cell"),
+                    posexplode(col("sq"))))
+        cent = cent.map { case (k, c) => (k, upd.getOrElse(k, c)) }
+      }
+      cent
+    } finally sub.unpersist()
+  }
+
+  private def grpCentDf(s: SparkSession,
+                        cent: Map[(Int, Int, Int), Seq[Long]]): DataFrame = {
+    import s.implicits._
+    cent.toSeq.map { case ((g, m, cell), c) => (g, m, cell, c.toArray) }
+      .toDF("g", "cm", "cell", "c")
+  }
+
+  /** (vec_id, label, q = vec − its single nearest coarse centroid,
+    * ccell): the residual relation of the l3c quantizer — one broadcast
+    * assignment pass (the l34 single-cell argmin), then a map-side
+    * zip_with subtraction. All-integer, oracle-replayable. */
+  private def residualVecs(s: SparkSession, d: String): DataFrame = {
+    val cdf = broadcast(centroidsDf(s, trainCentroids(s, d)))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), qz(col("embedding")).as("q"))
+    val assign = e.join(cdf)
+      .select(col("vec_id"),
+        (qdist(col("q"), col("c")) * 16 + col("cell")).as("ok"))
+      .groupBy(col("vec_id")).agg(min(col("ok")).as("mo"))
+      .select(col("vec_id"),
+              (col("mo") % 16).cast(IntegerType).as("ccell"))
+    e.join(assign, Seq("vec_id"))
+      .join(cdf, col("ccell") === col("cell"))
+      .select(col("vec_id"), col("label"),
+        zip_with(col("q"), col("c"), (x, y) => x - y).as("q"),
+        col("ccell"))
+  }
+
+  /** The joint per-subspace Lloyd trainer over an arbitrary
+    * (vec_id, label, q) relation — shared by the raw-vector (l3e/l3f)
+    * and residual (l3g) codebooks so the training trajectory is
+    * definitionally the same algorithm. */
+  private def pqLloyd(ev: DataFrame, iters: Int)
+      : Map[(Int, Int), Seq[Long]] = {
+      val s = ev.sparkSession
+      val e = ev
       val sub = subVecs(e).persist()
       try {
         def collect(df: DataFrame): Map[(Int, Int), Seq[Long]] =
@@ -850,7 +974,6 @@ object Llm {
         }
         cent
       } finally sub.unpersist()
-    })
   }
 
   private val pqCache = new java.util.concurrent.ConcurrentHashMap[
@@ -980,6 +1103,88 @@ object Llm {
       .groupBy(col("qid"), col("vid")).agg(sum(col("dt")).as("dot"))
       .join(rn.withColumnRenamed("vec_id", "vid"), Seq("vid"))
       .join(qn, Seq("qid"))
+      .select(col("qid"), col("vid"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) *
+           sqrt(col("rn").cast(DoubleType)))).as("adc"))
+    rerankExact(e, pqShortlist(adc), qids, k)
+  }
+
+  /** L3g — residual PQ (the full IVFADC of Jégou et al.; FAISS's
+    * IVFx,PQy with by-residual encoding, its default): l3f stored PQ
+    * codes of the RAW vectors, so the coarse index and the codes spent
+    * their bytes describing the same cell-level structure twice. Here
+    * each vector is coded as (coarse cell, PQ codes of vec − centroid):
+    * the codebooks (trainResidualCodebooks — the joint Lloyd trainer
+    * keyed (ccell, m, cell), i.e. trained PER COARSE CELL on residuals)
+    * only have to cover each cell's own intra-cell variance, so the
+    * SAME bytes per vector (one cell id + M codes) reconstruct more
+    * precisely and recall at equal rerank budget does not regress
+    * (measured: shared residual codebooks LOST a neighbor at the
+    * shortlist boundary on this near-random corpus; per-cell coding
+    * recovered it). Scoring is ADC against the
+    * COMBINED reconstruction v̂ = c_coarse + r̂: the (ccell, m, pcell)
+    * → c_m + r_m table is K·M·K_pq rows, driver-built from the two
+    * trained codebooks and broadcast (index-sized, corpus-independent),
+    * carrying both the per-query dot tables and the reconstructed
+    * norms. Candidates are l3c's probed cells (identical by
+    * construction to l3c/l3d/l3f); the top-PqShort shortlist gets the
+    * exact rerank. All-integer into IEEE division — the generated
+    * oracle replays coarse training, probes, residual computation,
+    * residual-codebook training, coding, the combined ADC and the
+    * rerank end-to-end. LlmSpec pins recall@5 ≥ l3f's on the same
+    * query pool. */
+  def ivfAdcTopK(s: SparkSession, d: String, k: Int = 5,
+                 nprobe: Int = IvfNprobe, rassign: Int = IvfRassign,
+                 qids: Seq[Int] = IvfQids): DataFrame = {
+    import s.implicits._
+    val e = qvecs(s, d)
+    val cand = ivfCandidates(s, d, e, nprobe, rassign, qids)
+    val res = residualVecs(s, d)
+    val rcent = trainResidualCodebooks(s, d)
+    val rcdf = broadcast(grpCentDf(s, rcent))
+    // stored index: (vid, ccell) + argmin residual code per subspace —
+    // each vector only competes for ITS coarse cell's codebook
+    val rsub = subVecs(res.select(col("vec_id"), col("q")))
+      .join(res.select(col("vec_id"), col("ccell")), "vec_id")
+    val codes = rsub
+      .join(rcdf, rsub("ccell") === rcdf("g") && rsub("m") === rcdf("cm"))
+      .select(col("vec_id"), col("m"),
+        (qdist(col("sq"), col("c")) * 32 + col("cell")).as("ok"))
+      .groupBy(col("vec_id"), col("m")).agg(min(col("ok")).as("mo"))
+      .select(col("vec_id").as("vid"), col("m"),
+              (col("mo") % 32).cast(IntegerType).as("pcell"))
+    val asg = res.select(col("vec_id").as("vid"), col("ccell"))
+    // combined reconstruction table (ccell, m, pcell) → c_m + r_m:
+    // driver-built from the two driver-held codebooks
+    val w = 64 / PqM
+    val comb = trainCentroids(s, d).flatMap { case (ccell, c) =>
+      rcent.toSeq.collect { case ((g, m, pcell), rc) if g == ccell =>
+        (ccell, m, pcell,
+         Array.tabulate(w)(i => c(m * w + i) + rc(i)))
+      }
+    }
+    val combDf = broadcast(comb.toDF("ccell", "m", "pcell", "cc"))
+    val n2 = broadcast(combDf.select(col("ccell"), col("m"), col("pcell"),
+      qnorm(col("cc")).as("cn2")))
+    val rn = codes.join(asg, Seq("vid"))
+      .join(n2, Seq("ccell", "m", "pcell"))
+      .groupBy(col("vid")).agg(sum(col("cn2")).as("rn"))
+    // per-query dot tables vs the combined reconstructions (broadcast)
+    val qsubs = subVecs(e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("q")))
+      .select(col("vec_id").as("qid"), col("m"), col("sq"))
+    val dots = broadcast(qsubs.join(combDf, Seq("m"))
+      .select(col("qid"), col("ccell"), col("m"), col("pcell"),
+              qdot(col("sq"), col("cc")).as("dt")))
+    val qn = broadcast(e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("nrm").as("qn")))
+    val adc = cand
+      .join(codes, Seq("vid"))
+      .join(asg, Seq("vid"))
+      .join(dots, Seq("qid", "ccell", "m", "pcell"))
+      .groupBy(col("qid"), col("vid")).agg(sum(col("dt")).as("dot"))
+      .join(rn, Seq("vid")).join(qn, Seq("qid"))
       .select(col("qid"), col("vid"),
         (col("dot").cast(DoubleType) /
           (sqrt(col("qn").cast(DoubleType)) *
@@ -1143,6 +1348,117 @@ object Llm {
       |  JOIN codes ON codes.vec_id = cand.vid
       |  JOIN dots d ON d.qid = cand.qid AND d.m = codes.m AND d.cell = codes.cell
       |  JOIN rn ON rn.vec_id = cand.vid
+      |  JOIN n qn ON qn.vec_id = cand.qid
+      |  GROUP BY cand.qid, cand.vid, qn.nrm, rn.rn),
+      |short AS (
+      |  SELECT qid, vid FROM (
+      |    SELECT qid, vid,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vid ASC) AS srnk
+      |    FROM adc) WHERE srnk <= $PqShort),
+      |scored AS (
+      |  SELECT short.qid, short.vid,
+      |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), i -> qv.q[i] * cv.q[i])) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(qv.nrm AS DOUBLE)) * sqrt(CAST(cv.nrm AS DOUBLE))) AS cos
+      |  FROM short
+      |  JOIN n qv ON qv.vec_id = short.qid
+      |  JOIN n cv ON cv.vec_id = short.vid),
+      |r AS (
+      |  SELECT qid, vid, cos,
+      |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS INT) AS rnk
+      |  FROM scored)
+      |SELECT qid, rnk, vid, cos FROM r WHERE rnk <= $k
+      |ORDER BY qid, rnk""".stripMargin
+    sb.toString
+  }
+
+  /** The l3g oracle: coarse training + candidates (ivfTrainSql +
+    * ivfCandSql — definitionally the same quantizer and probe set as
+    * l3c/l3d/l3f), single-cell assignment, residual computation, the
+    * l3eSql training chain run over RESIDUAL subvectors (r-prefixed),
+    * coding, the combined-reconstruction (c_m + r_m) ADC scan over the
+    * candidates, shortlist and exact rerank. */
+  def l3gSql(k: Int = 5, nprobe: Int = IvfNprobe, rassign: Int = IvfRassign,
+             coarseIters: Int = IvfIters, pqIters: Int = PqIters,
+             qids: Seq[Int] = IvfQids): String = {
+    val w = 64 / PqM
+    def dist(centRel: String, vecRel: String): String =
+      s"CAST(list_sum(list_transform(generate_series(1, $w), " +
+      s"i -> ($vecRel.sq[i] - $centRel.c[i]) * ($vecRel.sq[i] - $centRel.c[i]))) AS BIGINT) " +
+      s"* 32 + $centRel.cell"
+    val cf = s"c$coarseIters"
+    val sb = new StringBuilder
+    sb ++= ivfTrainSql(coarseIters)
+    sb ++= ivfCandSql(cf, nprobe, rassign, qids)
+    sb ++= s"""
+      |fd2 AS (SELECT n.vec_id, $cf.cell, ${ivfDistSql(cf)} AS ok
+      |  FROM n CROSS JOIN $cf),
+      |asg AS MATERIALIZED (SELECT vec_id, CAST(min(ok) % 16 AS INT) AS ccell
+      |  FROM fd2 GROUP BY vec_id),
+      |res AS MATERIALIZED (SELECT n.vec_id, e.label, a.ccell,
+      |    list_transform(generate_series(1, 64), i -> n.q[i] - c.c[i]) AS q
+      |  FROM n JOIN asg a USING (vec_id)
+      |  JOIN $cf c ON c.cell = a.ccell
+      |  JOIN e ON e.vec_id = n.vec_id),
+      |rsub AS MATERIALIZED (
+      |  SELECT vec_id, ccell, m.m, q[m.m * $w + 1 : m.m * $w + $w] AS sq
+      |  FROM res CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) m),
+      |rx0 AS MATERIALIZED (SELECT s.ccell AS g, s.m, CAST(r.vec_id % 10 AS INT) AS cell, unnest(generate_series(1, $w)) AS i, s.sq AS sq
+      |  FROM rsub s JOIN res r ON r.vec_id = s.vec_id),
+      |rs0 AS (SELECT g, m, cell, i,
+      |    CAST(floor(CAST(sum(sq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM rx0 GROUP BY g, m, cell, i),
+      |rc0 AS MATERIALIZED (SELECT g, m, cell, list(cv ORDER BY i) AS c FROM rs0 GROUP BY g, m, cell)""".stripMargin
+    for (t <- 1 to pqIters) {
+      val p = s"rc${t - 1}"
+      sb ++= s""",
+      |rd$t AS MATERIALIZED (SELECT s.vec_id, s.m, p.cell, ${dist("p", "s")} AS ok
+      |  FROM rsub s JOIN $p p ON p.g = s.ccell AND p.m = s.m),
+      |ra$t AS MATERIALIZED (SELECT vec_id, m, min(ok) % 32 AS cell FROM rd$t GROUP BY vec_id, m),
+      |rx$t AS (SELECT s.ccell AS g, s.m, a.cell, unnest(generate_series(1, $w)) AS i, s.sq AS sq
+      |  FROM ra$t a JOIN rsub s ON s.vec_id = a.vec_id AND s.m = a.m),
+      |rs$t AS (SELECT g, m, cell, i,
+      |    CAST(floor(CAST(sum(sq[i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+      |  FROM rx$t GROUP BY g, m, cell, i),
+      |rl$t AS (SELECT g, m, cell, list(cv ORDER BY i) AS cnew FROM rs$t GROUP BY g, m, cell),
+      |rc$t AS MATERIALIZED (SELECT p.g, p.m, p.cell, coalesce(l.cnew, p.c) AS c
+      |  FROM rc${t - 1} p LEFT JOIN rl$t l USING (g, m, cell))""".stripMargin
+    }
+    val rf = s"rc$pqIters"
+    sb ++= s""",
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id AS vid, m, CAST(mo % 32 AS INT) AS pcell
+      |  FROM (SELECT s.vec_id, s.m, min(${dist(rf, "s")}) AS mo
+      |        FROM rsub s JOIN $rf ON $rf.g = s.ccell AND $rf.m = s.m
+      |        GROUP BY s.vec_id, s.m)),
+      |comb AS MATERIALIZED (SELECT cc.cell AS ccell, p.m, p.cell AS pcell,
+      |    list_transform(generate_series(1, $w), i -> cc.c[p.m * $w + i] + p.c[i]) AS cc
+      |  FROM $cf cc JOIN $rf p ON p.g = cc.cell),
+      |n2 AS MATERIALIZED (SELECT ccell, m, pcell,
+      |    CAST(list_sum(list_transform(cc, x -> x * x)) AS BIGINT) AS cn2
+      |  FROM comb),
+      |rn AS MATERIALIZED (SELECT codes.vid, CAST(sum(n2.cn2) AS BIGINT) AS rn
+      |  FROM codes
+      |  JOIN asg a ON a.vec_id = codes.vid
+      |  JOIN n2 ON n2.ccell = a.ccell AND n2.m = codes.m
+      |         AND n2.pcell = codes.pcell
+      |  GROUP BY codes.vid),
+      |osub AS MATERIALIZED (
+      |  SELECT vec_id, m.m, q[m.m * $w + 1 : m.m * $w + $w] AS sq
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, ${PqM - 1})) AS m) m
+      |  WHERE vec_id IN (${qids.mkString(", ")})),
+      |dots AS MATERIALIZED (SELECT o.vec_id AS qid, c.ccell, o.m, c.pcell,
+      |    CAST(list_sum(list_transform(generate_series(1, $w), i -> o.sq[i] * c.cc[i])) AS BIGINT) AS dt
+      |  FROM osub o JOIN comb c ON c.m = o.m),
+      |adc AS MATERIALIZED (
+      |  SELECT cand.qid, cand.vid,
+      |    CAST(CAST(sum(d.dt) AS BIGINT) AS DOUBLE)
+      |      / (sqrt(CAST(qn.nrm AS DOUBLE)) * sqrt(CAST(rn.rn AS DOUBLE))) AS adc
+      |  FROM cand
+      |  JOIN codes ON codes.vid = cand.vid
+      |  JOIN asg a ON a.vec_id = cand.vid
+      |  JOIN dots d ON d.qid = cand.qid AND d.ccell = a.ccell
+      |             AND d.m = codes.m AND d.pcell = codes.pcell
+      |  JOIN rn ON rn.vid = cand.vid
       |  JOIN n qn ON qn.vec_id = cand.qid
       |  GROUP BY cand.qid, cand.vid, qn.nrm, rn.rn),
       |short AS (
@@ -1377,6 +1693,10 @@ object Llm {
     // l3f — the l3c candidate CTEs composed with the l3e PQ pipeline,
     // ADC restricted to the candidate set (see l3fSql)
     "l3f_ivfpq_topk" -> l3fSql(),
+    // l3g — coarse training + candidates + residual-codebook training
+    // + combined-reconstruction ADC + rerank, generated end-to-end
+    // (see l3gSql)
+    "l3g_ivfadc_topk" -> l3gSql(),
 
     "l4_token_stats" ->
       """WITH t AS (

@@ -727,8 +727,117 @@ object Streams {
         .select(col("doc_id"), col("lang"), col("n_toks"), col("n_uniq"),
                 col("ttr"))
       runToMemory(s, gated, "append").orderBy(col("doc_id"))
-    })
+    }),
+
+    // S13 — INCREMENTAL signature-index refresh: S12 closed each batch
+    // against a STATIC index; the production intake loop folds the
+    // signatures of ACCEPTED documents back in, so a batch-N arrival
+    // duplicating a doc accepted in batch M < N is rejected — the
+    // property S12 cannot express. foreachBatch with the SNK4
+    // batch-id-addressed snapshot chain: batch `id` reads sig/v(id−1)
+    // (v_init = the historical index, materialized once before the
+    // stream starts), left-joins arrivals against it, accepts the
+    // min-doc_id arrival per unseen signature, writes the per-batch
+    // decision log to out/b$id and the merged index to sig/v$id — a
+    // replayed batch re-reads the same prev and rewrites the same paths
+    // with the same bytes (restart-safe, exactly-once by idempotence).
+    // The stream itself stays STATELESS (zero state stores — pinned in
+    // StreamingSpec): the evolving state lives in the addressed
+    // snapshots. 100 TB: the index merge is ∝ |index| + |batch| (a
+    // MERGE INTO on a partitioned table in production), the decision
+    // log appends ∝ |batch|, and nothing is held in executor state
+    // across batches. Cross-batch duplicates provably exist via
+    // injection (the L23/s8b pattern, replayed row-for-row by the
+    // oracle): doc_id % 13 == 0 rewrites text to constant A — its
+    // historical carriers (13, 26, …) seed the index and its arriving
+    // carriers (0, 91, …) must reject against v_init; otherwise
+    // doc_id % 21 == 0 rewrites to constant B, which NO historical doc
+    // carries — the first arriving carrier is accepted and every
+    // later batch's copy must reject against the REFRESHED index.
+    "s13_sig_refresh" -> ((s, d) => s13Run(s, d)._1)
   )
+
+  /** Injected signature-collision texts for S13 (≥2 tokens each so the
+    * token-set signature is well-formed; disjoint vocabularies). */
+  private[graft] val SigTextA =
+    "alpha beacon cedar delta ember falcon garnet harbor indigo juniper"
+  private[graft] val SigTextB =
+    "kestrel lumen meadow nectar onyx prairie quartz russet saffron tundra"
+
+  /** S13 body, shared with StreamingSpec's zero-state pin so the stream
+    * under test IS the canonical one. Returns (decision log, query). */
+  private[graft] def s13Run(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val root = upsertRoot(d + "#sigref")
+    Replayer.deleteTree(root)
+    val sigDir = root.resolve("sig")
+    val outDir = root.resolve("out")
+    java.nio.file.Files.createDirectories(sigDir)
+    java.nio.file.Files.createDirectories(outDir)
+    val inject = when(col("doc_id") % 13 === 0, lit(SigTextA))
+      .when(col("doc_id") % 21 === 0, lit(SigTextB))
+      .otherwise(col("text"))
+    val toks = split(col("text"), " ")
+    val sig = sha2(concat_ws(" ", array_sort(array_distinct(toks))), 256)
+    // v_init: min historical doc per signature — the build-once seed
+    // index (the s12/l31 artifact), batch 0's prev snapshot
+    Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+      .withColumn("text", inject)
+      .select(sig.as("sig"), col("doc_id"))
+      .groupBy(col("sig")).agg(min(col("doc_id")).as("canon"))
+      .write.mode("overwrite").parquet(sigDir.resolve("v_init").toString)
+    def refresh(batch: DataFrame, id: Long): Unit = {
+      val prev = sigDir.resolve(if (id == 0) "v_init" else s"v${id - 1}")
+      val store = batch.sparkSession.read.parquet(prev.toString)
+      val arr = batch.filter(col("doc_id") % 7 === 0) // the arriving slice
+        .withColumn("text", inject)
+        .select(col("doc_id"), sig.as("sig"),
+                size(toks).cast(LongType).as("n_toks"))
+        .join(store, Seq("sig"), "left")
+      // within-batch tie-break: min-doc_id arrival per UNSEEN sig wins
+      val firsts = arr.filter(col("canon").isNull)
+        .groupBy(col("sig")).agg(min(col("doc_id")).as("bmin"))
+      val decided = arr.join(firsts, Seq("sig"), "left")
+        .select(col("sig"), col("doc_id"), lit(id).as("batch_id"),
+          when(col("canon").isNotNull, lit("dup"))
+            .when(col("doc_id") === col("bmin"), lit("accepted"))
+            .otherwise(lit("dup")).as("status"),
+          coalesce(col("canon"), col("bmin")).as("canon_doc_id"),
+          col("n_toks"))
+      decided.persist()
+      try {
+        decided.drop("sig").write.mode("overwrite")
+          .parquet(outDir.resolve(s"b$id").toString)
+        store.unionByName(
+            decided.filter(col("status") === "accepted")
+              .select(col("sig"), col("doc_id").as("canon")))
+          .write.mode("overwrite")
+          .parquet(sigDir.resolve(s"v$id").toString)
+      } finally decided.unpersist()
+    }
+    val ckpt = Replayer.checkpoint()
+    val q = try {
+      ConfScope.withConf(s, Map(
+        "spark.sql.shuffle.partitions" -> streamPartitions) ++
+        NoFinalBatch) {
+        val q = Replayer.streamDocs(s, d).writeStream
+          .foreachBatch(refresh _)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(); q
+      }
+    } finally Replayer.dropCheckpoint(ckpt)
+    // enumerate the committed batch dirs explicitly (a glob path makes
+    // the reader's FileStreamSink probe log a scary-looking WARN)
+    val batches = {
+      val l = java.nio.file.Files.list(outDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.toString).toSeq.sorted
+      } finally l.close()
+    }
+    (s.read.parquet(batches: _*).orderBy(col("doc_id")), q)
+  }
 
   /** S11's streaming plan, shared with StreamingSpec's two-state-stores
     * pin so the plan under test IS the canonical one (the spec's
@@ -1140,6 +1249,48 @@ object Streams {
         |  USING (sig)
         |WHERE h.sig IS NULL AND n.n_toks >= 20
         |  AND CAST(n.n_uniq AS DOUBLE) / CAST(n.n_toks AS DOUBLE) >= 0.3
-        |ORDER BY n.doc_id""".stripMargin
+        |ORDER BY n.doc_id""".stripMargin,
+
+    // s13 — the incremental-refresh semantics in closed form: because
+    // the replay's batch assignment is monotone in doc_id (contiguous
+    // ranges, the ensureDocs rule replicated below), "accepted in an
+    // earlier batch" ≡ "min arriving doc_id per unseen signature"; an
+    // implementation that failed to fold accepted signatures back into
+    // the index would accept the later carriers too and break the hash.
+    "s13_sig_refresh" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN '$SigTextA'
+        |         WHEN doc_id % 21 = 0 THEN '$SigTextB'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |sigs AS (
+        |  SELECT doc_id,
+        |    sha256(array_to_string(list_sort(list_distinct(
+        |      string_split(text, ' '))), ' ')) AS sig,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM base),
+        |hist AS (
+        |  SELECT sig, min(doc_id) AS canon FROM sigs
+        |  WHERE doc_id % 7 <> 0 GROUP BY sig),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |arrivals AS (
+        |  SELECT s.doc_id, s.sig, s.n_toks,
+        |    CAST(least(s.doc_id // ((n.n + 4) // 5), 4) AS BIGINT)
+        |      AS batch_id
+        |  FROM sigs s CROSS JOIN nn n WHERE s.doc_id % 7 = 0),
+        |firsts AS (
+        |  SELECT a.sig, min(a.doc_id) AS bmin
+        |  FROM arrivals a LEFT JOIN hist h USING (sig)
+        |  WHERE h.sig IS NULL GROUP BY a.sig)
+        |SELECT a.doc_id, a.batch_id,
+        |  CASE WHEN h.sig IS NOT NULL THEN 'dup'
+        |       WHEN a.doc_id = f.bmin THEN 'accepted'
+        |       ELSE 'dup' END AS status,
+        |  coalesce(h.canon, f.bmin) AS canon_doc_id, a.n_toks
+        |FROM arrivals a
+        |LEFT JOIN hist h USING (sig)
+        |LEFT JOIN firsts f ON f.sig = a.sig
+        |ORDER BY a.doc_id""".stripMargin
   )
 }

@@ -84,6 +84,22 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("L3g: residual-PQ (IVFADC) recall@5 vs exact, and never below " +
+       "l3f's raw-vector PQ at the same sf") {
+    // residual coding spends the same bytes per vector on the variance
+    // the coarse index does NOT explain — at equal rerank budget its
+    // recall must match or beat l3f's raw-vector coding
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = topkPairs("l3_cosine_topk", sf)
+      val rg = recallOf(exact, topkPairs("l3g_ivfadc_topk", sf))
+      val rf = recallOf(exact, topkPairs("l3f_ivfpq_topk", sf))
+      info(f"IVFADC recall@5 at $sf = $rg%.3f (l3f = $rf%.3f)")
+      assert(rg >= 0.85, f"IVFADC recall@5 at $sf: $rg%.3f < 0.85")
+      assert(rg >= rf, f"residual coding LOST recall at $sf: " +
+        f"$rg%.3f < l3f's $rf%.3f")
+    }
+  }
+
   test("L31: the bloom screen prunes the batch and never drops a true dup") {
     val sf = "/root/testdata/sf0.01"
     val (batch, _, cand) = graft.llm.DedupExt.l31Parts(s, sf)

@@ -483,6 +483,43 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.toSeq.sorted} vs batch=${batch.toSeq.sorted}")
   }
 
+  test("S13: cross-batch rejection against the REFRESHED index, and the " +
+       "stream itself is stateless") {
+    val (log, q) = graft.streaming.Streams.s13Run(s, sf)
+    val rows = log.collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("batch_id"), r.getAs[String]("status"),
+         r.getAs[Long]("canon_doc_id"))
+    }.toMap
+    // state lives ONLY in the batch-id-addressed snapshots — the
+    // streaming query itself must open zero state stores
+    assert(q.recentProgress.filter(_.numInputRows > 0)
+      .flatMap(_.stateOperators).isEmpty, "s13 opened a state store")
+    // constant-B carriers (doc_id % 21 == 0, % 13 != 0): no historical
+    // doc holds B, so the FIRST arrival is accepted and every later
+    // carrier must reject against the refreshed (not static) index
+    val bIds = rows.keys.filter(i => i % 21 == 0 && i % 13 != 0).toSeq.sorted
+    assert(bIds.size >= 3, s"expected several B carriers, got $bIds")
+    assert(rows(bIds.head)._2 == "accepted", s"first B: ${rows(bIds.head)}")
+    bIds.tail.foreach { i =>
+      assert(rows(i)._2 == "dup" && rows(i)._3 == bIds.head,
+        s"B carrier $i: ${rows(i)}")
+    }
+    // the property S12 cannot express: a duplicate REJECTED in batch N
+    // whose canonical doc was ACCEPTED in an earlier batch M < N
+    val cross = bIds.tail.filter(i => rows(i)._1 > rows(bIds.head)._1)
+    assert(cross.nonEmpty, "no B carrier landed in a later batch than " +
+      s"the accepted one (batches: ${bIds.map(rows(_)._1)})")
+    // constant-A carriers (doc_id % 13 == 0) reject against v_init: the
+    // historical index seeded by hist docs 13, 26, …
+    val aIds = rows.keys.filter(_ % 13 == 0).toSeq.sorted
+    assert(aIds.nonEmpty)
+    aIds.foreach { i =>
+      assert(rows(i)._2 == "dup" && rows(i)._3 == 13L,
+        s"A carrier $i: ${rows(i)}")
+    }
+  }
+
   test("S9: windowed aggregation rejects append output without watermark") {
     val ckpt = Replayer.checkpoint()
     val err = try intercept[Exception] {
