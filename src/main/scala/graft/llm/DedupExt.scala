@@ -668,8 +668,65 @@ object DedupExt {
     // per-doc rollups shuffle span-hash / doc_id respectively. No
     // all-pairs stage anywhere. LlmSpec also pins the removal invariant
     // (re-running on the deduped corpus finds 0 duplicated spans).
-    "l33_span_dedup" -> ((s, d) => spanStats(s, d).orderBy(col("doc_id")))
+    "l33_span_dedup" -> ((s, d) => spanStats(s, d).orderBy(col("doc_id"))),
+
+    // L42 — paragraph-level keep-first dedup (r12): the unit-dedup pass
+    // every production corpus pipeline (CCNet, Dolma, RefinedWeb) runs
+    // BEFORE document-level dedup — repeated paragraphs (navigation,
+    // legal footers, syndicated blurbs) recur across otherwise-distinct
+    // documents, and removing them at the paragraph unit is far cheaper
+    // than L33's token-level span roll. Distinct from L33: the unit is
+    // a fixed text block (here: 20-token chunks, the synthetic corpus
+    // being single-line), the rule is keep-first (a duplicated
+    // paragraph survives ONLY in the document with the smallest doc_id;
+    // CCNet's drop-all is this rule minus the keeper exemption).
+    // Cross-doc duplicates provably exist via the L41/L23 injection
+    // idiom: a constant nav paragraph prepended at doc_id % 3, a
+    // constant footer appended at doc_id % 7 (the oracle replays both),
+    // on top of any organically duplicated chunks from exact-dup docs.
+    // 100 TB shape: two paragraph-keyed hash shuffles (corpus-wide
+    // count+keeper aggregate; join back) + one doc_id rollup — the
+    // paragraph, not the document, is the shuffle unit, so skew is
+    // bounded by paragraph length; no all-pairs stage. At index scale
+    // the group key becomes the paragraph hash with the text carried
+    // alongside (same plan, narrower compare).
+    "l42_para_dedup" -> ((s, d) => {
+      val paras = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("own", expr(
+          "transform(sequence(0, cast(ceil(size(toks) / 20.0) as int) - 1)," +
+          " j -> array_join(slice(toks, j * 20 + 1, 20), ' '))"))
+        .withColumn("paras", concat(
+          when(col("doc_id") % 3 === 0, array(lit(ParaNav)))
+            .otherwise(expr("cast(array() as array<string>)")),
+          col("own"),
+          when(col("doc_id") % 7 === 0, array(lit(ParaFooter)))
+            .otherwise(expr("cast(array() as array<string>)"))))
+        .select(col("doc_id"), posexplode(col("paras")).as(Seq("pos", "para")))
+      val stats = paras.groupBy(col("para"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+      paras.join(stats, "para")
+        .withColumn("kept",
+          col("cnt") === 1L || col("doc_id") === col("keeper"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_removed"),
+          array_join(
+            expr("transform(array_sort(collect_list(" +
+                 "case when kept then struct(pos, para) end)), x -> x.para)"),
+            "\n").as("clean_text"))
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** L42 injected duplicate paragraphs (deterministic, oracle-replayed):
+    * a nav block at doc_id % 3 == 0 and a footer at % 7 == 0. Token
+    * streams disjoint from the corpus vocabulary so they can never
+    * collide with an organic 20-token chunk. */
+  private[llm] val ParaNav =
+    "home products pricing docs blog careers contact login"
+  private[llm] val ParaFooter =
+    "copyright 2024 example corp all rights reserved terms privacy"
 
   /** L38 head cap: unigram-table rows broadcast for the map-side scoring
     * join — the top-L38HeadK tokens by (cnt DESC, token ASC). 64 Ki rows
@@ -1161,7 +1218,46 @@ object DedupExt {
         |  coalesce(rm33.n_removed_tok, 0) AS n_removed_tok
         |FROM documents
         |LEFT JOIN st USING (doc_id) LEFT JOIN rm33 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // l42 — injection arithmetic, 20-token chunking and the keep-first
+    // rule replayed verbatim; 1-based list slicing mirrors Spark's
+    // slice(toks, j*20+1, 20) (both truncate past the end), and the
+    // list(... ORDER BY pos) aggregate mirrors the engine's
+    // array_sort(collect_list(struct(pos, para))) reassembly.
+    "l42_para_dedup" ->
+      s"""WITH d42 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |own42 AS (
+        |  SELECT doc_id,
+        |    list_transform(
+        |      generate_series(0, CAST(ceil(len(toks) / 20.0) AS INT) - 1),
+        |      j -> array_to_string(toks[j*20+1:j*20+20], ' ')) AS own
+        |  FROM d42),
+        |pl42 AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0 THEN ['$ParaNav']
+        |          ELSE [] END) || own ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ['$ParaFooter']
+        |          ELSE [] END) AS paras
+        |  FROM own42),
+        |p42 AS (
+        |  SELECT doc_id, i - 1 AS pos, paras[i] AS para
+        |  FROM pl42, unnest(generate_series(1, len(paras))) AS g(i)),
+        |st42 AS (
+        |  SELECT para, count(*) AS cnt, min(doc_id) AS keeper
+        |  FROM p42 GROUP BY para),
+        |j42 AS (
+        |  SELECT p.doc_id, p.pos, p.para,
+        |    (s.cnt = 1 OR p.doc_id = s.keeper) AS kept
+        |  FROM p42 p JOIN st42 s USING (para))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(array_to_string(
+        |    list(para ORDER BY pos) FILTER (WHERE kept), chr(10)), '')
+        |    AS clean_text
+        |FROM j42 GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** The L33 rolling-hash span chain ending in `rm33` (per-doc removed

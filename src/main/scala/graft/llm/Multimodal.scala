@@ -65,6 +65,36 @@ object Multimodal {
       }
     }
 
+  /** L8e blockhash kernel: a 64-bit perceptual-style hash over the raw
+    * payload, packed as 4×16-bit bands. Block i (i = position mod 64)
+    * contributes bit i; the bit is set iff the block's mean byte value
+    * is ≥ the payload's global mean, compared in EXACT integer
+    * cross-multiplied form (sum_i · n ≥ total · n_i — no division, no
+    * float boundary) so the DuckDB oracle replays it bit-for-bit.
+    * Empty blocks (payload shorter than 64 bytes) read 0 ≥ 0 → bit
+    * set, deterministically in both engines. Intermediates bounded by
+    * 255·n² < 2^63 for any payload under ~190 MB. */
+  private def blockhashBatch(batch: Iterator[(Long, Array[Byte])])
+      : Iterator[(Long, Long, Long, Long, Long)] =
+    batch.map { case (id, bytes) =>
+      val n = bytes.length.toLong
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var total = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val b = (bytes(i) & 0xff).toLong
+        sums(i % 64) += b; cnts(i % 64) += 1; total += b; i += 1
+      }
+      val h = new Array[Long](4)
+      var k = 0
+      while (k < 64) {
+        if (sums(k) * n >= total * cnts(k)) h(k / 16) |= 1L << (k % 16)
+        k += 1
+      }
+      (id, h(0), h(1), h(2), h(3))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L8b — batched decode over binary envelopes (stub kernel, real
     // plumbing: encode → binary column → mapPartitions batch → typed
@@ -104,8 +134,65 @@ object Multimodal {
         .mapPartitions(frameFeatBatch)
         .toDF("doc_id", "frame", "n_px", "px_sum")
         .orderBy(col("doc_id"), col("frame"))
+    }),
+
+    // L8e — image near-dup via blockhash + banded hamming join (r12):
+    // the standard image-dedup pass of multimodal pipelines (pHash /
+    // blockhash over decoded pixels, hamming-radius pairing). The
+    // "image" is the L8b payload envelope; near-duplicates provably
+    // exist via a derived VARIANT image per doc_id % 5 == 0 (first
+    // byte overwritten — a tiny perturbation, id offset +1,000,000,
+    // replayed by the oracle). The 64-bit hash is computed in the
+    // batched kernel (payload bytes never shuffle — only the 4×16-bit
+    // bands do), then pairs at hamming ≤ 3 come from an exact-match
+    // join on any of the 4 bands: by pigeonhole, ≤ 3 differing bits
+    // can spoil at most 3 of 4 bands, so band-blocking has GUARANTEED
+    // 100% recall at this radius — the LSH economy without the
+    // approximation. 100 TB: candidate volume is governed by band
+    // width (16 bits here; widen bands / add a second hash at larger
+    // corpora), the verify step is integer xor+popcount on 32 bytes
+    // per pair, and no stage touches payload bytes after the scan.
+    "l8e_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val base = docs
+        .select(col("doc_id").as("img_id"),
+          encode(col("text"), "UTF-8").as("bytes"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + VariantIdOffset).as("img_id"),
+            encode(concat(lit("z"), substring(col("text"), 2, 1 << 30)),
+              "UTF-8").as("bytes")))
+      val imgs = base.as[(Long, Array[Byte])]
+        .mapPartitions(blockhashBatch)
+        .toDF("img_id", "h0", "h1", "h2", "h3")
+        .localCheckpoint() // two consumers (band explode + 2-sided verify)
+      val bands = imgs.select(col("img_id"),
+        posexplode(array(col("h0"), col("h1"), col("h2"), col("h3")))
+          .as(Seq("band", "bv")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.img_id") < col("b.img_id"))
+        .select(col("a.img_id").as("va"), col("b.img_id").as("vb"))
+        .distinct()
+      cand
+        .join(imgs.as("x"), col("va") === col("x.img_id"))
+        .join(imgs.as("y"), col("vb") === col("y.img_id"))
+        .select(col("va"), col("vb"),
+          expr("cast(bit_count(x.h0 ^ y.h0) + bit_count(x.h1 ^ y.h1) + " +
+               "bit_count(x.h2 ^ y.h2) + bit_count(x.h3 ^ y.h3) " +
+               "as bigint)").as("hamming"))
+        .filter(col("hamming") <= HammingRadius)
+        .orderBy(col("va"), col("vb"))
     })
   )
+
+  /** L8e dials: variant ids live VariantIdOffset above their source doc
+    * (disjoint from any doc_id at every shipped sf), pairing radius 3
+    * (the 4-band pigeonhole bound: radius ≤ bands − 1 keeps band
+    * blocking exact). */
+  private val VariantIdOffset = 1000000L
+  private val HammingRadius = 3L
 
   val oracle: Map[String, String] = Map(
     // Mirrors the stub kernel's arithmetic on the UTF-8 byte length.
@@ -153,6 +240,59 @@ object Multimodal {
         |  CAST(count(*) AS BIGINT) AS n_px,
         |  CAST(sum(ord(substring(text, i, 1))) AS BIGINT) AS px_sum
         |FROM pos GROUP BY doc_id, frame
-        |ORDER BY doc_id, frame""".stripMargin
+        |ORDER BY doc_id, frame""".stripMargin,
+    // l8e — ASCII corpus: ord(char) == payload byte, so the strided
+    // block sums replay from the text; the all-64-block scaffold makes
+    // empty blocks (payload < 64 bytes) read 0 ≥ 0 → bit set, exactly
+    // the kernel's rule. Band join + xor/bit_count verify mirror the
+    // engine's plan shape one-to-one.
+    "l8e_image_neardup" ->
+      s"""WITH b8e AS (
+        |  SELECT doc_id AS img_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $VariantIdOffset, 'z' || substring(text, 2)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |pos8e AS (
+        |  SELECT img_id, i, ord(substring(text, i, 1)) AS byte
+        |  FROM b8e, unnest(generate_series(1, length(text))) AS g(i)),
+        |blk8e AS (
+        |  SELECT img_id, (i - 1) % 64 AS blk, sum(byte) AS s,
+        |         count(*) AS c
+        |  FROM pos8e GROUP BY img_id, (i - 1) % 64),
+        |tot8e AS (
+        |  SELECT b.img_id, coalesce(sum(p.byte), 0) AS total,
+        |         length(b.text) AS n
+        |  FROM b8e b LEFT JOIN pos8e p USING (img_id)
+        |  GROUP BY b.img_id, length(b.text)),
+        |allb AS (
+        |  SELECT t.img_id, g.blk, coalesce(b.s, 0) AS s,
+        |         coalesce(b.c, 0) AS c, t.total, t.n
+        |  FROM tot8e t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS blk) g
+        |  LEFT JOIN blk8e b ON b.img_id = t.img_id AND b.blk = g.blk),
+        |hv AS (
+        |  SELECT img_id, blk // 16 AS band,
+        |    CAST(sum(CASE WHEN s * n >= total * c
+        |             THEN 1 << (blk % 16) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM allb GROUP BY img_id, blk // 16),
+        |h4 AS (
+        |  SELECT img_id,
+        |    max(CASE WHEN band = 0 THEN bv END) AS h0,
+        |    max(CASE WHEN band = 1 THEN bv END) AS h1,
+        |    max(CASE WHEN band = 2 THEN bv END) AS h2,
+        |    max(CASE WHEN band = 3 THEN bv END) AS h3
+        |  FROM hv GROUP BY img_id),
+        |cand AS (
+        |  SELECT DISTINCT a.img_id AS va, b.img_id AS vb
+        |  FROM hv a JOIN hv b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.img_id < b.img_id),
+        |hm AS (
+        |  SELECT va, vb,
+        |    CAST(bit_count(xor(x.h0, y.h0)) + bit_count(xor(x.h1, y.h1)) +
+        |         bit_count(xor(x.h2, y.h2)) + bit_count(xor(x.h3, y.h3))
+        |         AS BIGINT) AS hamming
+        |  FROM cand JOIN h4 x ON va = x.img_id JOIN h4 y ON vb = y.img_id)
+        |SELECT va, vb, hamming FROM hm WHERE hamming <= $HammingRadius
+        |ORDER BY va, vb""".stripMargin
   )
 }

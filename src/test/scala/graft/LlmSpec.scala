@@ -538,4 +538,58 @@ class LlmSpec extends AnyFunSuite {
     val (_, _, again) = plan(deduped)
     assert(again == 0, s"re-run on deduped corpus still finds $again dup spans")
   }
+
+  test("L42: paragraph dedup is keep-first — injected blocks survive " +
+       "only in doc 0, every survivor is unique or keeper-held") {
+    val s = TestSpark.spark
+    val sf = TestSpark.Sf
+    val Nav = "home products pricing docs blog careers contact login"
+    val Ftr = "copyright 2024 example corp all rights reserved terms privacy"
+    val out = SparkEntry.queries("l42_para_dedup")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+
+    // accounting: n_paras = own 20-token chunks + injections; removal
+    // count consistent with the surviving paragraph list
+    val texts = graft.core.Tables.documents(s, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, nP, nRm, clean) =>
+      val own = math.ceil(texts(id).split(" ").length / 20.0).toLong
+      val exp = own + (if (id % 3 == 0) 1 else 0) + (if (id % 7 == 0) 1 else 0)
+      assert(nP == exp, s"doc $id n_paras $nP vs $exp")
+      val kept = if (clean.isEmpty) 0L else clean.split("\n", -1).length.toLong
+      assert(nP - nRm == kept, s"doc $id: $nP - $nRm != $kept surviving")
+    }
+
+    // keep-first on the injected blocks: doc 0 (min holder of both)
+    // keeps them; every other injected holder loses them
+    val cleanOf = out.map(t => t._1 -> t._4).toMap
+    assert(cleanOf(0L).contains(Nav) && cleanOf(0L).contains(Ftr))
+    out.filter(t => t._1 != 0L).foreach { case (id, _, _, clean) =>
+      if (id % 3 == 0) assert(!clean.contains(Nav), s"doc $id kept nav")
+      if (id % 7 == 0) assert(!clean.contains(Ftr), s"doc $id kept footer")
+    }
+
+    // global invariant: a surviving paragraph is either corpus-unique
+    // or held by the min doc_id that produced it
+    val paras = out.flatMap { case (id, _, _, clean) =>
+      if (clean.isEmpty) Seq.empty
+      else clean.split("\n", -1).toSeq.map(p => (id, p))
+    }
+    val all = texts.toSeq.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val own = (0 until math.ceil(toks.length / 20.0).toInt)
+        .map(j => toks.slice(j * 20, j * 20 + 20).mkString(" "))
+      ((if (id % 3 == 0) Seq(Nav) else Seq.empty) ++ own ++
+       (if (id % 7 == 0) Seq(Ftr) else Seq.empty)).map(p => (id, p))
+    }
+    val cnt = all.groupBy(_._2).view.mapValues(_.size).toMap
+    val keeper = all.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    paras.foreach { case (id, p) =>
+      assert(cnt(p) == 1 || keeper(p) == id,
+        s"doc $id survives duplicated paragraph held by ${keeper(p)}")
+    }
+    assert(out.map(_._3).sum > 0, "no paragraph removed — test vacuous")
+  }
 }
