@@ -46,7 +46,14 @@ object ScaleSweep {
     "l10_minhash_lsh", "l10b_minhash_tuned", "l22_dup_clusters",
     "l26_quality_resample", "l33_span_dedup", "l34_semantic_dedup",
     "l34b_semantic_autok", "l35_epoch_shards", "l39_corpus_export",
-    "l40_bpe_train", "l3f_ivfpq_topk", "l3g_ivfadc_topk")
+    "l40_bpe_train", "l3f_ivfpq_topk", "l3g_ivfadc_topk",
+    // r12 late additions (measured via a subset run with carry-over):
+    // l42's paragraph shuffles, l43's bigram-vocab joins, l44's
+    // sketch-screened confirm, l8e's banded candidate join — l8e is
+    // the one whose candidate volume COULD grow superlinearly (band
+    // collisions), hence also on the watchlist below.
+    "l42_para_dedup", "l43_bigram_surprisal", "l44_heavy_hitters",
+    "l8e_image_neardup")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */
@@ -143,7 +150,9 @@ object ScaleSweep {
       "l33_span_dedup", "l3f_ivfpq_topk",
       // r11 verdict task: the heavies needing a SECOND decade —
       // l22's contraction rounds, l39's composed stages, l34b's dial
-      "l22_dup_clusters", "l39_corpus_export", "l34b_semantic_autok")
+      "l22_dup_clusters", "l39_corpus_export", "l34b_semantic_autok",
+      // r12: banded-hamming candidate volume is the one new unknown
+      "l8e_image_neardup")
     val measured = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, (Double, Double)]]()
     def record(q: String, ratio: Double, sSec: Double, bSec: Double): Unit =
       measured.getOrElseUpdate(q, scala.collection.mutable.Map.empty)

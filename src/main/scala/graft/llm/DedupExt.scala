@@ -690,6 +690,74 @@ object DedupExt {
     // bounded by paragraph length; no all-pairs stage. At index scale
     // the group key becomes the paragraph hash with the text carried
     // alongside (same plan, narrower compare).
+    // L43 — bigram-LM surprisal (r12): the conditional-probability
+    // upgrade of L38's unigram model — the signal class CCNet's KenLM
+    // filter actually uses (a doc of individually-common tokens in
+    // implausible ORDER scores high here, invisible to L38). Per
+    // bigram position: bits = floor(log2(cntL(lhs) / cnt2(lhs, rhs)))
+    // where cnt2 = corpus bigram count and cntL(a) = Σ_b cnt2(a, b)
+    // (a's count as a bigram LEFT, so the ratio is ≥ 1 and the integer
+    // floor-log2 = length(bin(cntL div cnt2)) − 1 is exact in both
+    // engines — the L38 idiom). ONE final IEEE division for the mean.
+    // 100 TB: bigram vocab via 2-phase count agg; cntL derived from
+    // the VOCAB (not a second corpus scan); scoring joins are
+    // hint-free (AQE picks broadcast when the vocab head fits, shuffle
+    // when an adversarial vocab doesn't — the bounded-broadcast L38
+    // fix applies identically if the head is worth pinning).
+    "l43_bigram_surprisal" -> ((s, d) => {
+      val bg = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) as lhs, " +
+          "element_at(toks, i + 1) as rhs))")).as("b"))
+        .select(col("doc_id"), col("b.lhs"), col("b.rhs"))
+      val c2 = bg.groupBy(col("lhs"), col("rhs"))
+        .agg(count(lit(1)).as("c2"))
+      val cl = c2.groupBy(col("lhs")).agg(sum(col("c2")).as("cl"))
+      bg.join(c2, Seq("lhs", "rhs")).join(cl, Seq("lhs"))
+        .select(col("doc_id"),
+          (length(bin(expr("cl div c2"))) - 1).cast(LongType).as("sb"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("sb")).as("bits2_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("bits2_sum"),
+          (col("bits2_sum").cast(DoubleType) /
+            col("n_bigrams").cast(DoubleType)).as("avg_bits2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // L44 — heavy-hitter tokens via count-min-sketch screen + exact
+    // confirm (r12): corpus-frequency heavy hitters (the vocabulary
+    // head every tokenizer/stopword/quality stage consults) WITHOUT a
+    // full-vocabulary shuffle. A CMS built through the public
+    // DataFrameStatFunctions API is broadcast and answers "might be ≥
+    // threshold" MAP-SIDE; only the candidate tokens (true heavies +
+    // the CMS overestimate tail) reach the exact groupBy that confirms
+    // the count. CMS never UNDERestimates, so candidates ⊇ the true
+    // heavy set and the exact confirm trims the rest — the output
+    // EXACTLY equals the naive full-vocab plan (the L31 bloom
+    // argument: the sketch decides which rows pay the shuffle, never
+    // the answer) — which is what makes an approximate sketch fully
+    // oracle-hashable. Threshold: count ≥ total div 100 (the 1% head).
+    // 100 TB: the sketch is a fixed-size mergeable aggregate (KBs at
+    // eps 1e-3); the exact-confirm shuffle carries ~the head + the
+    // eps·total overestimate band instead of the full Zipf tail.
+    "l44_heavy_hitters" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+      val total = tok.count()
+      val thresh = total / 100L
+      val cms = tok.stat.countMinSketch(
+        "token", eps = 0.001, confidence = 0.99, seed = 42)
+      val bc = s.sparkContext.broadcast(cms)
+      val mightBeHeavy = udf((t: String) => bc.value.estimateCount(t) >= thresh)
+      tok.filter(mightBeHeavy(col("token")))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= thresh)
+        .orderBy(col("cnt").desc, col("token").asc)
+    }),
+
     "l42_para_dedup" -> ((s, d) => {
       val paras = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
@@ -1219,6 +1287,41 @@ object DedupExt {
         |FROM documents
         |LEFT JOIN st USING (doc_id) LEFT JOIN rm33 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // l43 — bigram counts, left-marginal and the integer floor-log2
+    // replayed verbatim (the l38 bin-length idiom on the conditional
+    // ratio); 1-based list indexing mirrors element_at.
+    "l43_bigram_surprisal" ->
+      """WITH t43 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg43 AS (
+        |  SELECT doc_id, toks[i] AS lhs, toks[i + 1] AS rhs
+        |  FROM t43, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |  WHERE len(toks) >= 2),
+        |c243 AS (
+        |  SELECT lhs, rhs, count(*) AS c2 FROM bg43 GROUP BY lhs, rhs),
+        |cl43 AS (
+        |  SELECT lhs, CAST(sum(c2) AS BIGINT) AS cl
+        |  FROM c243 GROUP BY lhs),
+        |sc43 AS (
+        |  SELECT doc_id, length(bin(cl // c2)) - 1 AS b
+        |  FROM bg43 JOIN c243 USING (lhs, rhs) JOIN cl43 USING (lhs))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(b) AS BIGINT) AS bits2_sum,
+        |  CAST(sum(b) AS DOUBLE) / count(*) AS avg_bits2
+        |FROM sc43 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // l44 — the oracle is the NAIVE full-vocab plan: the CMS screen can
+    // re-route rows but never change the answer (no false negatives),
+    // so the hash check IS the proof the sketch path lost nothing.
+    "l44_heavy_hitters" ->
+      """WITH tok44 AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot44 AS (SELECT count(*) // 100 AS th FROM tok44)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM tok44 CROSS JOIN tot44
+        |GROUP BY token, th HAVING count(*) >= th
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
 
     // l42 — injection arithmetic, 20-token chunking and the keep-first
     // rule replayed verbatim; 1-based list slicing mirrors Spark's

@@ -592,4 +592,49 @@ class LlmSpec extends AnyFunSuite {
     }
     assert(out.map(_._3).sum > 0, "no paragraph removed — test vacuous")
   }
+
+  test("L43: bigram surprisal equals an in-memory conditional-LM " +
+       "reference (integer floor-log2 of cntL/cnt2)") {
+    val s = TestSpark.spark
+    val texts = graft.core.Tables.documents(s, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bigrams = texts.flatMap { case (id, t) =>
+      val toks = t.split(" ")
+      toks.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1))))
+    }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cl = c2.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    def bits(q: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(q)
+    val ref = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val sb = bs.map { case (_, b) => bits(cl(b._1) / c2(b)) }.sum
+      id -> ((bs.length.toLong, sb))
+    }
+    val out = SparkEntry.queries("l43_bigram_surprisal")(s, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+    assert(out.length == ref.size)
+    out.foreach { case (id, (n, sb)) =>
+      assert(ref(id) == ((n, sb)), s"doc $id: engine ($n, $sb) vs ${ref(id)}")
+    }
+    assert(out.map(_._2._2).sum > 0, "zero total bits — test vacuous")
+  }
+
+  test("L44: the CMS-screened heavy-hitter plan equals the naive " +
+       "full-vocabulary count (sketch prunes rows, never the answer)") {
+    val s = TestSpark.spark
+    val toks = graft.core.Tables.documents(s, TestSpark.Sf)
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+    val thresh = toks.length.toLong / 100L
+    assert(thresh >= 1, "corpus too small for a 1% threshold")
+    val naive = toks.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= thresh).toMap
+    val out = SparkEntry.queries("l44_heavy_hitters")(s, TestSpark.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toMap == naive,
+      s"engine ${out.length} heavies vs naive ${naive.size}")
+    // ordering contract: cnt DESC, token ASC
+    assert(out.sortBy { case (t, c) => (-c, t) }.toSeq == out.toSeq)
+    assert(naive.nonEmpty, "no heavy hitters — test vacuous")
+  }
 }
