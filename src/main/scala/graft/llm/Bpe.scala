@@ -102,6 +102,14 @@ object Bpe {
     cache.computeIfAbsent(key, _ => trainUncached(s, d))
   }
 
+  /** Cache-bypassing trainer, exposed ONLY for ScaleSweep's
+    * `l40_bpe_train_fresh` row: the cached l40 row measures the
+    * model-read path (training is a build-once artifact by the
+    * centCache contract); this measures the 50 training rounds
+    * themselves, which is the part whose corpus scaling matters. */
+  private[graft] def trainFresh(s: SparkSession, d: String): Model =
+    trainUncached(s, d)
+
   /** One greedy left-to-right application of merge (x, y) to a symbol
     * array, as a Catalyst `aggregate` fold (no UDF): the accumulator is
     * the output array; a symbol equal to y whose predecessor in the

@@ -757,15 +757,57 @@ object Llm {
   def semanticDedup(s: SparkSession, d: String,
                     split: Int = 1): DataFrame = {
     val enc = 16 * split
-    val cdf = broadcast(centroidsDf(s,
-      trainCentroidsK(s, d, IvfIters, split)))
-    val m0 = augmentedVecs(s, d)
-    val assign = m0.join(cdf)
-      .select(col("vec_id"),
-        (qdist(col("q"), col("c")) * enc + col("cell")).as("ok"))
-      .groupBy(col("vec_id")).agg(min(col("ok")).as("mo"))
-      .select(col("vec_id"), (col("mo") % enc).cast(IntegerType).as("cell"))
-    val m = m0.join(assign, Seq("vec_id"))
+    val cent = trainCentroidsK(s, d, IvfIters, split)
+    // Assignment is a MAP-SIDE batched kernel over broadcast centroids
+    // (r12, the L8b idiom): the previous shape — cross join against a
+    // broadcast centroid DF + groupBy(vec_id).min — computed the
+    // identical min(qdist·enc + cell) but materialized an n·K-row
+    // relation to do it, which the 30× sweep measured as the dominant
+    // cost of the auto-K dial (146 s; n·K grows quadratically when K
+    // tracks the corpus). A Catalyst HOF argmin-fold was measured 2.4×
+    // WORSE than that (interpreted nested-lambda overhead per
+    // compare); the tight integer loop below does the same
+    // min(Σ(x−y)²·enc + cell) per row at nanoseconds per
+    // multiply-add, with index-sized broadcast state (K·64 longs) and
+    // zero n·K materialization anywhere. Same arithmetic, same
+    // tie-break (cell id in the low digits), so the split=1 oracle
+    // hash is unchanged by construction. The repartition exists
+    // because the kernel's parallelism is otherwise the SCAN's — a
+    // few-MB embeddings parquet reads as ONE partition, single-coring
+    // the compares; an n-row shuffle is the price that deletes the
+    // n·K one. At index scales past a flat broadcast (K ~ 10^5+) the
+    // kernel walks a two-level coarse/fine centroid tree — same
+    // shape, n·O(√K) compares.
+    val bcCent = s.sparkContext.broadcast(
+      cent.map { case (c, v) => (c, v.toArray) }.toArray)
+    val encL = enc.toLong
+    val m = {
+      import s.implicits._
+      augmentedVecs(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("q"), col("nrm"))
+        .as[(Long, Array[Long], Long)]
+        .mapPartitions { it =>
+          val cs = bcCent.value
+          it.map { case (id, q, nrm) =>
+            var best = Long.MaxValue
+            var ci = 0
+            while (ci < cs.length) {
+              val c = cs(ci)._2
+              var s2 = 0L
+              var i = 0
+              while (i < c.length) {
+                val dd = q(i) - c(i); s2 += dd * dd; i += 1
+              }
+              val v = s2 * encL + cs(ci)._1
+              if (v < best) best = v
+              ci += 1
+            }
+            (id, q, nrm, (best % encL).toInt)
+          }
+        }
+        .toDF("vec_id", "q", "nrm", "cell")
+    }
     val a = m.select(col("cell"), col("vec_id").as("a_id"),
                      col("q").as("aq"), col("nrm").as("an"))
     val b = m.select(col("cell"), col("vec_id").as("b_id"),

@@ -280,4 +280,26 @@ class PlanSpec extends AnyFunSuite {
     assert(full.toSeq == tiny.toSeq,
       "head/tail split changed the l38 output")
   }
+
+  test("L44: the CMS screen filters MAP-SIDE — the sketch UDF sits " +
+       "below the exchange that feeds the exact confirm") {
+    val p = plan("l44_heavy_hitters")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"expected partial+final confirm aggregate:\n$p")
+    val udfAt = p.indexOf("UDF")
+    val exAt = p.lastIndexOf("Exchange")
+    assert(udfAt >= 0, s"CMS screen UDF missing from the plan:\n$p")
+    assert(exAt >= 0 && udfAt > exAt,
+      s"the sketch filter must sit BELOW (deeper than) the last " +
+      s"exchange — rows it rejects must never pay the shuffle:\n$p")
+  }
+
+  test("L42: paragraph dedup is aggregate-shaped — no window, no " +
+       "cartesian product, reassembly via ObjectHashAggregate") {
+    val p = plan("l42_para_dedup")
+    assert(!p.contains("Window"), s"skew-unsafe window in l42:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected collect_list reassembly as ObjectHashAggregate:\n$p")
+  }
 }
