@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
-import graft.llm.{Bpe, Cluster, Curation, DedupExt, Llm, Multimodal}
+import graft.llm.{Bpe, Cluster, Curation, DedupExt, Llm, Multimodal, Retrieval}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,11 +25,13 @@ object SparkEntry {
     (SortsSetOps.queries, SortsSetOps.oracle),
     (Functions.queries, Functions.oracle),
     (SourcesSinks.queries, SourcesSinks.oracle),
+    (Graph.queries, Graph.oracle),
     (Llm.queries, Llm.oracle),
     (DedupExt.queries, DedupExt.oracle),
     (Curation.queries, Curation.oracle),
     (Cluster.queries, Cluster.oracle),
     (Bpe.queries, Bpe.oracle),
+    (Retrieval.queries, Retrieval.oracle),
     (Multimodal.queries, Multimodal.oracle),
     (Streams.queries, Streams.oracle)
   )

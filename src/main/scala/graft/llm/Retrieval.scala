@@ -1,0 +1,146 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** SURVEY.md §2.10 — L45: sparse lexical retrieval (BM25 top-k).
+  *
+  * The retrieval baseline every curation pipeline runs beside the dense
+  * ANN family (l3*): given a query term set, rank documents by BM25
+  * (Robertson et al.; the Okapi formulation with k1 = 1.2, b = 0.75).
+  * Used in production corpus work for eval-set decontamination at the
+  * passage level, near-match mining, and hard-negative generation for
+  * embedding training.
+  *
+  * Float determinism (the repo's exact-integer contract): BM25's real
+  * arithmetic is rationalized into TWO integer fixed-point divisions
+  * per (term, doc) and exact BIGINT sums. The idf keeps BM25's
+  * argument but drops the ln — the l5/l5b precedent (libm ln is not
+  * bit-portable; the rational is monotone in df, which is all ranking
+  * needs; a whole-bit floor-log2 idf collapses to 0 on this corpus's
+  * shared vocabulary):
+  *
+  *   idf_fp = ((2·nd − 2·df + 1) · 1e6) div (2·df + 1)
+  *            // = round-free fixed point of (nd − df + ½)/(df + ½)
+  *
+  * The tf saturation term, with k1 = 6/5, b = 3/4, multiplied through
+  * by 10·totdl (avgdl = totdl/nd) and scaled ×1e3:
+  *
+  *   tfp_fp = (tf · 22000 · totdl)
+  *            div (10·totdl·tf + 3·totdl + 9·dl·nd)   // ≤ 2200
+  *
+  *   contrib = idf_fp · tfp_fp,   score = Σ_terms contrib
+  *
+  * Integer division is exact in every engine, so scores hash
+  * identically in Spark and DuckDB. Overflow headroom: idf_fp ≤
+  * 2·nd·1e6 and tfp_fp ≤ 2200, so contrib stays int64-safe up to
+  * nd ≈ 2e9 docs; tfp's numerator tf·22000·totdl caps at totdl ≈
+  * 4e12 tokens — past either, the dial is DECIMAL(38,0), nothing
+  * else changes.
+  *
+  * Query set (deterministic, oracle-replayed): every doc with
+  * doc_id % 17 == 0 contributes its first 4 DISTINCT tokens as one
+  * query (qid = doc_id).
+  *
+  * 100 TB shape: tf/dl/df are 2-phase aggregations over the corpus; the
+  * query-term table is corpus-fraction-sized and BROADCAST onto tf, so
+  * only rows for query terms ever reach the df/dl joins (df join keyed
+  * on the surviving terms; dl join hint-free on doc_id under AQE); the
+  * per-query top-5 is one shuffle keyed by qid over candidate docs
+  * (docs sharing ≥1 query term), never the full corpus.
+  */
+object Retrieval {
+
+  /** Fixed-point scale for BM25 contributions (1e6 ≈ 6 decimal digits
+    * of score resolution — ties broken by doc_id are the contract). */
+  val Scale = 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l45_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // corpus scalars: one row, broadcast by construction
+      val stats = dl.agg(sum(col("dl")).as("totdl"),
+        count(lit(1)).as("nd"))
+      val qterms = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 4)).as("token"))
+        .distinct()
+      val scored = tf.join(broadcast(qterms), "token")
+        .join(df, "token")
+        .join(dl, "doc_id")
+        .join(broadcast(stats))
+        .select(col("qid"), col("doc_id"),
+          expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)")
+            .as("idf_fp"),
+          expr("(tf * 22000 * totdl) div " +
+            "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)").as("tfp_fp"))
+        .select(col("qid"), col("doc_id"),
+          (col("idf_fp") * col("tfp_fp")).as("contrib"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy(col("qid"), col("rnk"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Replays the exact-integer fixed-point BM25 verbatim: DuckDB //
+    // is the same floor division, bin-length the same floor-log2.
+    "l45_bm25_topk" ->
+      """WITH tok45 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf45 AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok45 GROUP BY doc_id, token),
+        |dl45 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM tok45 GROUP BY doc_id),
+        |df45 AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf45 GROUP BY token),
+        |st45 AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS totdl,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM dl45),
+        |q45 AS (
+        |  SELECT DISTINCT doc_id AS qid, unnest(toks[1:4]) AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id % 17 = 0)),
+        |sc45 AS (
+        |  SELECT q.qid, t.doc_id,
+        |    (((2 * s.nd - 2 * f.df + 1) * 1000000) // (2 * f.df + 1))
+        |    * ((t.tf * 22000 * s.totdl)
+        |       // (10 * s.totdl * t.tf + 3 * s.totdl + 9 * l.dl * s.nd))
+        |      AS contrib
+        |  FROM tf45 t
+        |  JOIN q45 q USING (token)
+        |  JOIN df45 f USING (token)
+        |  JOIN dl45 l ON t.doc_id = l.doc_id
+        |  CROSS JOIN st45 s),
+        |agg45 AS (
+        |  SELECT qid, doc_id, CAST(sum(contrib) AS BIGINT) AS score
+        |  FROM sc45 GROUP BY qid, doc_id),
+        |rk45 AS (
+        |  SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY score DESC, doc_id ASC) AS rnk
+        |  FROM agg45)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, score
+        |FROM rk45 WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  )
+}

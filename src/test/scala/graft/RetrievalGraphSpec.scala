@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** L45 BM25 retrieval + G1 PageRank: pin the distributed engines
+  * against independent in-memory references on the same exact-integer
+  * arithmetic, plus the ordering/mass contracts a wrong shuffle or a
+  * lost message round would break. */
+class RetrievalGraphSpec extends AnyFunSuite {
+
+  test("L45: BM25 top-5 equals an in-memory exact-integer reference") {
+    val s = TestSpark.spark
+    val texts = graft.core.Tables.documents(s, TestSpark.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val tf: Map[(Long, String), Long] = texts.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t) -> o.length.toLong }
+    }.toMap
+    val dl: Map[Long, Long] = texts.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val df: Map[String, Long] = tf.keys.toSeq.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val totdl = dl.values.sum
+    val nd = dl.size.toLong
+    val ref = texts.filter(_._1 % 17 == 0).flatMap { case (qid, ts) =>
+      val terms = ts.take(4).toSet
+      val scores = texts.map(_._1).flatMap { did =>
+        val sc = terms.toSeq.flatMap { t =>
+          tf.get((did, t)).map { f =>
+            val idfFp = (2L * nd - 2L * df(t) + 1L) *
+              graft.llm.Retrieval.Scale / (2L * df(t) + 1L)
+            val tfpFp = (f * 22000L * totdl) /
+              (10L * totdl * f + 3L * totdl + 9L * dl(did) * nd)
+            idfFp * tfpFp
+          }
+        }.sum
+        if (sc > 0 || terms.exists(t => tf.contains((did, t))))
+          Some(did -> sc) else None
+      }
+      scores.sortBy { case (did, sc) => (-sc, did) }.take(5).zipWithIndex
+        .map { case ((did, sc), i) => (qid, i + 1, did, sc) }
+    }.sortBy(r => (r._1, r._2))
+    val out = SparkEntry.queries("l45_bm25_topk")(s, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(out == ref.toSeq, s"engine ${out.take(3)}… vs ref ${ref.take(3)}…")
+    assert(out.nonEmpty && out.forall(_._4 > 0), "vacuous: no positive scores")
+    // rank contract: contiguous 1..k per query, k ≤ 5. (Self-retrieval
+    // is deliberately NOT asserted: on this synthetic shared-vocabulary
+    // corpus tf saturation legitimately lets a shorter doc outrank the
+    // query's own source — the reference equality above already pins
+    // the full ranking.)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted == (1 to rows.length), s"ranks not contiguous for $qid")
+    }
+  }
+
+  test("G1: PageRank top-20 equals an in-memory exact-integer Pregel " +
+       "reference, and total mass never exceeds Scale") {
+    val s = TestSpark.spark
+    import graft.queries.Graph.{Rounds, Scale}
+    val pairs = graft.core.Tables.orders(s, TestSpark.Sf)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(s, TestSpark.Sf)
+        .select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val edges = pairs.flatMap { case (c, p) => Seq(c -> p, p -> c) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nv = deg.size.toLong
+    val tele = 15L * Scale / (100L * nv)
+    var pr: Map[Long, Long] = deg.keys.map(_ -> Scale / nv).toMap
+    for (_ <- 1 to Rounds) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => pr(src) / deg(src) }.sum).toMap
+      pr = in.map { case (v, sm) => v -> (tele + 85L * sm / 100L) }
+    }
+    val refTop = pr.toSeq.sortBy { case (nid, p) => (-p, nid) }.take(20)
+    val out = SparkEntry.queries("g1_pagerank")(s, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq.map(r => (r._1, r._4)) == refTop,
+      s"engine ${out.take(3).toSeq} vs ref ${refTop.take(3)}")
+    // node decode contract
+    out.foreach { case (nid, kind, key, _) =>
+      assert(kind == (if (nid % 2 == 0) "customer" else "supplier"))
+      assert(key == nid / 2)
+    }
+    // floor division only ever LOSES mass: Σ pr ≤ Scale, and stays
+    // within 1% of it (nothing structural drained — no dangling nodes)
+    val mass = pr.values.sum
+    assert(mass <= Scale, s"mass $mass exceeds scale")
+    assert(mass > Scale - Scale / 100, s"mass $mass drained > 1%")
+  }
+}
