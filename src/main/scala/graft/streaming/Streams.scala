@@ -754,7 +754,32 @@ object Streams {
     // doc_id % 21 == 0 rewrites to constant B, which NO historical doc
     // carries — the first arriving carrier is accepted and every
     // later batch's copy must reject against the REFRESHED index.
-    "s13_sig_refresh" -> ((s, d) => s13Run(s, d)._1)
+    "s13_sig_refresh" -> ((s, d) => s13Run(s, d)._1),
+
+    // S14 — CEP ABSENCE pattern (Flink-CEP `notFollowedBy`): a purchase
+    // is an "impulse" conversion when the user's latest in-window view
+    // v* precedes it with NO click in [v*, purchase]. The S8 family
+    // tests existence (monotone across batches); absence needs the full
+    // intervening history, held as the same bounded trailing-window
+    // per-user state on transformWithState + RocksDB (see
+    // AbsenceProcessor). Natural positives at every shipped sf (3 at
+    // sf0.001, 40 at sf0.01) — no injection needed. 100 TB: one
+    // user_id shuffle, state = two timestamp lists per user bounded by
+    // rate × window — the funnel's exact budget.
+    "s14_absence" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val impulses = ev.groupByKey(_.user_id)
+        .transformWithState(new AbsenceProcessor(), TimeMode.None(),
+          OutputMode.Append())
+      runToMemory(s, impulses.toDF("user_id", "purchase_id"), "append",
+                  RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("purchase_id"))
+    })
   )
 
   /** Injected signature-collision texts for S13 (≥2 tokens each so the
@@ -1291,6 +1316,27 @@ object Streams {
         |FROM arrivals a
         |LEFT JOIN hist h USING (sig)
         |LEFT JOIN firsts f ON f.sig = a.sig
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // s14 — the absence pattern in closed form: latest in-window view
+    // per purchase, then NOT EXISTS click between it and the purchase
+    // (boundaries inclusive on both ends, the processor's ≤/≥).
+    "s14_absence" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |vs AS (
+        |  SELECT p.user_id, p.event_id, p.ts, max(v.ts) AS vstar
+        |  FROM p JOIN events v
+        |    ON v.user_id = p.user_id AND v.event_type = 'view'
+        |   AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |  GROUP BY p.user_id, p.event_id, p.ts)
+        |SELECT user_id, event_id AS purchase_id
+        |FROM vs
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.user_id = vs.user_id AND c.event_type = 'click'
+        |    AND c.ts >= vs.vstar AND c.ts <= vs.ts)
+        |ORDER BY user_id, purchase_id""".stripMargin
   )
 }

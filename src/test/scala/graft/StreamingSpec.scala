@@ -520,6 +520,60 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S14: the absence pattern equals an in-memory reference, and " +
+       "the negation clause is positively exercised") {
+    val ev = Tables.events(s, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val win = 3600L * 1000000L
+    val byUser = ev.groupBy(_._1)
+    val ref = byUser.toSeq.flatMap { case (u, rows) =>
+      val views = rows.filter(_._4 == "view").map(_._3)
+      val clicks = rows.filter(_._4 == "click").map(_._3)
+      rows.filter(_._4 == "purchase").flatMap { case (_, pid, pts, _) =>
+        val inWin = views.filter(v => v <= pts && v >= pts - win)
+        if (inWin.nonEmpty && {
+          val vstar = inWin.max
+          !clicks.exists(c => c >= vstar && c <= pts)
+        }) Some((u, pid)) else None
+      }
+    }.sorted
+    val out = SparkEntry.queries("s14_absence")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == ref, s"engine ${out.take(5)} vs ref ${ref.take(5)}")
+    assert(out.nonEmpty, "no natural impulse purchases — test vacuous")
+    // negation control at sf0.1 (the smallest scale with naturally
+    // click-BLOCKED purchases — 3 of them): some purchase with an
+    // in-window view must be withheld because a click intervened;
+    // without such a case the NOT-EXISTS clause is untested (the s8
+    // natural-positive precedent, inverted)
+    val sf01 = "/root/testdata/sf0.1"
+    val ev1 = Tables.events(s, sf01)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val out1 = SparkEntry.queries("s14_absence")(s, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = ev1.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val views = rows.filter(_._4 == "view").map(_._3)
+      val clicks = rows.filter(_._4 == "click").map(_._3)
+      rows.filter(_._4 == "purchase").filter { case (_, _, pts, _) =>
+        val inWin = views.filter(v => v <= pts && v >= pts - win)
+        inWin.nonEmpty && {
+          val vstar = inWin.max
+          clicks.exists(c => c >= vstar && c <= pts)
+        }
+      }.map { case (_, pid, _, _) => (u, pid) }
+    }
+    assert(blocked.nonEmpty, "no click-blocked purchase at sf0.1 — negation vacuous")
+    blocked.foreach { bp =>
+      assert(!out1.contains(bp), s"blocked purchase $bp wrongly emitted")
+    }
+  }
+
   test("S9: windowed aggregation rejects append output without watermark") {
     val ckpt = Replayer.checkpoint()
     val err = try intercept[Exception] {
