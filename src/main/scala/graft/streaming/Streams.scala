@@ -733,19 +733,25 @@ object Streams {
     // against a STATIC index; the production intake loop folds the
     // signatures of ACCEPTED documents back in, so a batch-N arrival
     // duplicating a doc accepted in batch M < N is rejected — the
-    // property S12 cannot express. foreachBatch with the SNK4
-    // batch-id-addressed snapshot chain: batch `id` reads sig/v(id−1)
-    // (v_init = the historical index, materialized once before the
-    // stream starts), left-joins arrivals against it, accepts the
-    // min-doc_id arrival per unseen signature, writes the per-batch
-    // decision log to out/b$id and the merged index to sig/v$id — a
-    // replayed batch re-reads the same prev and rewrites the same paths
-    // with the same bytes (restart-safe, exactly-once by idempotence).
-    // The stream itself stays STATELESS (zero state stores — pinned in
-    // StreamingSpec): the evolving state lives in the addressed
-    // snapshots. 100 TB: the index merge is ∝ |index| + |batch| (a
-    // MERGE INTO on a partitioned table in production), the decision
-    // log appends ∝ |batch|, and nothing is held in executor state
+    // property S12 cannot express. foreachBatch with the index stored
+    // as ONE (pfx, bid)-partitioned parquet table: the historical seed
+    // loads once as bid=-1, and batch `id` appends ONLY its accepted
+    // signatures as partition bid=id (dynamic partition overwrite —
+    // a replayed batch rewrites exactly its own (pfx, bid=id) leaves
+    // with the same bytes: restart-safe, exactly-once by idempotence,
+    // the SNK4 addressing moved inside one table). Batch `id` reads
+    // the index as bid < id, PRUNED to the sig prefixes its arrivals
+    // actually touch, left-joins arrivals against it, accepts the
+    // min-doc_id arrival per unseen signature, and writes the decision
+    // log to out/b$id. The stream itself stays STATELESS (zero state
+    // stores — pinned in StreamingSpec): the evolving state lives in
+    // the addressed partitions. 100 TB: per-batch index WRITE is
+    // ∝ |accepted(batch)| (pinned in StreamingSpec — never a snapshot
+    // rewrite of the whole index), the read is partition-pruned to
+    // touched prefixes (dial PfxChars up so the touched fraction
+    // shrinks; production compacts old bid leaves per pfx offline,
+    // exactly a MERGE INTO on a partitioned table), the decision log
+    // appends ∝ |batch|, and nothing is held in executor state
     // across batches. Cross-batch duplicates provably exist via
     // injection (the L23/s8b pattern, replayed row-for-row by the
     // oracle): doc_id % 13 == 0 rewrites text to constant A — its
@@ -782,6 +788,18 @@ object Streams {
     })
   )
 
+  /** S13 index-partition prefix width in hex chars (16 leaves at the
+    * test scale; the 100 TB dial — more chars shrink both the touched
+    * read fraction per batch and the offline-compaction unit). */
+  private[graft] val S13PfxChars = 1
+
+  /** The S13 (pfx, bid)-partitioned index location for a dataset dir,
+    * exposed so StreamingSpec pins per-batch write volume against the
+    * same path construction (rows under bid=k == batch k's accepted —
+    * write ∝ |batch|, never an |index| snapshot rewrite). */
+  private[graft] def s13StoreDir(d: String): java.nio.file.Path =
+    upsertRoot(d + "#sigref").resolve("sig").resolve("store")
+
   /** Injected signature-collision texts for S13 (≥2 tokens each so the
     * token-set signature is well-formed; disjoint vocabularies). */
   private[graft] val SigTextA =
@@ -804,26 +822,41 @@ object Streams {
       .otherwise(col("text"))
     val toks = split(col("text"), " ")
     val sig = sha2(concat_ws(" ", array_sort(array_distinct(toks))), 256)
-    // v_init: min historical doc per signature — the build-once seed
-    // index (the s12/l31 artifact), batch 0's prev snapshot
+    // partition prefix of a signature: "p" + first PfxChars hex chars
+    // (letter-prefixed so partition-value type inference stays STRING).
+    // 16 leaves at the test scale; the 100 TB dial is more chars —
+    // touched-fraction per batch and files-per-leaf both scale with it.
+    val pfx = concat(lit("p"), substring(col("sig"), 1, S13PfxChars))
+    val store = s13StoreDir(d)
+    // bid=-1: min historical doc per signature — the build-once seed
+    // index (the s12/l31 artifact), loaded ONCE before the stream
     Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0)
       .withColumn("text", inject)
       .select(sig.as("sig"), col("doc_id"))
       .groupBy(col("sig")).agg(min(col("doc_id")).as("canon"))
-      .write.mode("overwrite").parquet(sigDir.resolve("v_init").toString)
+      .select(col("sig"), col("canon"), pfx.as("pfx"), lit(-1L).as("bid"))
+      .write.partitionBy("pfx", "bid")
+      .mode("overwrite").parquet(store.toString)
     def refresh(batch: DataFrame, id: Long): Unit = {
-      val prev = sigDir.resolve(if (id == 0) "v_init" else s"v${id - 1}")
-      val store = batch.sparkSession.read.parquet(prev.toString)
-      val arr = batch.filter(col("doc_id") % 7 === 0) // the arriving slice
+      val arrInput = batch.filter(col("doc_id") % 7 === 0) // arriving slice
         .withColumn("text", inject)
         .select(col("doc_id"), sig.as("sig"),
-                size(toks).cast(LongType).as("n_toks"))
-        .join(store, Seq("sig"), "left")
+                size(toks).cast(LongType).as("n_toks"), pfx.as("pfx"))
+        .localCheckpoint() // sig/pfx computed once; reused 3× below
+      // prune the index read to the prefixes this batch touches: the
+      // collect is bounded by the 16^PfxChars leaf count, never |batch|
+      val touched = arrInput.select(col("pfx")).distinct()
+        .collect().map(_.getString(0))
+      val prev = batch.sparkSession.read.parquet(store.toString)
+        .filter(col("bid") < id && col("pfx").isin(touched: _*))
+        .select(col("sig"), col("canon"))
+      val arr = arrInput.join(prev, Seq("sig"), "left")
       // within-batch tie-break: min-doc_id arrival per UNSEEN sig wins
       val firsts = arr.filter(col("canon").isNull)
         .groupBy(col("sig")).agg(min(col("doc_id")).as("bmin"))
       val decided = arr.join(firsts, Seq("sig"), "left")
-        .select(col("sig"), col("doc_id"), lit(id).as("batch_id"),
+        .select(col("sig"), col("pfx"), col("doc_id"),
+          lit(id).as("batch_id"),
           when(col("canon").isNotNull, lit("dup"))
             .when(col("doc_id") === col("bmin"), lit("accepted"))
             .otherwise(lit("dup")).as("status"),
@@ -831,13 +864,18 @@ object Streams {
           col("n_toks"))
       decided.persist()
       try {
-        decided.drop("sig").write.mode("overwrite")
+        decided.drop("sig", "pfx").write.mode("overwrite")
           .parquet(outDir.resolve(s"b$id").toString)
-        store.unionByName(
-            decided.filter(col("status") === "accepted")
-              .select(col("sig"), col("doc_id").as("canon")))
-          .write.mode("overwrite")
-          .parquet(sigDir.resolve(s"v$id").toString)
+        // the index write: ONLY this batch's accepted rows, landing as
+        // partition bid=id — dynamic overwrite touches exactly the
+        // (pfx, bid=id) leaves this data occupies, so a replay is
+        // byte-idempotent and NO pre-existing leaf is ever rewritten
+        decided.filter(col("status") === "accepted")
+          .select(col("sig"), col("doc_id").as("canon"),
+                  col("pfx"), lit(id).as("bid"))
+          .write.partitionBy("pfx", "bid")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite").parquet(store.toString)
       } finally decided.unpersist()
     }
     val ckpt = Replayer.checkpoint()

@@ -518,6 +518,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(i)._2 == "dup" && rows(i)._3 == 13L,
         s"A carrier $i: ${rows(i)}")
     }
+    // write-amplification pin: the per-batch index write is EXACTLY the
+    // batch's accepted rows (landing as partition bid=k), never a
+    // snapshot rewrite of the whole index — bytes written ∝ |batch|,
+    // not |index| (same schema every leaf, so rows are the byte proxy)
+    val store = s.read.parquet(
+      graft.streaming.Streams.s13StoreDir(sf).toString)
+    val perBid = store.groupBy(col("bid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val acceptedPerBatch = rows.values.toSeq
+      .filter(_._2 == "accepted").groupBy(_._1.toInt)
+      .view.mapValues(_.size.toLong).toMap
+    val seedRows = perBid.getOrElse(-1, 0L)
+    assert(seedRows > 0, "seed index partition bid=-1 missing")
+    acceptedPerBatch.foreach { case (b, n) =>
+      assert(perBid.getOrElse(b, 0L) == n,
+        s"batch $b wrote ${perBid.getOrElse(b, 0L)} index rows, " +
+        s"accepted $n — per-batch write must be the accepted delta")
+    }
+    assert(perBid.keys.filter(_ >= 0).forall(acceptedPerBatch.contains),
+      s"index has bid partitions beyond the accepted deltas: $perBid")
+    assert(store.count() == seedRows + acceptedPerBatch.values.sum,
+      "index total != seed + sum of accepted deltas")
   }
 
   test("S14: the absence pattern equals an in-memory reference, and " +
