@@ -47,6 +47,16 @@ object Graph {
   /** PageRank rounds — fixed, part of the canonical definition. */
   val Rounds = 5
 
+  /** G1b convergence-mode parameters. Damping is 1/2 (not G1's 85/100):
+    * the iteration's l∞ gap contracts by the damping factor per round,
+    * so exact-integer stationarity lands within ~log2(Scale/nv) ≈ 30
+    * rounds — a bounded budget; at 85/100 the same exact fixed point
+    * needs ~130 rounds (0.85^t · Scale/nv < 1). The machinery G1b
+    * exists to demonstrate — dangling-mass redistribution + an exact
+    * stationarity stop + a replayable cap — is damping-independent
+    * (G1 keeps the canonical 85/100 on the fixed-round form). */
+  val ConvCap = 40
+
   /** The symmetric co-purchase edge list: (src, dst) both directions,
     * customer nid = 2·custkey, supplier nid = 2·suppkey + 1. */
   private def edges(s: SparkSession, d: String): DataFrame = {
@@ -60,7 +70,104 @@ object Graph {
       .unionByName(pairs.select(col("p").as("src"), col("c").as("dst")))
   }
 
+  /** The DIRECTED co-purchase edge list for G1b: customer → supplier
+    * only (c bought from s), so every supplier is a DANGLING node (no
+    * out-edges) — the real-graph structure G1's symmetric construction
+    * designs away. Same nid key space as G1. */
+  private def directedEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
+  /** G1b body: runs the convergence loop and returns (top-20 result,
+    * rounds actually executed) — the round count is exposed ONLY for
+    * RetrievalGraphSpec's converged-before-cap pin; the query output
+    * never encodes it (the oracle runs the full unconditional unroll).
+    *
+    * Exact-integer iteration with dangling mass, damping 1/2:
+    *
+    *   dang    = Σ pr(u) over out-degree-0 nodes
+    *   in(v)   = Σ_{u→v} (pr(u) div deg(u))        (0 if no in-edges)
+    *   pr'(v)  = Scale div (2·nv)
+    *           + (in(v) + dang div nv) div 2
+    *
+    * Early stop at EXACT stationarity (no tolerance): pr' == pr row-
+    * for-row. That stop is identity-safe — the state map F depends only
+    * on the current state and static relations, so pr_i == pr_{i-1}
+    * implies every later round is a no-op, and the oracle can simply
+    * unroll ConvCap rounds unconditionally; if the integer trajectory
+    * never lands exactly (a floor-noise limit cycle), both sides run
+    * the full cap and still agree. 100 TB: per round one shuffle join
+    * on src + one aggregation on dst (the G1 Pregel shape), a 1-row
+    * dangling-mass aggregate collected as a driver scalar (bounded by
+    * construction — and load-bearing for planner health, see the loop
+    * comment), and a changed-row probe joining the two checkpointed
+    * (nv-sized) rank relations — round count is bounded by the cap and
+    * in practice ~log2(Scale/nv). */
+  private[graft] def g1bRun(s: SparkSession, d: String): (DataFrame, Int) = {
+    val e = directedEdges(s, d).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("nid"))
+      .unionByName(e.select(col("dst").as("nid"))).distinct()
+      .localCheckpoint()
+    val nv = nodes.count()
+    val tele = Scale / (2L * nv)
+    var pr = nodes.select(col("nid"), lit(Scale / nv).as("pr"))
+      .localCheckpoint()
+    var rounds = 0
+    var stationary = false
+    while (rounds < ConvCap && !stationary) {
+      // dangling mass as a driver scalar (1 row per round — the L22
+      // convergence-scalar idiom). Besides being the natural way to
+      // feed a scalar into the next step, it keeps `pr` referenced
+      // EXACTLY ONCE in the checkpointed plan: localCheckpoint
+      // preserves origin size-in-bytes stats, and Catalyst's default
+      // join estimate is the PRODUCT of child sizes — with k
+      // references per round the preserved stat's digit count grows
+      // k-fold per round and analysis time goes exponential in the
+      // round number (BigInteger multiplication on the main thread;
+      // measured: rounds 18/19/20 at 4.5/8.4/39 s on sf0.001 with
+      // k = 3). Single-reference keeps the digit growth linear.
+      val dangShare = pr.join(deg, pr("nid") === deg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)))
+        .head().getLong(0) / nv
+      val in = e.join(pr, e("src") === pr("nid"))
+        .join(deg, "src")
+        .select(col("dst"), expr("pr div deg").as("m"))
+        .groupBy(col("dst")).agg(sum(col("m")).as("inm"))
+      val next = nodes
+        .join(in, nodes("nid") === in("dst"), "left")
+        .select(nodes("nid"),
+          (lit(tele) +
+            expr(s"(coalesce(inm, CAST(0 AS BIGINT)) + $dangShare) div 2"))
+            .as("pr"))
+        .localCheckpoint()
+      // stationarity probe against the PREVIOUS checkpoint — outside
+      // the checkpointed plan, so its join never inflates carried stats
+      stationary = next
+        .join(pr.select(col("nid").as("pnid"), col("pr").as("prev")),
+          next("nid") === col("pnid"))
+        .where(col("pr") =!= col("prev")).limit(1).isEmpty
+      pr = next
+      rounds += 1
+      if (sys.env.contains("GRAFT_G1B_TRACE"))
+        System.err.println(s"[g1b] round $rounds stationary=$stationary")
+    }
+    val out = pr.select(col("nid"),
+        when(col("nid") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("nid div 2").as("key"), col("pr"))
+      .orderBy(col("pr").desc, col("nid").asc)
+      .limit(20)
+    (out, rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1b_pagerank_conv" -> ((s, d) => g1bRun(s, d)._1),
     "g1_pagerank" -> ((s, d) => {
       val e = edges(s, d).localCheckpoint()
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -87,6 +194,55 @@ object Graph {
     })
   )
 
+  /** G1b generated oracle: ConvCap rounds unrolled UNCONDITIONALLY —
+    * legal because exact stationarity makes every later round an
+    * identity, so the engine's early stop never changes the final
+    * state (see g1bRun scaladoc). Each round CTE is MATERIALIZED: it
+    * is referenced by both the dangling-mass scalar and the in-mass
+    * aggregation of the next round. */
+  private def g1bSql: String = {
+    val rounds = (1 to ConvCap).map { i =>
+      s"""dgm$i AS MATERIALIZED (
+         |  SELECT COALESCE(sum(p.pr), 0) AS dang
+         |  FROM bpr${i - 1} p LEFT JOIN bdg g ON p.nid = g.src
+         |  WHERE g.src IS NULL),
+         |bin$i AS (
+         |  SELECT e.dst AS nid, sum(p.pr // g.deg) AS inm
+         |  FROM bed e
+         |  JOIN bpr${i - 1} p ON e.src = p.nid
+         |  JOIN bdg g ON e.src = g.src
+         |  GROUP BY e.dst),
+         |bpr$i AS MATERIALIZED (
+         |  SELECT n.nid,
+         |    CAST(($Scale // (2 * s.nv))
+         |      + ((COALESCE(i.inm, 0) + (d.dang // s.nv)) // 2)
+         |      AS BIGINT) AS pr
+         |  FROM bnd n
+         |  LEFT JOIN bin$i i ON n.nid = i.nid
+         |  CROSS JOIN dgm$i d CROSS JOIN bnv s)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH bed AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |bdg AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM bed GROUP BY src),
+       |bnd AS MATERIALIZED (
+       |  SELECT DISTINCT nid FROM (
+       |    SELECT src AS nid FROM bed
+       |    UNION ALL SELECT dst AS nid FROM bed)),
+       |bnv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM bnd),
+       |bpr0 AS MATERIALIZED (
+       |  SELECT nid, $Scale // s.nv AS pr FROM bnd CROSS JOIN bnv s),
+       |$rounds
+       |SELECT nid,
+       |  CASE WHEN nid % 2 = 0 THEN 'customer' ELSE 'supplier' END
+       |    AS kind,
+       |  nid // 2 AS key, pr
+       |FROM bpr${ConvCap}
+       |ORDER BY pr DESC, nid ASC LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     // Generated oracle (the l3c idiom): the five rounds unrolled as
     // chained CTEs, each replaying the integer Pregel step verbatim.
@@ -102,6 +258,7 @@ object Graph {
          |  GROUP BY e.dst, s.nv)""".stripMargin
     }.mkString(",\n")
     Map(
+      "g1b_pagerank_conv" -> g1bSql,
       "g1_pagerank" ->
         s"""WITH pg1 AS (
            |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p

@@ -92,4 +92,52 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(mass <= Scale, s"mass $mass exceeds scale")
     assert(mass > Scale - Scale / 100, s"mass $mass drained > 1%")
   }
+
+  test("G1b: convergence-mode PageRank equals an in-memory reference, " +
+       "converges before the cap, and the dangling term is positively " +
+       "exercised") {
+    val s = TestSpark.spark
+    import graft.queries.Graph.{ConvCap, Scale}
+    val pairs = graft.core.Tables.orders(s, TestSpark.Sf)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.core.Tables.lineitem(s, TestSpark.Sf)
+        .select("l_orderkey", "l_suppkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1)) // DIRECTED c→s
+    val deg = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val nv = nodes.length.toLong
+    val tele = Scale / (2L * nv)
+    var pr: Map[Long, Long] = nodes.map(_ -> Scale / nv).toMap
+    var refRounds = 0
+    var stationary = false
+    while (refRounds < ConvCap && !stationary) {
+      val dangShare =
+        nodes.filter(n => !deg.contains(n)).map(pr).sum / nv
+      val in = pairs.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => pr(src) / deg(src) }.sum).toMap
+      val next = nodes.map(n =>
+        n -> (tele + (in.getOrElse(n, 0L) + dangShare) / 2L)).toMap
+      stationary = next == pr
+      pr = next
+      refRounds += 1
+    }
+    // the convergence stop must actually FIRE at the test scale — a
+    // capped run would leave the stationarity machinery undemonstrated
+    assert(refRounds < ConvCap, s"reference hit the cap ($refRounds)")
+    // the dangling term must be positive — every supplier dangles in
+    // the directed co-purchase graph, by construction
+    val dangMass = nodes.filter(n => !deg.contains(n)).map(pr).sum
+    assert(dangMass > 0, "no dangling mass — the redistribution term is vacuous")
+    val (out, engRounds) = graft.queries.Graph.g1bRun(s, TestSpark.Sf)
+    assert(engRounds == refRounds,
+      s"engine rounds $engRounds vs reference $refRounds")
+    val refTop = pr.toSeq.sortBy { case (nid, p) => (-p, nid) }.take(20)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq.map(r => (r._1, r._4)) == refTop,
+      s"engine ${got.take(3).toSeq} vs ref ${refTop.take(3)}")
+  }
 }
