@@ -477,8 +477,8 @@ object Curation {
   private val SsnPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
 
   /** L24 window: 50-token chunks every 40 tokens (10-token overlap). */
-  private val ChunkSize = 50
-  private val ChunkStride = 40
+  private[llm] val ChunkSize = 50
+  private[llm] val ChunkStride = 40
 
   /** L41 injected boilerplate lines (shared with the oracle SQL and
     * CurationSpec's removal pin — one source of truth). */

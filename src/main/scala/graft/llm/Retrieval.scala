@@ -58,6 +58,25 @@ object Retrieval {
     * of score resolution — ties broken by doc_id are the contract). */
   val Scale = 1000000L
 
+  /** L46 injected eval passage (the S13 disjoint-vocabulary idiom): the
+    * corpus vocabulary is 31 shared tokens, so a DESIGNED contamination
+    * event needs tokens no clean chunk can carry — the recall pin is
+    * then structural, not statistical. 30 distinct tokens ≥ one L24
+    * chunk stride, so at least one chunk of every contaminated doc
+    * contains the full 8-term query prefix (chunk starts every 40
+    * positions; an 8-token span always fits one 50-token window). */
+  private[graft] val DeconText =
+    ("abacus bramble crescent dulcimer eyrie fjord gossamer hinterland " +
+     "isthmus jacquard kelp lattice mistral nimbus obsidian parapet " +
+     "quill rampart sextant talisman umber vellum wicket xylem yonder " +
+     "zephyr arroyo bastion cairn delta9")
+
+  /** L46 knobs: eval split = doc_id % 97 == 0 (the L27 convention);
+    * contaminated train slice = doc_id % 89 == 3; eval anchor doc 97
+    * (exists at every shipped sf — 500+ docs) REWRITTEN to DeconText so
+    * its query terms are exactly the injected passage's head. */
+  private[graft] val DeconAnchor = 97L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l45_bm25_topk" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -93,6 +112,79 @@ object Retrieval {
             .orderBy(col("score").desc, col("doc_id").asc)))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // L46 — PASSAGE-level decontamination (L24 × L45): L27 flags whole
+    // documents by shingle overlap; production decontamination checks
+    // passages — a 50-token quotation inside a long clean document is
+    // invisible at doc granularity but decisive at chunk granularity.
+    // The corpus is the L24 chunking (stride 40 / size 50) of the
+    // TRAIN split (doc_id % 97 ≠ 0, the L27 eval convention); the
+    // queries are the eval docs' first 8 distinct tokens; scoring is
+    // the exact-integer BM25 of L45 with chunks as the unit (df/dl/nd/
+    // totdl over the chunk corpus). Output: top-3 chunks per eval item
+    // — the review/drop queue a decontamination pass hands on.
+    // Designed contamination (in-query, oracle-replayed — the S13
+    // injection idiom): eval anchor doc 97 is rewritten to DeconText
+    // (disjoint vocabulary) and train docs with doc_id % 89 == 3 get
+    // DeconText appended — so qid 97's terms occur ONLY in contaminated
+    // chunks, and the spec pins that its top-3 are all carriers.
+    // 100 TB: chunking is a map-side explode; tf/df/dl are 2-phase
+    // aggs; eval query terms broadcast (eval sets are fixed benchmark
+    // suites — tiny by construction); the top-3 shuffles candidate
+    // chunks by qid only. Overflow headroom is L45's with nd = chunk
+    // count (int64-safe to ~2e9 chunks).
+    "l46_passage_decon" -> ((s, d) => {
+      import graft.llm.{Curation => C}
+      val inj = when(col("doc_id") === DeconAnchor, lit(DeconText))
+        .when(col("doc_id") % 89 === 3 && col("doc_id") % 97 =!= 0,
+          concat(col("text"), lit(" "), lit(DeconText)))
+        .otherwise(col("text"))
+      val docs = Tables.documents(s, d).withColumn("text", inj)
+      val start = (col("chunk_id") * C.ChunkStride + 1).cast(IntegerType)
+      val chunks = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast(LongType))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            floor(((col("n") - 1).cast(DoubleType)) / C.ChunkStride)
+              .cast(LongType))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("toks"), start, lit(C.ChunkSize)).as("ctoks"))
+      val tok = chunks.select(col("doc_id"), col("chunk_id"),
+        explode(col("ctoks")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("chunk_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).as("dl"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = dl.agg(sum(col("dl")).as("totdl"), count(lit(1)).as("nd"))
+      val qterms = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 8)).as("token"))
+        .distinct()
+      val scored = tf.join(broadcast(qterms), "token")
+        .join(df, "token")
+        .join(dl, Seq("doc_id", "chunk_id"))
+        .join(broadcast(stats))
+        .select(col("qid"), col("doc_id"), col("chunk_id"),
+          expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)")
+            .as("idf_fp"),
+          expr("(tf * 22000 * totdl) div " +
+            "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)").as("tfp_fp"))
+        .select(col("qid"), col("doc_id"), col("chunk_id"),
+          (col("idf_fp") * col("tfp_fp")).as("contrib"))
+        .groupBy(col("qid"), col("doc_id"), col("chunk_id"))
+        .agg(sum(col("contrib")).as("score"))
+      scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("doc_id").asc,
+                     col("chunk_id").asc)))
+        .filter(col("rnk") <= 3)
+        .select(col("qid"), col("rnk"), col("doc_id"), col("chunk_id"),
+                col("score"))
         .orderBy(col("qid"), col("rnk"))
     })
   )
@@ -141,6 +233,67 @@ object Retrieval {
         |                       ORDER BY score DESC, doc_id ASC) AS rnk
         |  FROM agg45)
         |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, score
-        |FROM rk45 WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+        |FROM rk45 WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // l46 — the l24 chunk slices (DuckDB list slices are 1-based
+    // inclusive and clamp, matching Spark's slice) feeding the l45
+    // exact-integer scoring chain; injection replayed verbatim.
+    "l46_passage_decon" ->
+      s"""WITH base46 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id = $DeconAnchor THEN '$DeconText'
+        |         WHEN doc_id % 89 = 3 AND doc_id % 97 <> 0
+        |           THEN text || ' ' || '$DeconText'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |d46 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM base46 WHERE doc_id % 97 <> 0),
+        |c46 AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |    unnest(generate_series(0,
+        |      CAST(floor((len(toks) - 1) / 40.0) AS BIGINT))) AS chunk_id
+        |  FROM d46),
+        |tok46 AS (
+        |  SELECT doc_id, chunk_id,
+        |    unnest(toks[chunk_id*40+1 : least(chunk_id*40+50, n)]) AS token
+        |  FROM c46),
+        |tf46 AS (
+        |  SELECT doc_id, chunk_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok46 GROUP BY 1, 2, 3),
+        |dl46 AS (
+        |  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM tok46 GROUP BY 1, 2),
+        |df46 AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf46 GROUP BY 1),
+        |st46 AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS totdl,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM dl46),
+        |q46 AS (
+        |  SELECT DISTINCT doc_id AS qid, unnest(toks[1:8]) AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM base46 WHERE doc_id % 97 = 0)),
+        |sc46 AS (
+        |  SELECT q.qid, t.doc_id, t.chunk_id,
+        |    (((2 * s.nd - 2 * f.df + 1) * 1000000) // (2 * f.df + 1))
+        |    * ((t.tf * 22000 * s.totdl)
+        |       // (10 * s.totdl * t.tf + 3 * s.totdl + 9 * l.dl * s.nd))
+        |      AS contrib
+        |  FROM tf46 t
+        |  JOIN q46 q USING (token)
+        |  JOIN df46 f USING (token)
+        |  JOIN dl46 l ON t.doc_id = l.doc_id AND t.chunk_id = l.chunk_id
+        |  CROSS JOIN st46 s),
+        |agg46 AS (
+        |  SELECT qid, doc_id, chunk_id, CAST(sum(contrib) AS BIGINT) AS score
+        |  FROM sc46 GROUP BY 1, 2, 3),
+        |rk46 AS (
+        |  SELECT qid, doc_id, chunk_id, score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id ASC, chunk_id ASC) AS rnk
+        |  FROM agg46)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, chunk_id, score
+        |FROM rk46 WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   )
 }

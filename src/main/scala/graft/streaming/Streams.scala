@@ -785,8 +785,47 @@ object Streams {
       runToMemory(s, impulses.toDF("user_id", "purchase_id"), "append",
                   RocksDbConf ++ NoFinalBatch)
         .orderBy(col("user_id"), col("purchase_id"))
+    }),
+
+    // S15 — streaming HEAVY HITTERS: per-hour top-3 users by event
+    // count — the L44 question (who is heavy?) asked of the live
+    // stream, on the high-cardinality key (user_id; S10's event_type
+    // has 3 values — heavy-hitter state is trivial there). The S10
+    // two-stage shape: the INCREMENTAL exact count streams in APPEND
+    // mode (watermark closes an hour, emits its user counts, and
+    // EVICTS their state — the S1 production form, state = open
+    // windows × active users, pinned bounded in StreamingSpec "S15"),
+    // and the rank runs as a batch window over the closed-window
+    // counts (aggregate cardinality, never raw events). Deliberately
+    // NOT CMS-screened: L44's screen is sound because its exact
+    // confirm pass re-reads the corpus — a one-pass stream cannot be
+    // re-read, and a map-side CMS drop loses per-batch-light users
+    // whose window totals are heavy, i.e. it changes the answer. The
+    // exactness budget here IS the windowed count state, and the
+    // watermark (not a sketch) is what bounds it; the L44 screen
+    // remains the batch-side tool when approximate streaming counts
+    // are acceptable. 100 TB: one user_id×window shuffle into state,
+    // the rank input is |closed windows|·|active users per window|.
+    "s15_heavy_hitters" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("win_start"))
+        .orderBy(col("n").desc, col("user_id").asc)
+      runToMemory(s, s15Agg(s, d), "append")
+        .select(col("window.start").as("win_start"), col("user_id"),
+                col("n"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("win_start"), col("rnk"))
     })
   )
+
+  /** S15's streaming aggregation, shared with StreamingSpec's
+    * bounded-state pin so the stream under test IS the canonical one. */
+  private[graft] def s15Agg(s: SparkSession, d: String): DataFrame =
+    Replayer.stream(s, d, "clean")
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
 
   /** S13 index-partition prefix width in hex chars (16 leaves at the
     * test scale; the 100 TB dial — more chars shrink both the touched
@@ -1011,6 +1050,25 @@ object Streams {
         |         ORDER BY n DESC, event_type ASC) AS INT) AS rnk
         |  FROM h)
         |SELECT win_start, event_type, n, rnk FROM r WHERE rnk <= 3
+        |ORDER BY win_start, rnk""".stripMargin,
+    // s15 — per-hour user counts restricted to windows the final
+    // watermark closed (the s2b strict-horizon eviction rule), then
+    // the batch top-3 rank
+    "s15_heavy_hitters" ->
+      """WITH h AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT * FROM h
+        |  WHERE win_start + INTERVAL 1 HOUR <
+        |    (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE),
+        |r AS (
+        |  SELECT win_start, user_id, n,
+        |    CAST(row_number() OVER (PARTITION BY win_start
+        |         ORDER BY n DESC, user_id ASC) AS INT) AS rnk
+        |  FROM c)
+        |SELECT win_start, user_id, n, rnk FROM r WHERE rnk <= 3
         |ORDER BY win_start, rnk""".stripMargin,
     "s2_sliding" ->
       """WITH w AS (

@@ -637,4 +637,38 @@ class LlmSpec extends AnyFunSuite {
     assert(out.sortBy { case (t, c) => (-c, t) }.toSeq == out.toSeq)
     assert(naive.nonEmpty, "no heavy hitters — test vacuous")
   }
+
+  test("L46: passage decontamination never surfaces eval docs, every " +
+       "eval item gets hits, and the designed contamination is recalled " +
+       "at rank 1-3") {
+    val s = TestSpark.spark
+    val out = SparkEntry.queries("l46_passage_decon")(s, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4)))
+    // eval exclusion: the chunk corpus is the train split only
+    out.foreach { case (_, _, did, _, _) =>
+      assert(did % 97 != 0, s"eval doc $did leaked into the chunk corpus")
+    }
+    // every eval item surfaces a review queue (shared 31-token
+    // vocabulary guarantees term matches), ranks contiguous from 1
+    val byQ = out.groupBy(_._1)
+    val nEval = graft.core.Tables.documents(s, TestSpark.Sf)
+      .filter("doc_id % 97 = 0").count()
+    assert(byQ.size == nEval, s"${byQ.size} queried of $nEval eval docs")
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"ranks not contiguous for $qid")
+    }
+    // designed-contamination recall: qid 97's terms are the injected
+    // passage's head (disjoint vocabulary), so every hit must be a
+    // carrier chunk (doc_id % 89 == 3) and all 3 ranks must fill —
+    // at sf0.001 there are 5 carrier docs, each with ≥1 carrier chunk
+    val anchor = byQ(graft.llm.Retrieval.DeconAnchor)
+    assert(anchor.length == 3, s"anchor hits ${anchor.length} != 3")
+    anchor.foreach { case (_, _, did, _, score) =>
+      assert(did % 89 == 3, s"non-carrier $did ranked for the anchor")
+      assert(score > 0)
+    }
+  }
 }

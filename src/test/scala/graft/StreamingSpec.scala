@@ -542,6 +542,51 @@ class StreamingSpec extends AnyFunSuite {
       "index total != seed + sum of accepted deltas")
   }
 
+  test("S15: heavy-hitter state stays bounded on the high-cardinality " +
+       "key — watermark eviction runs during the replay, nothing is " +
+       "dropped or double-held") {
+    // the S1 production-shape pin, on S15's (window × user_id) state —
+    // the key whose cardinality makes heavy-hitter state a real budget
+    val name = "s15_pin_" + java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = Replayer.checkpoint()
+    val q = graft.streaming.Streams.s15Agg(s, sf).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally Replayer.dropCheckpoint(ckpt)
+    val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    val totalGroups = Tables.events(s, sf)
+      .select(window(col("ts"), "1 hour"), col("user_id"))
+      .distinct().count()
+    val emitted = s.table(name).count()
+    assert(stateRows.nonEmpty && emitted > 0,
+      s"append run produced no progress/output (state=${stateRows.toSeq})")
+    // conservation: every (window, user) group is either closed
+    // (emitted) or still open (in state)
+    assert(emitted + stateRows.last == totalGroups,
+      s"emitted=$emitted + state=${stateRows.last} != groups=$totalGroups")
+    // bounded: at no batch did state hold the full history
+    assert(stateRows.max < totalGroups,
+      s"state peaked at ${stateRows.max} of $totalGroups groups — " +
+      "watermark eviction never ran during the replay")
+    // and the canonical query's rank stage only ever sees closed
+    // windows: top-3 per window, ranks contiguous, ties user-ordered
+    val out = SparkEntry.queries("s15_heavy_hitters")(s, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty, "no closed windows — test vacuous")
+    out.groupBy(_._1).foreach { case (w, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"ranks not contiguous for window $w")
+      rows.sortBy(_._4).toSeq.sliding(2).foreach {
+        case Seq((_, u1, n1, _), (_, u2, n2, _)) =>
+          assert(n1 > n2 || (n1 == n2 && u1 < u2),
+            s"rank order violated in window $w")
+        case _ =>
+      }
+    }
+  }
+
   test("S14: the absence pattern equals an in-memory reference, and " +
        "the negation clause is positively exercised") {
     val ev = Tables.events(s, sf)
