@@ -53,13 +53,22 @@ object ScaleSweep {
     // the one whose candidate volume COULD grow superlinearly (band
     // collisions), hence also on the watchlist below.
     "l42_para_dedup", "l43_bigram_surprisal", "l44_heavy_hitters",
-    "l8e_image_neardup")
+    "l8e_image_neardup",
+    // r13 additions: l45's per-query candidate shuffle, l46's
+    // chunk-corpus BM25 (the chunk explode multiplies the token
+    // relation ~25% over l45's — the one new unknown, watchlisted),
+    // g1b's data-dependent round count (rounds are log-ish in scale,
+    // so the exponent prices rounds × per-round shuffle).
+    "l45_bm25_topk", "l46_passage_decon", "g1b_pagerank_conv")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */
   private val StreamQ = Seq(
     "s5_interval_join", "s5b_interval_left", "s5c_interval_full",
-    "s11_chained", "s13_sig_refresh")
+    "s11_chained", "s13_sig_refresh",
+    // r13: the watermark-evicted heavy-hitter state — per-batch state
+    // rows scale with active users per window, the part that matters
+    "s15_heavy_hitters")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
@@ -170,7 +179,9 @@ object ScaleSweep {
       // l22's contraction rounds, l39's composed stages, l34b's dial
       "l22_dup_clusters", "l39_corpus_export", "l34b_semantic_autok",
       // r12: banded-hamming candidate volume is the one new unknown
-      "l8e_image_neardup")
+      "l8e_image_neardup",
+      // r13: chunk-corpus BM25 candidate volume needs the second decade
+      "l46_passage_decon")
     val measured = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, (Double, Double)]]()
     def record(q: String, ratio: Double, sSec: Double, bSec: Double): Unit =
       measured.getOrElseUpdate(q, scala.collection.mutable.Map.empty)
