@@ -166,7 +166,64 @@ object Graph {
     (out, rounds)
   }
 
+  /** G2: the co-order PART graph — undirected edge {p1, p2} iff some
+    * order's lineitems contain both parts (the market-basket structure;
+    * the G1 customer×supplier graph is bipartite, hence triangle-free
+    * by construction, so triangle analytics needs this unipartite
+    * projection). Edges canonical as (a < b), distinct. */
+  private def partEdges(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.as("x").join(op.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G2 — exact triangle counting per node, top-20. The scalable
+    // degree-ordered orientation (Latapy's compact-forward / the MR
+    // "graph twiddling" form): orient every undirected edge from the
+    // lower (deg, id) endpoint to the higher, so out-degree is bounded
+    // by O(sqrt(2m)) regardless of skew — wedge volume (the join's
+    // intermediate) is Σ C(d_out, 2), never the Σ C(d, 2) a hub would
+    // cost unoriented. Each triangle {u,v,w} materializes exactly once
+    // (as its unique orientation-ordered wedge + closing edge), then
+    // attributes to all 3 corners via explode. 100 TB: two self-joins
+    // on the oriented edge list (both equi-joins on node keys), no
+    // all-pairs anywhere; the orientation is the published mitigation
+    // for power-law hubs. Output: top-20 (part, triangle count),
+    // ties by partkey.
+    "g2_triangles" -> ((s, d) => {
+      val und = partEdges(s, d)
+      val deg = und.select(col("a").as("nid"))
+        .unionByName(und.select(col("b").as("nid")))
+        .groupBy(col("nid")).agg(count(lit(1)).as("deg"))
+      // orientation order: (deg, id) lexicographic, packed into one
+      // BIGINT sort key (deg < 2^31, id < 2^31 at any shipped scale)
+      val ord = deg.select(col("nid"),
+        (col("deg") * lit(4294967296L) + col("nid")).as("okey"))
+      val dir = und
+        .join(ord.select(col("nid").as("a"), col("okey").as("oa")), "a")
+        .join(ord.select(col("nid").as("b"), col("okey").as("ob")), "b")
+        .select(
+          when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("src"),
+          when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("dst"),
+          when(col("oa") < col("ob"), col("ob")).otherwise(col("oa")).as("odst"))
+      val w1 = dir.select(col("src").as("u"), col("dst").as("v"),
+        col("odst").as("ov"))
+      val w2 = dir.select(col("src").as("u"), col("dst").as("w"),
+        col("odst").as("ow"))
+      val tri = w1.join(w2, Seq("u")).filter(col("ov") < col("ow"))
+        .join(dir.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"))
+        .select(col("u"), col("v"), col("w"))
+      tri.select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
+        .groupBy(col("p_partkey")).agg(count(lit(1)).as("tri_cnt"))
+        .orderBy(col("tri_cnt").desc, col("p_partkey").asc)
+        .limit(20)
+    }),
     "g1b_pagerank_conv" -> ((s, d) => g1bRun(s, d)._1),
     "g1_pagerank" -> ((s, d) => {
       val e = edges(s, d).localCheckpoint()
@@ -258,6 +315,41 @@ object Graph {
          |  GROUP BY e.dst, s.nv)""".stripMargin
     }.mkString(",\n")
     Map(
+      // g2 — the same degree-ordered orientation replayed: pack the
+      // (deg, id) order into one BIGINT key, orient, wedge-join, close.
+      "g2_triangles" ->
+        """WITH op2 AS (
+          |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+          |  FROM lineitem),
+          |ue2 AS (
+          |  SELECT DISTINCT x.pk AS a, y.pk AS b
+          |  FROM op2 x JOIN op2 y ON x.ok = y.ok AND x.pk < y.pk),
+          |dg2 AS (
+          |  SELECT nid, CAST(count(*) AS BIGINT) AS deg FROM (
+          |    SELECT a AS nid FROM ue2
+          |    UNION ALL SELECT b AS nid FROM ue2) GROUP BY nid),
+          |od2 AS (
+          |  SELECT nid, deg * 4294967296 + nid AS okey FROM dg2),
+          |di2 AS (
+          |  SELECT CASE WHEN oa.okey < ob.okey THEN e.a ELSE e.b END AS src,
+          |         CASE WHEN oa.okey < ob.okey THEN e.b ELSE e.a END AS dst,
+          |         CASE WHEN oa.okey < ob.okey THEN ob.okey
+          |              ELSE oa.okey END AS odst
+          |  FROM ue2 e
+          |  JOIN od2 oa ON e.a = oa.nid
+          |  JOIN od2 ob ON e.b = ob.nid),
+          |tr2 AS (
+          |  SELECT w1.src AS u, w1.dst AS v, w2.dst AS w
+          |  FROM di2 w1
+          |  JOIN di2 w2 ON w1.src = w2.src AND w1.odst < w2.odst
+          |  JOIN di2 c ON c.src = w1.dst AND c.dst = w2.dst),
+          |cn2 AS (
+          |  SELECT p_partkey, CAST(count(*) AS BIGINT) AS tri_cnt FROM (
+          |    SELECT u AS p_partkey FROM tr2
+          |    UNION ALL SELECT v FROM tr2
+          |    UNION ALL SELECT w FROM tr2) GROUP BY p_partkey)
+          |SELECT p_partkey, tri_cnt FROM cn2
+          |ORDER BY tri_cnt DESC, p_partkey ASC LIMIT 20""".stripMargin,
       "g1b_pagerank_conv" -> g1bSql,
       "g1_pagerank" ->
         s"""WITH pg1 AS (

@@ -231,6 +231,118 @@ object Joins {
     "j13_lateral" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(j13Sql)
+    }),
+
+    // J14 — SIMILARITY JOIN: all distinct part-name pairs within edit
+    // distance ≤ 2, found via PassJoin segment blocking (Li/Deng/Feng,
+    // VLDB'11 — PAPERS.md) instead of the all-pairs cross join a naive
+    // form needs. Pigeonhole: split every indexed string into K+1 = 3
+    // segments; any string within K = 2 edits must contain one segment
+    // VERBATIM, at a position shifted by at most K. So the index side
+    // emits 3 (len, seg_idx, substring) keys per name, the probe side
+    // emits one key per (candidate indexed length within ±2, segment,
+    // shift within ±2) — ≤ 75, a CONSTANT — and candidates are the
+    // equi-join on that key, then verified with one levenshtein call.
+    // 100 TB: candidate generation is an equi-join on short string
+    // keys (never |N|² — pairs sharing no aligned segment are never
+    // materialized); the verify is per-candidate O(len²) on
+    // already-matched rows. Empty segments (len < 3) degrade to
+    // length-window blocking — still sound, still bounded.
+    "j14_editdist_join" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name").as("nm")).distinct()
+      val idxKeys = (0 to 2).map { i =>
+        expr(
+          s"""named_struct('ls', length(nm), 'seg', $i, 'sub',
+             |  substr(nm,
+             |    $i * (length(nm) div 3)
+             |      + greatest(0, $i - (3 - (length(nm) % 3))) + 1,
+             |    (length(nm) div 3)
+             |      + (CASE WHEN $i >= 3 - (length(nm) % 3)
+             |              THEN 1 ELSE 0 END)))""".stripMargin)
+      }
+      val idx = names.select(col("nm").as("s_nm"),
+          explode(array(idxKeys: _*)).as("k"))
+        .select(col("s_nm"), col("k.ls").as("ls"), col("k.seg").as("seg"),
+          col("k.sub").as("sub"))
+      val probeKeys = for { dl <- -2 to 2; i <- 0 to 2; sh <- -2 to 2 }
+        yield expr(
+          s"""CASE WHEN length(nm) + ($dl) >= 1
+             |  AND $i * ((length(nm) + ($dl)) div 3)
+             |      + greatest(0, $i - (3 - ((length(nm) + ($dl)) % 3)))
+             |      + ($sh) >= 0
+             |  AND $i * ((length(nm) + ($dl)) div 3)
+             |      + greatest(0, $i - (3 - ((length(nm) + ($dl)) % 3)))
+             |      + ($sh)
+             |      + ((length(nm) + ($dl)) div 3)
+             |      + (CASE WHEN $i >= 3 - ((length(nm) + ($dl)) % 3)
+             |              THEN 1 ELSE 0 END) <= length(nm)
+             |THEN named_struct('ls', length(nm) + ($dl), 'seg', $i, 'sub',
+             |  substr(nm,
+             |    $i * ((length(nm) + ($dl)) div 3)
+             |      + greatest(0, $i - (3 - ((length(nm) + ($dl)) % 3)))
+             |      + ($sh) + 1,
+             |    ((length(nm) + ($dl)) div 3)
+             |      + (CASE WHEN $i >= 3 - ((length(nm) + ($dl)) % 3)
+             |              THEN 1 ELSE 0 END)))
+             |END""".stripMargin)
+      val probe = names.select(col("nm").as("t_nm"),
+          explode(array(probeKeys: _*)).as("k"))
+        .filter(col("k").isNotNull)
+        .select(col("t_nm"), col("k.ls").as("ls"), col("k.seg").as("seg"),
+          col("k.sub").as("sub"))
+      idx.join(probe, Seq("ls", "seg", "sub"))
+        .filter(col("s_nm") < col("t_nm"))
+        .select(col("s_nm").as("name_a"), col("t_nm").as("name_b"))
+        .distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("int"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // J15 — BUCKETED co-located join: both fact tables written
+    // bucketed (and sorted) by the join key into the same bucket
+    // count, so the sort-merge join reads bucket-aligned files with
+    // NO Exchange on either side (pinned in PlanSpec "J15") — the
+    // mechanism a 100 TB deployment uses to pay a fact⋈fact shuffle
+    // ONCE at write time and amortize it over every subsequent join.
+    // The merge hint forces the SMJ path the pin is about (at test
+    // scale orders would otherwise broadcast — a plan a 100 TB orders
+    // side can't take); output = a1-style decimal-exact aggregate.
+    "j15_bucketed" -> ((s, dir) => {
+      val nb = 8
+      // managed-table hygiene: a previous JVM's run leaves the location
+      // on disk while this JVM's in-memory catalog has never heard of
+      // the table — DROP alone won't clear it, so remove both
+      Seq("graft_j15_orders", "graft_j15_lineitem").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = java.nio.file.Paths.get(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (java.nio.file.Files.exists(loc)) {
+          val walk = java.nio.file.Files.walk(loc)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_j15_orders")
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_j15_lineitem")
+      val o = s.table("graft_j15_orders")
+      val l = s.table("graft_j15_lineitem").hint("merge")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -339,6 +451,28 @@ object Joins {
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "j11_scalar_subquery" -> j11Sql, // ANSI-portable: the same text runs in both engines
     "j12_recursive" -> j12Sql, // ANSI-portable recursive CTE, same text in both engines
-    "j13_lateral" -> j13Sql // ANSI-portable LATERAL, same text in both engines
+    "j13_lateral" -> j13Sql, // ANSI-portable LATERAL, same text in both engines
+    // j14 — the oracle states the SEMANTICS (all pairs within edit
+    // distance 2), not the blocking: a naive pairwise form with only
+    // the trivially-sound length prefilter. The engine's PassJoin
+    // candidate set matching this is exactly the pigeonhole claim.
+    "j14_editdist_join" ->
+      """WITH nm14 AS (SELECT DISTINCT p_name AS nm FROM part)
+        |SELECT a.nm AS name_a, b.nm AS name_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |FROM nm14 a JOIN nm14 b ON a.nm < b.nm
+        |WHERE abs(len(a.nm) - len(b.nm)) <= 2
+        |  AND levenshtein(a.nm, b.nm) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    // j15 — bucketing is a physical-layout property; the answer must
+    // equal the plain join (a1-style decimal-exact sums)
+    "j15_bucketed" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  count(*) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

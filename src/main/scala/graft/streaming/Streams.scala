@@ -816,6 +816,64 @@ object Streams {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .orderBy(col("win_start"), col("rnk"))
+    }),
+
+    // S16 — streaming DISTRIBUTION DRIFT: per closed hour, the total-
+    // variation distance between this hour's event-type histogram and
+    // the previous closed hour's — the intake monitor a training-data
+    // pipeline runs so a mix shift (scraper change, source outage,
+    // spam wave) pages BEFORE a corpus snapshot bakes it in. The S15
+    // two-stage shape: the histogram is the incremental append-mode
+    // agg (watermark eviction, state = open windows × event types);
+    // the drift compare is batch over the CLOSED windows only —
+    // consecutive-window pairing (lag), full-outer type alignment, and
+    // the exact-integer TV distance
+    //   tv_fp = (Σ_t |n_t·M − m_t·N| · 1e6) div (N·M)
+    // (N, M window totals) — floor division, zero IEEE ops, so the
+    // DuckDB replay is bit-exact. tv_fp ∈ [0, 2e6] (the ×2 convention:
+    // disjoint supports → 2e6). Int64 headroom: Σ|…|·1e6 ≤ 2·N·M·1e6
+    // needs N·M < 4.6e12 — fine to ~2M events/hour/side; past that,
+    // drop Scale or lift to DECIMAL (documented dial, not a rewrite).
+    // 100 TB: histogram state is |open windows|·|types| (tiny by
+    // construction); the batch stage runs on aggregate cardinality
+    // (windows × types), never raw events.
+    "s16_drift" -> ((s, d) => {
+      val h = runToMemory(s, s16Agg(s, d), "append")
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n"))
+      val tot = h.groupBy(col("win_start")).agg(sum(col("n")).as("tot"))
+      val ow = org.apache.spark.sql.expressions.Window.orderBy(col("win_start"))
+      val pairs = tot
+        .withColumn("pwin", lag(col("win_start"), 1).over(ow))
+        .withColumn("ptot", lag(col("tot"), 1).over(ow))
+        .filter(col("pwin").isNotNull)
+      val cu = pairs.join(h, Seq("win_start"))
+        .select(col("win_start"), col("pwin"), col("event_type"),
+          col("n"))
+      // the previous-window slice carries FRESH attribute names end to
+      // end (w2/p2/et2/m): both sides derive from the same `h` plan, and
+      // a full-outer self-join on shared attribute ids is unresolvable
+      val pv = pairs.select(col("win_start").as("w2"), col("pwin").as("p2"))
+        .join(
+          h.select(col("win_start").as("p2"), col("event_type").as("et2"),
+            col("n").as("m")),
+          Seq("p2"))
+        .select(col("w2"), col("p2"), col("et2"), col("m"))
+      cu.join(pv,
+          col("win_start") === col("w2") && col("event_type") === col("et2"),
+          "full")
+        .select(coalesce(col("win_start"), col("w2")).as("win_start"),
+          coalesce(col("pwin"), col("p2")).as("pwin"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("m"), lit(0L)).as("m"))
+        .join(pairs.select(col("win_start"), col("tot"), col("ptot")),
+          Seq("win_start"))
+        .groupBy(col("win_start"), col("pwin"), col("tot"), col("ptot"))
+        .agg(sum(abs(col("n") * col("ptot") - col("m") * col("tot")))
+          .as("tvnum"))
+        .select(col("win_start"), col("pwin").as("prev_win"),
+          expr("(tvnum * 1000000) div (tot * ptot)").as("tv_fp"))
+        .orderBy(col("win_start"))
     })
   )
 
@@ -825,6 +883,13 @@ object Streams {
     Replayer.stream(s, d, "clean")
       .withWatermark("ts", WatermarkDelay)
       .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** S16's incremental histogram, shared with StreamingSpec's pins. */
+  private[graft] def s16Agg(s: SparkSession, d: String): DataFrame =
+    Replayer.stream(s, d, "clean")
+      .withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
   /** S13 index-partition prefix width in hex chars (16 leaves at the
@@ -1070,6 +1135,49 @@ object Streams {
         |  FROM c)
         |SELECT win_start, user_id, n, rnk FROM r WHERE rnk <= 3
         |ORDER BY win_start, rnk""".stripMargin,
+    // s16 — per-type counts over closed hours (the s15 horizon rule),
+    // adjacent-window pairing, full-outer type alignment, exact-integer
+    // TV distance replayed with // floor division
+    "s16_drift" ->
+      """WITH h16 AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c16 AS (
+        |  SELECT * FROM h16
+        |  WHERE win_start + INTERVAL 1 HOUR <
+        |    (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE),
+        |t16 AS (
+        |  SELECT win_start, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM c16 GROUP BY 1),
+        |p16 AS (
+        |  SELECT win_start, tot,
+        |    lag(win_start) OVER (ORDER BY win_start) AS pwin,
+        |    lag(tot) OVER (ORDER BY win_start) AS ptot
+        |  FROM t16 QUALIFY pwin IS NOT NULL),
+        |cu16 AS (
+        |  SELECT p.win_start, p.pwin, c.event_type, c.n
+        |  FROM p16 p JOIN c16 c ON c.win_start = p.win_start),
+        |pv16 AS (
+        |  SELECT p.win_start, p.pwin, c.event_type, c.n AS m
+        |  FROM p16 p JOIN c16 c ON c.win_start = p.pwin),
+        |f16 AS (
+        |  SELECT COALESCE(a.win_start, b.win_start) AS win_start,
+        |    COALESCE(a.pwin, b.pwin) AS pwin,
+        |    COALESCE(a.event_type, b.event_type) AS event_type,
+        |    COALESCE(a.n, 0) AS n, COALESCE(b.m, 0) AS m
+        |  FROM cu16 a FULL JOIN pv16 b
+        |    ON a.win_start = b.win_start AND a.pwin = b.pwin
+        |   AND a.event_type = b.event_type),
+        |g16 AS (
+        |  SELECT f.win_start, f.pwin,
+        |    CAST(sum(abs(f.n * p.ptot - f.m * p.tot)) AS BIGINT) AS tvnum,
+        |    p.tot, p.ptot
+        |  FROM f16 f JOIN p16 p ON f.win_start = p.win_start
+        |  GROUP BY 1, 2, 4, 5)
+        |SELECT win_start, pwin AS prev_win,
+        |  CAST((tvnum * 1000000) // (tot * ptot) AS BIGINT) AS tv_fp
+        |FROM g16 ORDER BY win_start""".stripMargin,
     "s2_sliding" ->
       """WITH w AS (
         |  SELECT event_type,

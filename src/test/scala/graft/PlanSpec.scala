@@ -302,4 +302,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"),
       s"expected collect_list reassembly as ObjectHashAggregate:\n$p")
   }
+
+  test("J15: the bucketed join is a SortMergeJoin over bucket-aligned " +
+       "scans — the join itself pays NO Exchange") {
+    val p = plan("j15_bucketed")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"scans are not bucket-pruned reads:\n$p")
+    // the only exchanges in the whole plan are the ones AFTER the join:
+    // the 2-phase aggregate's hash partitioning and the final sort's
+    // range partitioning — with unbucketed inputs there are two more
+    // (one per join side), which is exactly what this pin forbids
+    val nEx = "Exchange".r.findAllIn(p).size
+    assert(nEx <= 2, s"expected <=2 post-join exchanges, got $nEx:\n$p")
+    // and they must sit ABOVE the join: in the top-down plan string the
+    // join's subtree (its sorts + scans) prints AFTER the SMJ line, so
+    // no Exchange may appear past it
+    val joinAt = p.indexOf("SortMergeJoin")
+    assert(!p.substring(joinAt).contains("Exchange"),
+      s"an Exchange sits below the SortMergeJoin — bucketing was not " +
+      s"used for co-location:\n$p")
+  }
 }

@@ -140,4 +140,36 @@ class RetrievalGraphSpec extends AnyFunSuite {
     assert(got.toSeq.map(r => (r._1, r._4)) == refTop,
       s"engine ${got.take(3).toSeq} vs ref ${refTop.take(3)}")
   }
+
+  test("G2: per-node triangle counts equal an in-memory brute force, " +
+       "and the graph actually has triangles") {
+    val s = TestSpark.spark
+    // brute force: undirected co-order part edges, count triangles per
+    // node by iterating neighbor pairs (no orientation — independent of
+    // the engine's degree-ordered algorithm)
+    val li = graft.core.Tables.lineitem(s, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = scala.collection.mutable.Map[Long, Long]()
+    edges.foreach { case (a, b) =>
+      (adj(a) & adj(b)).foreach { c =>
+        // count each triangle once per corner via its a<b edge + common
+        // neighbor c>b (so {a,b,c} with a<b<c is seen exactly once)
+        if (c > b) Seq(a, b, c).foreach(n =>
+          triPerNode(n) = triPerNode.getOrElse(n, 0L) + 1L)
+      }
+    }
+    assert(triPerNode.values.sum > 0, "no triangles — test vacuous")
+    val refTop = triPerNode.toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
+    val got = SparkEntry.queries("g2_triangles")(s, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == refTop, s"engine ${got.take(5)} vs ref ${refTop.take(5)}")
+  }
 }

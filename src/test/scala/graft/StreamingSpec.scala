@@ -587,6 +587,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S16: drift TV distance equals an in-memory exact-integer " +
+       "reference over closed windows, and the stream is non-flat") {
+    val evs = Tables.events(s, sf).select("ts", "event_type").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)))
+    val maxTs = evs.map(_._1).max
+    val hour = 3600000L
+    val closed = evs.map { case (t, ty) => ((t / hour) * hour, ty) }
+      .filter { case (w, _) => w + hour < maxTs - 600000L }
+    val hist: Map[Long, Map[String, Long]] = closed.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap)
+      .toMap
+    val wins = hist.keys.toSeq.sorted
+    val ref = wins.sliding(2).collect { case Seq(pw, w) =>
+      val (cur, prv) = (hist(w), hist(pw))
+      val n = cur.values.sum; val m = prv.values.sum
+      val tvnum = (cur.keySet ++ prv.keySet).toSeq.map(t =>
+        math.abs(cur.getOrElse(t, 0L) * m - prv.getOrElse(t, 0L) * n)).sum
+      (w, pw, tvnum * 1000000L / (n * m))
+    }.toSeq
+    assert(ref.nonEmpty, "fewer than 2 closed windows — test vacuous")
+    assert(ref.exists(_._3 > 0L),
+      "every window pair has an identical mix — drift signal vacuous")
+    val got = SparkEntry.queries("s16_drift")(s, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+                 r.getLong(2))).toSeq
+    assert(got == ref, s"engine ${got.take(3)} vs ref ${ref.take(3)}")
+  }
+
   test("S14: the absence pattern equals an in-memory reference, and " +
        "the negation clause is positively exercised") {
     val ev = Tables.events(s, sf)
