@@ -287,6 +287,36 @@ object Aggregates {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // A15 — EXACT weighted median (the a8/a12 family's missing face:
+    // a8 interpolates unweighted ranks, a12 sketches): per returnflag,
+    // the smallest quantity whose cumulative revenue weight reaches
+    // half the group's total. Exact-integer weights (price cents, the
+    // a10 convention) so the 2·cw ≥ tot threshold has no IEEE edge.
+    // 100 TB: the ONLY pass over raw rows is the (flag, quantity)
+    // two-phase weight-mass aggregate; the cumulative window then runs
+    // on aggregate cardinality (groups × distinct values), so the
+    // per-group ordered scan — the part that can't distribute — never
+    // touches data-sized input. For value domains too large to
+    // aggregate (continuous weights), a8's GlobalRank machinery is the
+    // documented fallback.
+    "a15_weighted_median" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window
+      val w = li(s, dir).select(col("l_returnflag"),
+          asLong(col("l_quantity")).as("q"),
+          round(col("l_extendedprice") * 100, 0).cast(LongType).as("cents"))
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(sum(col("cents")).as("wsum"))
+      w.withColumn("cw", sum(col("wsum")).over(
+          win.partitionBy(col("l_returnflag")).orderBy(col("q"))))
+        .withColumn("tot", sum(col("wsum")).over(
+          win.partitionBy(col("l_returnflag"))))
+        .filter(col("cw") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("q")).as("wmedian_qty"),
+             max(col("tot")).as("tot_cents"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // A10 — custom typed Aggregator (weighted average) via udaf().
     "a10_wavg" -> ((s, dir) =>
       li(s, dir).select(col("l_returnflag"),
@@ -418,6 +448,21 @@ object Aggregates {
         |  bool_or(c_acctbal > 9000) AS any_big
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "a15_weighted_median" ->
+      """WITH w15 AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |         AS BIGINT) AS wsum
+        |  FROM lineitem GROUP BY 1, 2),
+        |c15 AS (
+        |  SELECT l_returnflag, q, wsum,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY q) AS cw,
+        |    sum(wsum) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM w15)
+        |SELECT l_returnflag, CAST(min(q) AS BIGINT) AS wmedian_qty,
+        |  CAST(max(tot) AS BIGINT) AS tot_cents
+        |FROM c15 WHERE cw * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "a10_wavg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)

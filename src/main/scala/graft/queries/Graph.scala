@@ -181,7 +181,43 @@ object Graph {
       .distinct()
   }
 
+  /** G3 label-propagation rounds — fixed, part of the canonical
+    * definition (synchronous LPA converges or 2-cycles; a fixed round
+    * count keeps it deterministic and oracle-replayable). */
+  val LpaRounds = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G3 — LABEL PROPAGATION community detection (Raghavan et al. 2007)
+    // on the co-order part graph: every node starts as its own label;
+    // each synchronous round adopts the MODE of the neighbors' labels,
+    // ties to the smallest label — fully deterministic, zero IEEE ops.
+    // The per-round mode is the repo's skew-safe two-phase argmax
+    // (max(struct(cnt, -label)) — the l36 idiom), never a window over
+    // a hub's neighbor list. 100 TB: per round one shuffle join on src
+    // + two-phase aggregate on dst, lineage truncated per round (the
+    // G1 Pregel shape); symmetric edges mean every node is some dst,
+    // so labels never drop. Output: community sizes (label, members).
+    "g3_labelprop" -> ((s, d) => {
+      val und = partEdges(s, d)
+      val e = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      var lbl = e.select(col("src").as("nid")).distinct()
+        .select(col("nid"), col("nid").as("lbl"))
+        .localCheckpoint()
+      for (_ <- 1 to LpaRounds) {
+        lbl = e.join(lbl, e("src") === lbl("nid"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("dst").as("nid"), (-col("m.nl")).as("lbl"))
+          .localCheckpoint()
+      }
+      lbl.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community").asc)
+    }),
+
     // G2 — exact triangle counting per node, top-20. The scalable
     // degree-ordered orientation (Latapy's compact-forward / the MR
     // "graph twiddling" form): orient every undirected edge from the
@@ -300,6 +336,36 @@ object Graph {
        |ORDER BY pr DESC, nid ASC LIMIT 20""".stripMargin
   }
 
+  /** G3 generated oracle: LpaRounds synchronous rounds unrolled, each
+    * replaying count-per-(dst,label) + smallest-label-mode verbatim. */
+  private def g3Sql: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""cl$i AS (
+         |  SELECT e.dst, l.lbl, count(*) AS c
+         |  FROM eg3 e JOIN lb${i - 1} l ON e.src = l.nid
+         |  GROUP BY 1, 2),
+         |lb$i AS MATERIALIZED (
+         |  SELECT dst AS nid, lbl FROM (
+         |    SELECT dst, lbl, row_number() OVER (PARTITION BY dst
+         |      ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM cl$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op3 AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ue3 AS MATERIALIZED (
+       |  SELECT DISTINCT x.pk AS a, y.pk AS b
+       |  FROM op3 x JOIN op3 y ON x.ok = y.ok AND x.pk < y.pk),
+       |eg3 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM ue3
+       |  UNION ALL SELECT b AS src, a AS dst FROM ue3),
+       |lb0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS nid, src AS lbl FROM eg3),
+       |$rounds
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+       |FROM lb${LpaRounds} GROUP BY 1
+       |ORDER BY n_members DESC, community ASC""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     // Generated oracle (the l3c idiom): the five rounds unrolled as
     // chained CTEs, each replaying the integer Pregel step verbatim.
@@ -317,6 +383,7 @@ object Graph {
     Map(
       // g2 — the same degree-ordered orientation replayed: pack the
       // (deg, id) order into one BIGINT key, orient, wedge-join, close.
+      "g3_labelprop" -> g3Sql,
       "g2_triangles" ->
         """WITH op2 AS (
           |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

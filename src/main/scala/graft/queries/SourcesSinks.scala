@@ -159,6 +159,41 @@ object SourcesSinks {
              d(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"),
              min(col("ts")).as("min_ts"),
              max(col("ts")).as("max_ts"))
+    }),
+
+    // SNK6 — small-file COMPACTION of a partitioned table: the
+    // operational pass every streaming sink needs (S13's per-batch
+    // deltas, SNK4's snapshots — micro-batch writers shed a file per
+    // batch per partition, and at 100 TB a year of hourly batches is
+    // ~10⁴ files per partition, which kills scan planning long before
+    // it kills I/O). Fragment: events written partitionBy(event_type)
+    // with 8 shuffle partitions → 8 files per partition dir. Compact:
+    // re-read, ONE hash shuffle keyed on the partition column (every
+    // row of a partition lands in one task) → exactly one file per
+    // partition dir, dynamic-overwrite so only touched partitions
+    // rewrite (partition-scoped, the S13 merge economics; file-count
+    // collapse + row-set content identity pinned in
+    // `test/EngineSpec.scala` "SNK6"). The checksum
+    // reads the COMPACTED table — any row lost or doubled in the
+    // rewrite breaks the hash vs the original-parquet oracle.
+    "snk6_compaction" -> ((s, dir) => {
+      val frag = stagingDir("snk6frag", dir)
+      val comp = stagingDir("snk6comp", dir)
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+      ev.repartition(8)
+        .write.mode("overwrite").partitionBy("event_type").parquet(frag)
+      val back = s.read.parquet(frag)
+      back.repartition(col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(comp)
+      s.read.parquet(comp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).as("sum_id"),
+             sum(col("user_id")).as("sum_uid"),
+             d(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -200,6 +235,14 @@ object SourcesSinks {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  CAST(min(ts) AS TIMESTAMP) AS min_ts,
         |  CAST(max(ts) AS TIMESTAMP) AS max_ts
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    // snk6 — DuckDB reads the ORIGINAL parquet; fragment + compact
+    // must be lossless per partition
+    "snk6_compaction" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -111,4 +111,34 @@ class AggregatesSpec extends AnyFunSuite {
     val docs = Tables.documents(s, sf).count()
     assert(survivors.getLong(1) == docs) // every doc in exactly one group
   }
+
+  test("A15: exact weighted median equals an in-memory reference and " +
+       "satisfies the defining mass inequality on both sides") {
+    val rows = Tables.lineitem(s, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        math.round(r.getDouble(2) * 100)))
+    val ref = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, g) =>
+      val byQ = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+        .sortBy(_._1)
+      val tot = byQ.map(_._2).sum
+      var cum = 0L
+      val med = byQ.collectFirst {
+        case (q, w) if { cum += w; 2 * cum >= tot } => q
+      }.get
+      (f, med, tot)
+    }
+    val got = SparkEntry.queries("a15_weighted_median")(s, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    assert(got == ref, s"engine $got vs ref $ref")
+    // the defining property, checked independently of the scan order:
+    // mass strictly below the median < half; mass up to it >= half
+    got.foreach { case (f, med, tot) =>
+      val below = rows.filter(r => r._1 == f && r._2 < med).map(_._3).sum
+      val upTo = rows.filter(r => r._1 == f && r._2 <= med).map(_._3).sum
+      assert(2 * below < tot, s"$f: median too high")
+      assert(2 * upTo >= tot, s"$f: median too low")
+    }
+  }
 }

@@ -67,4 +67,46 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.toString).toSet
     assert(salted == plain && plain.nonEmpty)
   }
+
+  test("SNK6: compaction collapses every partition to one file, drops " +
+       "no bytes of content, and leaves other partitions' layout alone") {
+    // run the canonical query (stages fragment + compacted copies in
+    // this JVM's pid-scoped staging root), then audit the layout
+    val out = SparkEntry.queries("snk6_compaction")(s, TestSpark.Sf)
+      .collect()
+    assert(out.nonEmpty)
+    val key = TestSpark.Sf.replaceAll("[^a-zA-Z0-9.]", "_")
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_roundtrip",
+      s"p${ProcessHandle.current().pid()}")
+    def partFiles(kind: String): Map[String, Int] = {
+      val base = root.resolve(s"${kind}_$key")
+      assert(java.nio.file.Files.isDirectory(base), s"missing $base")
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(base)
+      try ls.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("event_type="))
+        .map { p =>
+          val fl = java.nio.file.Files.list(p)
+          try p.getFileName.toString -> fl.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+          finally fl.close()
+        }.toMap
+      finally ls.close()
+    }
+    val frag = partFiles("snk6frag")
+    val comp = partFiles("snk6comp")
+    assert(frag.keySet == comp.keySet, s"partition sets differ: " +
+      s"${frag.keySet} vs ${comp.keySet}")
+    assert(frag.values.forall(_ > 1),
+      s"fragmented table is not fragmented: $frag")
+    assert(comp.values.forall(_ == 1),
+      s"compaction left multiple files somewhere: $comp")
+    // content identity beyond the checksum columns: full row-set equal
+    val a = s.read.parquet(root.resolve(s"snk6frag_$key").toString)
+      .collect().map(_.toString).sorted
+    val b = s.read.parquet(root.resolve(s"snk6comp_$key").toString)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "row sets differ between fragment and compact")
+  }
 }

@@ -172,4 +172,34 @@ class RetrievalGraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == refTop, s"engine ${got.take(5)} vs ref ${refTop.take(5)}")
   }
+
+  test("G3: label-propagation communities equal an in-memory " +
+       "synchronous-LPA reference, and propagation actually merges") {
+    val s = TestSpark.spark
+    val li = graft.core.Tables.lineitem(s, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val und = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSet
+    val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to graft.queries.Graph.LpaRounds) {
+      lbl = adj.map { case (v, ns) =>
+        val cnt = ns.groupBy(lbl).view.mapValues(_.length).toSeq
+        v -> cnt.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val ref = lbl.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .sortBy { case (l, n) => (-n, l) }
+    assert(ref.size < lbl.size,
+      "every node kept its own label — propagation vacuous")
+    val got = SparkEntry.queries("g3_labelprop")(s, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ref, s"engine ${got.take(5)} vs ref ${ref.take(5)}")
+  }
 }
