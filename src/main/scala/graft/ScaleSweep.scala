@@ -59,7 +59,15 @@ object ScaleSweep {
     // relation ~25% over l45's — the one new unknown, watchlisted),
     // g1b's data-dependent round count (rounds are log-ish in scale,
     // so the exponent prices rounds × per-round shuffle).
-    "l45_bm25_topk", "l46_passage_decon", "g1b_pagerank_conv")
+    "l45_bm25_topk", "l46_passage_decon", "g1b_pagerank_conv",
+    // r13 second batch: g2's wedge volume is the one that COULD grow
+    // superlinearly (orientation bounds it — the measurement is the
+    // proof), g3 is rounds × linear shuffles, j14's name domain is
+    // fixed-size (expect e ≈ 0 — the blocking claim), j15 prices the
+    // bucketed write + exchange-free join, snk6 the double rewrite,
+    // a15 the two-phase mass aggregate.
+    "g2_triangles", "g3_labelprop", "j14_editdist_join", "j15_bucketed",
+    "snk6_compaction", "a15_weighted_median")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */
@@ -67,8 +75,9 @@ object ScaleSweep {
     "s5_interval_join", "s5b_interval_left", "s5c_interval_full",
     "s11_chained", "s13_sig_refresh",
     // r13: the watermark-evicted heavy-hitter state — per-batch state
-    // rows scale with active users per window, the part that matters
-    "s15_heavy_hitters")
+    // rows scale with active users per window, the part that matters —
+    // and the drift monitor's histogram state (windows × types)
+    "s15_heavy_hitters", "s16_drift")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
@@ -180,8 +189,9 @@ object ScaleSweep {
       "l22_dup_clusters", "l39_corpus_export", "l34b_semantic_autok",
       // r12: banded-hamming candidate volume is the one new unknown
       "l8e_image_neardup",
-      // r13: chunk-corpus BM25 candidate volume needs the second decade
-      "l46_passage_decon")
+      // r13: chunk-corpus BM25 candidate volume needs the second decade,
+      // as does g2's oriented wedge volume
+      "l46_passage_decon", "g2_triangles")
     val measured = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, (Double, Double)]]()
     def record(q: String, ratio: Double, sSec: Double, bSec: Double): Unit =
       measured.getOrElseUpdate(q, scala.collection.mutable.Map.empty)

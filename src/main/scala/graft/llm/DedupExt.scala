@@ -704,6 +704,106 @@ object DedupExt {
     // hint-free (AQE picks broadcast when the vocab head fits, shuffle
     // when an adversarial vocab doesn't — the bounded-broadcast L38
     // fix applies identically if the head is worth pinning).
+    // L47 — TRIGRAM LM surprisal with Katz-style integer BACKOFF, the
+    // top of the l38 (unigram) → l43 (bigram) ladder and the form a
+    // KenLM-style quality filter actually runs: counts come from the
+    // TRAIN split only (doc_id % 97 ≠ 0, the L27 eval convention), so
+    // scoring the full corpus exercises unseen events. Per trigram
+    // position, exact-integer bits (floor-log2 via bin-length):
+    //   seen trigram:            flog2(c2(t1,t2) div c3)
+    //   else seen bigram(t2,t3): 4 + flog2(c1(t2) div c2(t2,t3))
+    //   else seen unigram t3:    8 + flog2(T div c1(t3))
+    //   else (OOV):             12 + flog2(T)
+    // (fixed 4-bit backoff penalties — a deterministic stand-in for
+    // the non-replayable IEEE discount weights; every ratio ≥ 1 by
+    // containment, so bits ≥ 0). Backoff is exercised BY DESIGN: the
+    // 31-token shared vocabulary would otherwise make every eval
+    // n-gram seen, so eval anchor doc 97 gets the disjoint-vocabulary
+    // DeconText appended (the L46 injection, replayed in the oracle) —
+    // its OOV tail must land in the level-0 branch (pinned in
+    // LlmSpec "L47"). T is a 1-row driver scalar (bounded by
+    // construction). 100 TB: count tables are 2-phase aggs; scoring is
+    // five hint-free equi-joins on n-gram keys (corpus-sized tables
+    // shuffle, AQE broadcasts the heads that fit — the l43 contract);
+    // no window, no all-pairs.
+    "l47_trigram_backoff" -> ((s, d) => {
+      // train-side bridge probe: doc 3 (train: 3 % 97 ≠ 0) teaches the
+      // model `zzqx abacus bramble` — so the eval anchor's DeconText
+      // tail deterministically exercises EVERY backoff level:
+      //   (…X, abacus):          bigram unseen, `abacus` seen   → bk1
+      //   (X, abacus, bramble):  trigram unseen, bigram seen    → bk2
+      //   (abacus, bramble, crescent): `crescent` never trained → bk0
+      // (X = the anchor's last original token ∈ the 31-token shared
+      // vocabulary, so it can never equal the train-only `zzqx`).
+      val inj = when(col("doc_id") === Retrieval.DeconAnchor,
+          concat(col("text"), lit(" "), lit(Retrieval.DeconText)))
+        .when(col("doc_id") === 3,
+          concat(col("text"), lit(" " + L47TrainProbe)))
+        .otherwise(col("text"))
+      val docs = Tables.documents(s, d).withColumn("text", inj)
+        .withColumn("toks", split(col("text"), " "))
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      def tris(df: DataFrame, withId: Boolean): DataFrame = {
+        val g = df.filter(size(col("toks")) >= 3)
+          .select((if (withId) Seq(col("doc_id")) else Nil) :+
+            explode(expr(
+              "transform(sequence(1, size(toks) - 2), " +
+              "i -> struct(element_at(toks, i) as t1, " +
+              "element_at(toks, i + 1) as t2, " +
+              "element_at(toks, i + 2) as t3))")).as("g"): _*)
+        g.select((if (withId) Seq(col("doc_id")) else Nil) ++
+          Seq(col("g.t1"), col("g.t2"), col("g.t3")): _*)
+      }
+      val c3 = tris(train, withId = false)
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).as("c3"))
+      val c2 = train.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) as u1, " +
+          "element_at(toks, i + 1) as u2))")).as("b"))
+        .select(col("b.u1"), col("b.u2"))
+        .groupBy(col("u1"), col("u2")).agg(count(lit(1)).as("c2"))
+      val c1 = train.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val tTot = train.agg(sum(size(col("toks")).cast(LongType)))
+        .head().getLong(0)
+      tris(docs, withId = true)
+        .join(c3, Seq("t1", "t2", "t3"), "left")
+        .join(c2.select(col("u1").as("t1"), col("u2").as("t2"),
+          col("c2").as("cctx")), Seq("t1", "t2"), "left")
+        .join(c2.select(col("u1").as("t2"), col("u2").as("t3"),
+          col("c2").as("cb")), Seq("t2", "t3"), "left")
+        .join(c1.select(col("w").as("t2"), col("c1").as("cu2")),
+          Seq("t2"), "left")
+        .join(c1.select(col("w").as("t3"), col("c1").as("cu3")),
+          Seq("t3"), "left")
+        .select(col("doc_id"),
+          when(col("c3").isNotNull,
+            length(bin(expr("cctx div c3"))) - 1)
+          .when(col("cb").isNotNull,
+            lit(4) + length(bin(expr("cu2 div cb"))) - 1)
+          .when(col("cu3").isNotNull,
+            lit(8) + length(bin(expr(s"$tTot div cu3"))) - 1)
+          .otherwise(
+            lit(12) + length(bin(lit(tTot))) - 1)
+            .cast(LongType).as("b"),
+          (col("c3").isNull && col("cb").isNotNull)
+            .cast("long").as("bk2"),
+          (col("cb").isNull && col("cu3").isNotNull)
+            .cast("long").as("bk1"),
+          col("cu3").isNull.cast("long").as("bk0"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tri"), sum(col("b")).as("bits3_sum"),
+          sum(col("bk2")).as("n_bk2"), sum(col("bk1")).as("n_bk1"),
+          sum(col("bk0")).as("n_bk0"))
+        .select(col("doc_id"), col("n_tri"), col("bits3_sum"),
+          col("n_bk2"), col("n_bk1"), col("n_bk0"),
+          (col("bits3_sum").cast(DoubleType) /
+            col("n_tri").cast(DoubleType)).as("avg_bits3"))
+        .orderBy(col("doc_id"))
+    }),
+
     "l43_bigram_surprisal" -> ((s, d) => {
       val bg = Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
@@ -795,6 +895,12 @@ object DedupExt {
     "home products pricing docs blog careers contact login"
   private[llm] val ParaFooter =
     "copyright 2024 example corp all rights reserved terms privacy"
+
+  /** L47 train-side bridge probe (appended to train doc 3, oracle-
+    * replayed): `zzqx` is train-only, `abacus bramble` is the head of
+    * the eval anchor's DeconText tail — together they make every
+    * backoff level structurally reachable (see the l47 query comment). */
+  private[llm] val L47TrainProbe = "zzqx abacus bramble"
 
   /** L38 head cap: unigram-table rows broadcast for the map-side scoring
     * join — the top-L38HeadK tokens by (cnt DESC, token ASC). 64 Ki rows
@@ -1287,6 +1393,72 @@ object DedupExt {
         |FROM documents
         |LEFT JOIN st USING (doc_id) LEFT JOIN rm33 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // l47 — train-split n-gram counts, the same backoff CASE ladder
+    // with // floor division and bin-length floor-log2; injection
+    // replayed verbatim. T is recomputed in SQL (not interpolated) so
+    // the oracle is self-contained.
+    "l47_trigram_backoff" ->
+      s"""WITH d47 AS (
+        |  SELECT doc_id,
+        |    string_split(CASE WHEN doc_id = ${Retrieval.DeconAnchor}
+        |      THEN text || ' ' || '${Retrieval.DeconText}'
+        |      WHEN doc_id = 3 THEN text || ' ' || '$L47TrainProbe'
+        |      ELSE text END, ' ') AS toks
+        |  FROM documents),
+        |tr47 AS (SELECT * FROM d47 WHERE doc_id % 97 <> 0),
+        |tg47 AS (
+        |  SELECT toks[i] AS t1, toks[i + 1] AS t2, toks[i + 2] AS t3
+        |  FROM tr47, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+        |  WHERE len(toks) >= 3),
+        |c347 AS (
+        |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS c3
+        |  FROM tg47 GROUP BY 1, 2, 3),
+        |bg47 AS (
+        |  SELECT toks[i] AS u1, toks[i + 1] AS u2
+        |  FROM tr47, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        |  WHERE len(toks) >= 2),
+        |c247 AS (
+        |  SELECT u1, u2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg47 GROUP BY 1, 2),
+        |w47 AS (SELECT unnest(toks) AS w FROM tr47),
+        |c147 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |         FROM w47 GROUP BY 1),
+        |t47 AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS tt FROM tr47),
+        |sc47 AS (
+        |  SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2,
+        |    toks[i + 2] AS t3
+        |  FROM d47, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+        |  WHERE len(toks) >= 3),
+        |j47 AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN c3.c3 IS NOT NULL
+        |           THEN length(bin(cx.c2 // c3.c3)) - 1
+        |         WHEN cb.c2 IS NOT NULL
+        |           THEN 4 + length(bin(u2.c1 // cb.c2)) - 1
+        |         WHEN u3.c1 IS NOT NULL
+        |           THEN 8 + length(bin(t.tt // u3.c1)) - 1
+        |         ELSE 12 + length(bin(t.tt)) - 1 END AS b,
+        |    CASE WHEN c3.c3 IS NULL AND cb.c2 IS NOT NULL
+        |         THEN 1 ELSE 0 END AS bk2,
+        |    CASE WHEN cb.c2 IS NULL AND u3.c1 IS NOT NULL
+        |         THEN 1 ELSE 0 END AS bk1,
+        |    CASE WHEN u3.c1 IS NULL THEN 1 ELSE 0 END AS bk0
+        |  FROM sc47 s
+        |  LEFT JOIN c347 c3
+        |    ON s.t1 = c3.t1 AND s.t2 = c3.t2 AND s.t3 = c3.t3
+        |  LEFT JOIN c247 cx ON s.t1 = cx.u1 AND s.t2 = cx.u2
+        |  LEFT JOIN c247 cb ON s.t2 = cb.u1 AND s.t3 = cb.u2
+        |  LEFT JOIN c147 u2 ON s.t2 = u2.w
+        |  LEFT JOIN c147 u3 ON s.t3 = u3.w
+        |  CROSS JOIN t47 t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |  CAST(sum(b) AS BIGINT) AS bits3_sum,
+        |  CAST(sum(bk2) AS BIGINT) AS n_bk2,
+        |  CAST(sum(bk1) AS BIGINT) AS n_bk1,
+        |  CAST(sum(bk0) AS BIGINT) AS n_bk0,
+        |  CAST(sum(b) AS DOUBLE) / count(*) AS avg_bits3
+        |FROM j47 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // l43 — bigram counts, left-marginal and the integer floor-log2
     // replayed verbatim (the l38 bin-length idiom on the conditional

@@ -264,32 +264,27 @@ object Joins {
           explode(array(idxKeys: _*)).as("k"))
         .select(col("s_nm"), col("k.ls").as("ls"), col("k.seg").as("seg"),
           col("k.sub").as("sub"))
-      val probeKeys = for { dl <- -2 to 2; i <- 0 to 2; sh <- -2 to 2 }
-        yield expr(
-          s"""CASE WHEN length(nm) + ($dl) >= 1
-             |  AND $i * ((length(nm) + ($dl)) div 3)
-             |      + greatest(0, $i - (3 - ((length(nm) + ($dl)) % 3)))
-             |      + ($sh) >= 0
-             |  AND $i * ((length(nm) + ($dl)) div 3)
-             |      + greatest(0, $i - (3 - ((length(nm) + ($dl)) % 3)))
-             |      + ($sh)
-             |      + ((length(nm) + ($dl)) div 3)
-             |      + (CASE WHEN $i >= 3 - ((length(nm) + ($dl)) % 3)
-             |              THEN 1 ELSE 0 END) <= length(nm)
-             |THEN named_struct('ls', length(nm) + ($dl), 'seg', $i, 'sub',
-             |  substr(nm,
-             |    $i * ((length(nm) + ($dl)) div 3)
-             |      + greatest(0, $i - (3 - ((length(nm) + ($dl)) % 3)))
-             |      + ($sh) + 1,
-             |    ((length(nm) + ($dl)) div 3)
-             |      + (CASE WHEN $i >= 3 - ((length(nm) + ($dl)) % 3)
-             |              THEN 1 ELSE 0 END)))
-             |END""".stripMargin)
+      // the ≤75 (Δlen, segment, shift) combos as DATA (one exploded
+      // literal array), so the segment arithmetic is written ONCE as
+      // shared column expressions — the unrolled-75-CASEs alternative
+      // blew janino's 64 KB method cap and fell back to interpreted
+      val combos = array((for { dl <- -2 to 2; i <- 0 to 2; sh <- -2 to 2 }
+        yield struct(lit(dl).as("dl"), lit(i).as("sg"),
+          lit(sh).as("sh"))): _*)
       val probe = names.select(col("nm").as("t_nm"),
-          explode(array(probeKeys: _*)).as("k"))
-        .filter(col("k").isNotNull)
-        .select(col("t_nm"), col("k.ls").as("ls"), col("k.seg").as("seg"),
-          col("k.sub").as("sub"))
+          explode(combos).as("c"))
+        .withColumn("ls", length(col("t_nm")) + col("c.dl"))
+        .withColumn("bs", expr("ls div 3"))
+        .withColumn("rm", expr("ls % 3"))
+        .withColumn("li", col("bs") +
+          when(col("c.sg") >= lit(3) - col("rm"), 1).otherwise(0))
+        .withColumn("p", col("c.sg") * col("bs") +
+          greatest(lit(0), col("c.sg") - (lit(3) - col("rm"))) +
+          col("c.sh"))
+        .filter(col("ls") >= 1 && col("p") >= 0 &&
+          col("p") + col("li") <= length(col("t_nm")))
+        .select(col("t_nm"), col("ls"), col("c.sg").as("seg"),
+          expr("substr(t_nm, p + 1, li)").as("sub"))
       idx.join(probe, Seq("ls", "seg", "sub"))
         .filter(col("s_nm") < col("t_nm"))
         .select(col("s_nm").as("name_a"), col("t_nm").as("name_b"))

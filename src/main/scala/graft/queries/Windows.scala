@@ -169,6 +169,35 @@ object Windows {
                  unix_micros(col("session_window.start")))
                .as("total_dur_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // W9 — BATCH CEP / sequence-pattern detection (the batch face of
+    // S8's streaming funnel and S14's absence operator): per user, the
+    // full ts-ordered event-type sequence reduced to a letter string,
+    // then matched against the STRICT pattern view·click·purchase
+    // (contiguous, no intervening events — MATCH_RECOGNIZE's default
+    // row-per-match strictness, and S8's funnel flavor) as one regex. The per-key ordered fold is
+    // array_sort(collect_list(struct(ts, event_id, type))) — the
+    // struct's field order IS the sort key, so the sequence is total
+    // and deterministic (ts ties broken by event_id, the repo-wide
+    // convention). 100 TB: one hash shuffle on user_id, per-user
+    // sequences are session-bounded in practice (the w8 gap analysis
+    // caps them); for adversarially long keys the same pattern runs
+    // per (user, session_window) — the composition is w8 ∘ w9, no new
+    // machinery. No window function, no self-join per pattern step —
+    // MATCH_RECOGNIZE semantics from one aggregate + one regex.
+    "w9_seq_pattern" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(col("e"))).as("es"))
+        .select(col("user_id"), size(col("es")).cast("long").as("n_events"),
+          concat_ws("", transform(col("es"),
+            x => substring(x.getField("event_type"), 1, 1))).as("sq"))
+        .select(col("user_id"), col("n_events"),
+          col("sq").rlike("vcp").as("converted"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -272,6 +301,13 @@ object Windows {
         |  CAST(sum(n_ev) AS BIGINT) AS n_events,
         |  CAST(max(n_ev) AS BIGINT) AS max_session,
         |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us
-        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // w9 — the same total order (ts, event_id) via string_agg ORDER BY,
+    // the same subsequence regex
+    "w9_seq_pattern" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
+        |    ORDER BY ts, event_id), 'vcp') AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

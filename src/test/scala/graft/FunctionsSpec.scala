@@ -32,4 +32,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length == a.length)
     assert(a.map(_._3).distinct.length > a.length * 9 / 10) // 32-bit: allow rare collisions
   }
+
+  test("W9: batch sequence-pattern detection equals an in-memory " +
+       "ordered-subsequence reference, with both outcomes present") {
+    val s = TestSpark.spark
+    val evs = graft.core.Tables.events(s, TestSpark.Sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val i = r.getTimestamp(1).toInstant // FULL µs precision: an
+        // ms-truncated sort key would order same-ms ties differently
+        (r.getLong(0), i.getEpochSecond * 1000000L + i.getNano / 1000L,
+         r.getLong(2), r.getString(3))
+      }
+    val ref = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, g) =>
+      val sq = g.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+      (u, g.length.toLong, sq.contains("vcp"))
+    }
+    val got = SparkEntry.queries("w9_seq_pattern")(s, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    assert(got == ref, s"engine ${got.take(3)} vs ref ${ref.take(3)}")
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "pattern matches all-or-none of the users — test vacuous")
+  }
 }

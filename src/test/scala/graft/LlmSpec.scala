@@ -638,6 +638,30 @@ class LlmSpec extends AnyFunSuite {
     assert(naive.nonEmpty, "no heavy hitters — test vacuous")
   }
 
+  test("L47: trigram backoff fires exactly where it can — never on a " +
+       "train doc, at every level on the designed eval anchor") {
+    val s = TestSpark.spark
+    val out = SparkEntry.queries("l47_trigram_backoff")(s, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    // train docs contribute their own n-grams to the counts, so every
+    // train position must resolve at the trigram level — any backoff
+    // there means the count tables and the scoring stream disagree
+    out.filter(_._1 % 97 != 0).foreach { case (id, _, _, b2, b1, b0) =>
+      assert(b2 == 0 && b1 == 0 && b0 == 0,
+        s"train doc $id backed off ($b2, $b1, $b0)")
+    }
+    // the designed injection makes all three levels structurally
+    // certain on the anchor (see the query comment's derivation)
+    val a = out.find(_._1 == graft.llm.Retrieval.DeconAnchor).get
+    assert(a._4 > 0, s"anchor never hit bk2: $a")
+    assert(a._5 > 0, s"anchor never hit bk1: $a")
+    assert(a._6 > 0, s"anchor never hit bk0: $a")
+    // bits are nonneg and every doc with >=3 tokens is scored
+    assert(out.forall(r => r._3 >= 0 && r._2 > 0))
+  }
+
   test("L46: passage decontamination never surfaces eval docs, every " +
        "eval item gets hits, and the designed contamination is recalled " +
        "at rank 1-3") {
