@@ -67,7 +67,9 @@ object ScaleSweep {
     // bucketed write + exchange-free join, snk6 the double rewrite,
     // a15 the two-phase mass aggregate.
     "g2_triangles", "g3_labelprop", "j14_editdist_join", "j15_bucketed",
-    "snk6_compaction", "a15_weighted_median")
+    "snk6_compaction", "a15_weighted_median",
+    // w9's per-user ordered fold, l47's five n-gram scoring joins
+    "w9_seq_pattern", "l47_trigram_backoff")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */
