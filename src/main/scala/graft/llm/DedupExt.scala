@@ -893,14 +893,14 @@ object DedupExt {
     * collide with an organic 20-token chunk. */
   private[llm] val ParaNav =
     "home products pricing docs blog careers contact login"
-  private[llm] val ParaFooter =
-    "copyright 2024 example corp all rights reserved terms privacy"
+  private[llm] val ParaFooter = Retrieval.oracleLit(
+    "copyright 2024 example corp all rights reserved terms privacy")
 
   /** L47 train-side bridge probe (appended to train doc 3, oracle-
     * replayed): `zzqx` is train-only, `abacus bramble` is the head of
     * the eval anchor's DeconText tail — together they make every
     * backoff level structurally reachable (see the l47 query comment). */
-  private[llm] val L47TrainProbe = "zzqx abacus bramble"
+  private[llm] val L47TrainProbe = Retrieval.oracleLit("zzqx abacus bramble")
 
   /** L38 head cap: unigram-table rows broadcast for the map-side scoring
     * join — the top-L38HeadK tokens by (cnt DESC, token ASC). 64 Ki rows

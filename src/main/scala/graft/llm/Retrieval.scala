@@ -65,11 +65,22 @@ object Retrieval {
     * chunk stride, so at least one chunk of every contaminated doc
     * contains the full 8-term query prefix (chunk starts every 40
     * positions; an 8-token span always fits one 50-token window). */
-  private[graft] val DeconText =
-    ("abacus bramble crescent dulcimer eyrie fjord gossamer hinterland " +
-     "isthmus jacquard kelp lattice mistral nimbus obsidian parapet " +
-     "quill rampart sextant talisman umber vellum wicket xylem yonder " +
-     "zephyr arroyo bastion cairn delta9")
+  /** Guard for constants spliced into single-quoted oracle SQL string
+    * literals: only [a-z0-9 ] may pass — a quote (or a LIKE-ish
+    * metachar) would break or silently change the oracle SQL with no
+    * compile-time signal (advisor r13). Fails at object init, so a bad
+    * constant can never reach an interpolation site. */
+  private[llm] def oracleLit(s: String): String = {
+    require(s.matches("[a-z0-9 ]+"),
+      s"oracle-injected constant must match [a-z0-9 ]+: $s")
+    s
+  }
+
+  private[graft] val DeconText = oracleLit(
+    "abacus bramble crescent dulcimer eyrie fjord gossamer hinterland " +
+    "isthmus jacquard kelp lattice mistral nimbus obsidian parapet " +
+    "quill rampart sextant talisman umber vellum wicket xylem yonder " +
+    "zephyr arroyo bastion cairn delta9")
 
   /** L46 knobs: eval split = doc_id % 97 == 0 (the L27 convention);
     * contaminated train slice = doc_id % 89 == 3; eval anchor doc 97

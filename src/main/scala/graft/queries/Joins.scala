@@ -306,10 +306,16 @@ object Joins {
     // side can't take); output = a1-style decimal-exact aggregate.
     "j15_bucketed" -> ((s, dir) => {
       val nb = 8
+      // table names keyed by the dataset dir (the stagingDir convention):
+      // two sessions in one warehouse running j15 against different sf
+      // dirs must not race on one global table pair
+      val key = dir.replaceAll("[^a-zA-Z0-9.]", "_").replace(".", "_")
+      val tOrders = s"graft_j15_orders_$key"
+      val tLineitem = s"graft_j15_lineitem_$key"
       // managed-table hygiene: a previous JVM's run leaves the location
       // on disk while this JVM's in-memory catalog has never heard of
       // the table — DROP alone won't clear it, so remove both
-      Seq("graft_j15_orders", "graft_j15_lineitem").foreach { t =>
+      Seq(tOrders, tLineitem).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = java.nio.file.Paths.get(
           s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
@@ -324,14 +330,14 @@ object Joins {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("graft_j15_orders")
+        .saveAsTable(tOrders)
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("graft_j15_lineitem")
-      val o = s.table("graft_j15_orders")
-      val l = s.table("graft_j15_lineitem").hint("merge")
+        .saveAsTable(tLineitem)
+      val o = s.table(tOrders)
+      val l = s.table(tLineitem).hint("merge")
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("l_quantity").cast("bigint")).as("sum_qty"),

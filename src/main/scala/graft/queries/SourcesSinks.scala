@@ -186,7 +186,8 @@ object SourcesSinks {
         .write.mode("overwrite").partitionBy("event_type").parquet(frag)
       val back = s.read.parquet(frag)
       back.repartition(col("event_type"))
-        .write.mode("overwrite").partitionBy("event_type").parquet(comp)
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").partitionBy("event_type").parquet(comp)
       s.read.parquet(comp)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -193,8 +193,14 @@ object Windows {
         .groupBy(col("user_id"))
         .agg(array_sort(collect_list(col("e"))).as("es"))
         .select(col("user_id"), size(col("es")).cast("long").as("n_events"),
+          // explicit letter map, NOT substring(type,1,1): a future event
+          // type sharing an initial with v/c/p must not silently alias
+          // into the pattern (advisor r13) — unknown types map to 'x'
           concat_ws("", transform(col("es"),
-            x => substring(x.getField("event_type"), 1, 1))).as("sq"))
+            x => when(x.getField("event_type") === "view", lit("v"))
+              .when(x.getField("event_type") === "click", lit("c"))
+              .when(x.getField("event_type") === "purchase", lit("p"))
+              .otherwise(lit("x")))).as("sq"))
         .select(col("user_id"), col("n_events"),
           col("sq").rlike("vcp").as("converted"))
         .orderBy(col("user_id"))
@@ -303,10 +309,12 @@ object Windows {
         |  CAST(sum(dur_us) AS BIGINT) AS total_dur_us
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     // w9 — the same total order (ts, event_id) via string_agg ORDER BY,
-    // the same subsequence regex
+    // the same subsequence regex, the same explicit letter map
     "w9_seq_pattern" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  regexp_matches(string_agg(substr(event_type, 1, 1), ''
+        |  regexp_matches(string_agg(
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END, ''
         |    ORDER BY ts, event_id), 'vcp') AS converted
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )

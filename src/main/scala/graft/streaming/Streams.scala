@@ -951,6 +951,18 @@ object Streams {
       // collect is bounded by the 16^PfxChars leaf count, never |batch|
       val touched = arrInput.select(col("pfx")).distinct()
         .collect().map(_.getString(0))
+      // empty arriving slice → nothing to decide, nothing to merge: make
+      // the empty path explicit (write the empty decision log so the
+      // batch-dir enumeration stays complete, skip the index read/write)
+      // rather than rely on isin(<empty>) and the arrInput-is-empty
+      // invariant lining up (advisor r13)
+      if (touched.isEmpty) {
+        arrInput.select(col("doc_id"), lit(id).as("batch_id"),
+            lit("dup").as("status"), col("doc_id").as("canon_doc_id"),
+            col("n_toks"))
+          .write.mode("overwrite").parquet(outDir.resolve(s"b$id").toString)
+        return
+      }
       val prev = batch.sparkSession.read.parquet(store.toString)
         .filter(col("bid") < id && col("pfx").isin(touched: _*))
         .select(col("sig"), col("canon"))
