@@ -186,6 +186,91 @@ object Graph {
     * count keeps it deterministic and oracle-replayable). */
   val LpaRounds = 5
 
+  /** G4 BFS round cap. Identity-safe like G1b's ConvCap: once the
+    * frontier is empty every later round is a no-op, so the generated
+    * oracle unrolls all BfsCap rounds unconditionally while the engine
+    * stops on the first empty frontier. Measured eccentricity of the
+    * support-2 graph is ≤ 7 at every shipped sf; 16 is the replayable
+    * budget, not a tuning knob. */
+  val BfsCap = 16
+
+  /** G4 source-set predicate: part nodes with partkey % BfsSrcMod == 0
+    * present in the support-2 edge relation (4 / 38 / 111 sources at
+    * sf0.001 / 0.01 / 0.1). */
+  val BfsSrcMod = 53L
+
+  /** The SUPPORT-2 co-order part graph for G4: edge {p1, p2} iff the
+    * parts co-occur in ≥ 2 DISTINCT orders — the market-basket support
+    * threshold. The unthresholded G2/G3 graph is near-complete at test
+    * scale (every 4-lineitem order contributes 6 pairs over a small
+    * part universe), so every hop distance would be ≤ 2; support-2
+    * keeps only repeatedly co-purchased pairs, giving the graph real
+    * diameter (measured 2 / 7 / 5 at the shipped sfs) and genuinely
+    * disconnected components (unreached nodes are absent from the
+    * output — part of the canonical check). Same co-order pair join as
+    * G2/G3 (one o_orderkey-keyed self-join, never all-pairs), with the
+    * distinct collapsed into the support count. */
+  private def supportEdges(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.as("x").join(op.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("a"), col("b"))
+  }
+
+  /** G4 body: multi-source frontier BFS (k-hop / unit-weight SSSP) —
+    * the "how far" member of the Pregel family (G1/G1b rank, G2 count,
+    * G3 cluster, L22 component). Exact-integer hop distance from the
+    * BfsSrcMod source set; each round joins the FRONTIER (not the full
+    * settled set) against the edge relation, drops already-settled
+    * nodes with one left-anti join, and settles survivors at the round
+    * index — equivalent to the min-aggregate formulation because in
+    * unit-weight BFS the first discovery IS the minimum distance, so no
+    * per-node min is ever recomputed. Stops on the first empty
+    * frontier (G1b's convergence machinery, with the cheaper emptiness
+    * probe replacing the stationarity join). Returns (result, rounds
+    * executed) — rounds exposed only for RetrievalGraphSpec's
+    * stopped-before-cap pin. 100 TB: per round one shuffle join of the
+    * |frontier|-sized relation against edges + one anti join against
+    * settled; total work Σ|frontier_i| · deg = O(|E|) across all
+    * rounds (each edge relaxes at most twice), round count = graph
+    * eccentricity (~O(log n) on small-world graphs); per-round
+    * localCheckpoint truncates lineage, the G1 Pregel hygiene. */
+  private[graft] def g4Run(s: SparkSession, d: String): (DataFrame, Int) = {
+    val und = supportEdges(s, d)
+    val e = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var settled = e.select(col("src").as("nid")).distinct()
+      .filter(col("nid") % BfsSrcMod === 0)
+      .select(col("nid"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = settled.select(col("nid"))
+    var rounds = 0
+    var done = frontier.isEmpty
+    while (rounds < BfsCap && !done) {
+      val next = e.join(frontier, e("src") === frontier("nid"))
+        .select(e("dst").as("nid")).distinct()
+        .join(settled, Seq("nid"), "left_anti")
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) {
+        rounds += 1
+        settled = settled
+          .unionByName(next.select(col("nid"), lit(rounds).as("dist")))
+          .localCheckpoint()
+        frontier = next
+      }
+    }
+    (settled.select(col("nid").as("p_partkey"),
+        col("dist").cast(IntegerType).as("dist"))
+      .orderBy(col("dist"), col("p_partkey")), rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G3 — LABEL PROPAGATION community detection (Raghavan et al. 2007)
     // on the co-order part graph: every node starts as its own label;
@@ -260,6 +345,7 @@ object Graph {
         .orderBy(col("tri_cnt").desc, col("p_partkey").asc)
         .limit(20)
     }),
+    "g4_bfs" -> ((s, d) => g4Run(s, d)._1),
     "g1b_pagerank_conv" -> ((s, d) => g1bRun(s, d)._1),
     "g1_pagerank" -> ((s, d) => {
       val e = edges(s, d).localCheckpoint()
@@ -366,6 +452,39 @@ object Graph {
        |ORDER BY n_members DESC, community ASC""".stripMargin
   }
 
+  /** G4 generated oracle: BfsCap rounds unrolled UNCONDITIONALLY — legal
+    * because an empty frontier makes every later round an identity (the
+    * g1bSql argument). Round i settles, at distance i, every unsettled
+    * neighbor of the settled set; joining the full settled set instead
+    * of the frontier is equivalent (neighbors of older settled nodes
+    * are already settled), and keeps each CTE self-contained. */
+  private def g4Sql: String = {
+    val rounds = (1 to BfsCap).map { i =>
+      s"""st$i AS MATERIALIZED (
+         |  SELECT nid, dist FROM st${i - 1}
+         |  UNION ALL
+         |  SELECT nid, $i AS dist FROM (
+         |    SELECT DISTINCT e.dst AS nid FROM eg4 e
+         |    JOIN st${i - 1} s ON e.src = s.nid
+         |    WHERE e.dst NOT IN (SELECT nid FROM st${i - 1})))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH opg4 AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ueg4 AS MATERIALIZED (
+       |  SELECT x.pk AS a, y.pk AS b FROM opg4 x JOIN opg4 y
+       |    ON x.ok = y.ok AND x.pk < y.pk
+       |  GROUP BY 1, 2 HAVING count(*) >= 2),
+       |eg4 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM ueg4
+       |  UNION ALL SELECT b AS src, a AS dst FROM ueg4),
+       |st0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS nid, 0 AS dist FROM eg4
+       |  WHERE src % $BfsSrcMod = 0),
+       |$rounds
+       |SELECT nid AS p_partkey, CAST(dist AS INT) AS dist
+       |FROM st$BfsCap ORDER BY dist, p_partkey""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     // Generated oracle (the l3c idiom): the five rounds unrolled as
     // chained CTEs, each replaying the integer Pregel step verbatim.
@@ -383,6 +502,7 @@ object Graph {
     Map(
       // g2 — the same degree-ordered orientation replayed: pack the
       // (deg, id) order into one BIGINT key, orient, wedge-join, close.
+      "g4_bfs" -> g4Sql,
       "g3_labelprop" -> g3Sql,
       "g2_triangles" ->
         """WITH op2 AS (

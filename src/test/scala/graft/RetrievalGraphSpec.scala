@@ -202,4 +202,49 @@ class RetrievalGraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == ref, s"engine ${got.take(5)} vs ref ${ref.take(5)}")
   }
+
+  test("G4: multi-source BFS hop distances equal an in-memory " +
+       "reference, stop before the cap, and reach past one hop") {
+    val s = TestSpark.spark
+    import graft.queries.Graph.{BfsCap, BfsSrcMod}
+    val li = graft.core.Tables.lineitem(s, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    // support-2 co-order edges: pair instances per order, kept iff the
+    // pair occurs in >= 2 distinct orders (the engine's supportEdges)
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity)
+      // NB: .filter + .keys, NOT .collect { case (e, occ) => e } — on a
+      // Map, collect-to-tuples rebuilds a MAP and silently collapses
+      // the edge pairs by first element
+      .filter(_._2.size >= 2).keys.toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = adj.keys.filter(_ % BfsSrcMod == 0).toSeq
+    assert(src.nonEmpty, "empty source set — BFS vacuous")
+    var dist: Map[Long, Int] = src.map(_ -> 0).toMap
+    var frontier = src
+    var refRounds = 0
+    while (frontier.nonEmpty && refRounds < BfsCap) {
+      val next = frontier.flatMap(adj(_)).distinct
+        .filterNot(dist.contains)
+      if (next.nonEmpty) {
+        refRounds += 1
+        dist ++= next.map(_ -> refRounds)
+      }
+      frontier = next
+    }
+    // the empty-frontier stop must actually fire at test scale
+    assert(refRounds < BfsCap, s"reference hit the cap ($refRounds)")
+    assert(dist.values.max >= 2, "BFS never reached past one hop — vacuous")
+    val (out, engRounds) = graft.queries.Graph.g4Run(s, TestSpark.Sf)
+    assert(engRounds == refRounds,
+      s"engine rounds $engRounds vs reference $refRounds")
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val ref = dist.toSeq.sortBy(r => (r._2, r._1))
+    assert(got == ref, s"engine ${got.take(5)} vs ref ${ref.take(5)}")
+  }
 }
