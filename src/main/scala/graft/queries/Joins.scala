@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Canon, Tables}
 
@@ -344,8 +345,72 @@ object Joins {
           sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // J16 — SCD2 dimension BUILD + temporal (point-in-time) join: the
+    // genre's warehouse keeps slowly-changing dims, and J8's as-of join
+    // CONSUMES dimension versions — J16 is the operator that BUILDS
+    // them. Version stream: per (customer, order date), the day's max
+    // totalprice maps to a balance band (low < 100k ≤ mid < 250k ≤
+    // high); consecutive same-band runs collapse into half-open
+    // [valid_from, valid_to) version intervals via lag (change
+    // detection) then lead (interval close) — the standard SCD2
+    // derivation, two windows over the (customer, date) aggregate,
+    // both riding the SAME custkey shuffle. Temporal probe: each
+    // lineitem fact takes the version in effect at its l_shipdate —
+    // an EQUI-join on custkey with the containment residual
+    // (valid_from ≤ sd < valid_to, open-ended last version); versions
+    // per customer are bounded, so the J7 bucketize idiom degenerates
+    // to its residual-only form and no time bucketing is needed.
+    // Intervals are disjoint and chained per customer by construction
+    // (valid_from strictly increasing, valid_to = next valid_from), so
+    // each fact matches AT MOST one version; facts shipping BEFORE the
+    // customer's first version (the testdata ships ~47% of lineitems
+    // before their order date) match none and surface as band 'none' —
+    // both outcomes pinned in `test/SimJoinSpec.scala` "J16".
+    // 100 TB: dim build = one custkey
+    // shuffle + aggregate-cardinality windows; probe = one custkey
+    // shuffle of the fact side against the |versions|-sized dim.
+    "j16_scd2" -> ((s, dir) => {
+      val facts = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"))
+        .join(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+      facts.join(j16Versions(s, dir),
+          col("o_custkey") === col("ck") &&
+            col("l_shipdate") >= col("valid_from") &&
+            (col("valid_to").isNull || col("l_shipdate") < col("valid_to")),
+          "left")
+        .groupBy(coalesce(col("band"), lit("none")).as("band"),
+          year(col("l_shipdate")).as("ship_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+          d(sum(money(col("l_extendedprice")))).as("sum_price"))
+        .orderBy(col("band"), col("ship_year"))
     })
   )
+
+  /** The J16 SCD2 version dim: per-customer balance-band versions with
+    * half-open [valid_from, valid_to) intervals (valid_to null on the
+    * open-ended current version). Exposed for SimJoinSpec's interval
+    * disjointness/coverage pins. */
+  private[graft] def j16Versions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("ck")).orderBy(col("d0"))
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"), col("o_orderdate").as("d0"))
+      .agg(max(money(col("o_totalprice"))).as("mp"))
+      .select(col("ck"), col("d0"),
+        when(col("mp") < 100000, lit("low"))
+          .when(col("mp") < 250000, lit("mid"))
+          .otherwise(lit("high")).as("band"))
+      .withColumn("pb", lag(col("band"), 1).over(w))
+      .filter(col("pb").isNull || col("band") =!= col("pb"))
+      .withColumn("valid_to", lead(col("d0"), 1).over(w))
+      .select(col("ck"), col("d0").as("valid_from"),
+        col("valid_to"), col("band"))
+  }
 
   private[graft] val j13Sql =
     """SELECT n.n_name, t.c_custkey, t.c_acctbal
@@ -474,6 +539,46 @@ object Joins {
         |    AS sum_price,
         |  count(*) AS n
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // j16 — the same SCD2 derivation replayed: per-(customer, date) max
+    // price banded, change rows kept, lead closes the interval, facts
+    // probe by shipdate containment; facts before the customer's first
+    // version take the 'none' band (both outcomes pinned in
+    // SimJoinSpec).
+    "j16_scd2" ->
+      """WITH co16 AS (
+        |  SELECT o_custkey AS ck, o_orderdate AS d0,
+        |    max(CAST(o_totalprice AS DECIMAL(18,2))) AS mp
+        |  FROM orders GROUP BY 1, 2),
+        |bd16 AS (
+        |  SELECT ck, d0,
+        |    CASE WHEN mp < 100000 THEN 'low'
+        |         WHEN mp < 250000 THEN 'mid' ELSE 'high' END AS band
+        |  FROM co16),
+        |ch16 AS (
+        |  SELECT ck, d0, band,
+        |    lag(band) OVER (PARTITION BY ck ORDER BY d0) AS pb
+        |  FROM bd16),
+        |cf16 AS (
+        |  SELECT ck, d0, band FROM ch16 WHERE pb IS NULL OR band <> pb),
+        |vr16 AS (
+        |  SELECT ck, d0 AS valid_from,
+        |    lead(d0) OVER (PARTITION BY ck ORDER BY d0) AS valid_to, band
+        |  FROM cf16),
+        |fc16 AS (
+        |  SELECT o_custkey AS ck, l_shipdate AS sd,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS ep
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |j16 AS (
+        |  SELECT COALESCE(v.band, 'none') AS band, f.sd, f.q, f.ep
+        |  FROM fc16 f LEFT JOIN vr16 v ON f.ck = v.ck
+        |    AND f.sd >= v.valid_from
+        |    AND (v.valid_to IS NULL OR f.sd < v.valid_to))
+        |SELECT band, CAST(year(sd) AS INT) AS ship_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(q) AS BIGINT) AS sum_qty,
+        |  CAST(sum(ep) AS DOUBLE) AS sum_price
+        |FROM j16 GROUP BY 1, 2 ORDER BY band, ship_year""".stripMargin
   )
 }

@@ -2,11 +2,12 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** J14 edit-distance similarity join: pin the PassJoin-blocked engine
-  * against an independent in-memory all-pairs reference (its own
-  * levenshtein implementation — not Spark's), plus the claim the
-  * blocking exists for: the candidate equi-join must materialize
-  * strictly fewer pairs than all-pairs would. */
+/** J14 edit-distance similarity join + J16 SCD2 temporal join: pin the
+  * engines against independent in-memory references, plus the
+  * structural claims each exists for — J14: the candidate equi-join
+  * must materialize strictly fewer pairs than all-pairs; J16: version
+  * intervals must be disjoint, chained, band-alternating, and must
+  * cover every fact exactly once. */
 class SimJoinSpec extends AnyFunSuite {
 
   /** Textbook Wagner-Fischer, independent of Spark's levenshtein. */
@@ -61,5 +62,72 @@ class SimJoinSpec extends AnyFunSuite {
     assert(candUpper < allPairs,
       s"segment blocking holds no pruning power here ($candUpper vs " +
       s"$allPairs) — the test corpus no longer exercises it")
+  }
+
+  test("J16: SCD2 version intervals are disjoint, chained, and " +
+       "band-alternating; every fact matches exactly one version; " +
+       "the aggregate equals an in-memory temporal-join reference") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    // collect timestamps as ISO strings: type-agnostic (the testdata
+    // stores dates as midnight timestamps) and lexicographic order ==
+    // chronological order at a fixed format
+    val vers = graft.queries.Joins.j16Versions(s, TestSpark.Sf)
+      .select(col("ck"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("band"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), r.getString(3)))
+    val byCk = vers.groupBy(_._1)
+    // real SCD2 density: some customer must actually change bands
+    assert(byCk.values.exists(_.length >= 2),
+      "no customer has more than one version — SCD2 vacuous")
+    byCk.foreach { case (ck, vs) =>
+      val sorted = vs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // chained: valid_to of each version IS the next valid_from
+          assert(a._3.contains(b._2),
+            s"customer $ck: interval not chained at ${a._2}")
+          // a version row exists only where the band CHANGED
+          assert(a._4 != b._4,
+            s"customer $ck: adjacent versions share band ${a._4}")
+        case _ => ()
+      }
+      assert(sorted.last._3.isEmpty,
+        s"customer $ck: last version is not open-ended")
+    }
+    // disjointness in effect: every lineitem fact lands in AT MOST one
+    // version; facts shipping before the customer's first version start
+    // (the testdata ships ~47% of lineitems before their order date)
+    // legitimately match none and take the 'none' band
+    val facts = graft.core.Tables.lineitem(s, TestSpark.Sf)
+      .select("l_orderkey", "l_shipdate")
+      .join(graft.core.Tables.orders(s, TestSpark.Sf)
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_shipdate").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    var inEffect = Map.empty[(String, Int), Long]
+    facts.foreach { case (ck, sd) =>
+      val hits = byCk.getOrElse(ck, Array.empty).filter { case (_, f, t, _) =>
+        sd >= f && t.forall(sd < _)
+      }
+      assert(hits.length <= 1,
+        s"fact ($ck, $sd) matched ${hits.length} versions — overlap")
+      val key = (hits.headOption.map(_._4).getOrElse("none"),
+        sd.substring(0, 4).toInt)
+      inEffect = inEffect.updated(key, inEffect.getOrElse(key, 0L) + 1L)
+    }
+    val got = SparkEntry.queries("j16_scd2")(s, TestSpark.Sf)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // both join outcomes must be present — matched bands AND the
+    // pre-first-version 'none' path
+    assert(got.keySet.exists(_._1 == "none"),
+      "no unmatched fact — the outer-join path is vacuous here")
+    assert(got.keySet.exists(_._1 != "none"),
+      "no matched fact — the temporal containment never fired")
+    assert(got == inEffect,
+      s"engine counts ${got.toSeq.sortBy(_._1).take(4)} vs " +
+      s"reference ${inEffect.toSeq.sortBy(_._1).take(4)}")
   }
 }
