@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Canon, Tables}
@@ -204,8 +204,88 @@ object Windows {
         .select(col("user_id"), col("n_events"),
           col("sq").rlike("vcp").as("converted"))
         .orderBy(col("user_id"))
+    }),
+
+    // W9b — SKIP-TILL-NEXT-MATCH sequence pattern with a time bound:
+    // the general CEP match mode W9's strict contiguity cannot express
+    // (MATCH_RECOGNIZE's AFTER MATCH SKIP / Flink CEP's followedBy +
+    // within): a non-contiguous ordered subsequence v … c … p whose
+    // first element lies within SkipWindowUs of the completing event.
+    // Same per-user sorted-array aggregate as W9, then ONE aggregate()
+    // fold automaton (skipPatternCount) — O(|pattern|) state per key,
+    // one linear pass, never a self-join per pattern step. The 24 h
+    // width is the s8c calibration: the natural corpus completes at
+    // every shipped sf (the 1 h production width first completes at
+    // sf0.1), so the row is non-vacuous at the gate; equivalence with
+    // the s8c streaming funnel's conversion multiset is pinned in
+    // `test/FunctionsSpec.scala` "W9b". Hyperactive-key note (w9/w9b
+    // shared): the collected per-user array is bounded by per-user
+    // event cardinality — session-bounded in this corpus; for
+    // adversarial keys compose with w8's session_window (w8 ∘ w9) or
+    // pre-aggregate per (user, day) — the fold state itself is O(1).
+    "w9b_skip_pattern" -> ((s, dir) => {
+      val letter = when(col("event_type") === "view", lit("v"))
+        .when(col("event_type") === "click", lit("c"))
+        .when(col("event_type") === "purchase", lit("p"))
+        .otherwise(lit("x"))
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+            letter.as("l")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(col("e"))).as("es"))
+        .select(col("user_id"), size(col("es")).cast("long").as("n_events"),
+          skipPatternCount(col("es"), "vcp", SkipWindowUs)
+            .as("n_completions"))
+        .orderBy(col("user_id"))
     })
   )
+
+  /** W9b window (µs): 24 h — the s8c width at which the natural corpus
+    * completes v·c·p at every shipped sf. */
+  val SkipWindowUs: Long = 24L * 3600L * 1000000L
+
+  /** The skip-till-next-match fold for `pattern` over a per-key sorted
+    * event array `es` (array<struct<tsu: bigint, event_id: bigint,
+    * l: string>>): counts COMPLETIONS — events carrying the pattern's
+    * last letter at which some ordered subsequence matching the full
+    * pattern ends with its first element no older than `windowUs`.
+    *
+    * One linear pass, O(|pattern|) state: m(k) = the LATEST possible
+    * start ts over subsequences matching pattern[0..k] among events
+    * processed so far (−1 = none — safe because tsu − windowUs is
+    * always positive here). Every slot updates from the PRE-event
+    * state simultaneously, so one event never serves two positions of
+    * the same match and repeated pattern letters stay correct; the
+    * event completes iff it carries the last letter and m(n−2) ≥
+    * ts − W (a full match with start ≥ ts − W exists iff the max
+    * start over prefix-(n−1) matches clears the horizon — the greedy
+    * max-start DP). Exposed for FunctionsSpec's generic-pattern and
+    * s8c-equivalence pins. */
+  private[graft] def skipPatternCount(es: Column, pattern: String,
+                                      windowUs: Long): Column = {
+    val n = pattern.length
+    require(n >= 2, s"pattern too short for a sequence: $pattern")
+    val init = struct(
+      array(Seq.fill(n - 1)(lit(-1L)): _*).as("m"),
+      lit(0L).as("cnt"))
+    aggregate(es, init, (acc, x) => {
+      val l = x.getField("l")
+      val t = x.getField("tsu")
+      val m = (0 until n - 1).map(k => acc.getField("m").getItem(k))
+      val upd = (0 until n - 1).map { k =>
+        val hit = l === lit(pattern(k).toString)
+        if (k == 0) when(hit, greatest(m(0), t)).otherwise(m(0))
+        else when(hit && m(k - 1) >= 0, greatest(m(k), m(k - 1)))
+          .otherwise(m(k))
+      }
+      val complete = (l === lit(pattern(n - 1).toString)) &&
+        (m(n - 2) >= t - lit(windowUs))
+      struct(array(upd: _*).as("m"),
+        (acc.getField("cnt") +
+          when(complete, lit(1L)).otherwise(lit(0L))).as("cnt"))
+    }).getField("cnt")
+  }
 
   val oracle: Map[String, String] = Map(
     "w1_rank" ->
@@ -316,6 +396,34 @@ object Windows {
         |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
         |         WHEN 'purchase' THEN 'p' ELSE 'x' END, ''
         |    ORDER BY ts, event_id), 'vcp') AS converted
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // w9b — the max-start DP as two chained strictly-preceding window
+    // maxima (ROWS … 1 PRECEDING == the fold's pre-event state): m1 =
+    // latest view before the row, m2 = latest view that precedes some
+    // click before the row; a purchase completes iff m2 clears the
+    // 24 h horizon. DuckDB-only window shape (CASE-wrapped max — no
+    // FILTER clause needed), one window pass per pattern step.
+    "w9b_skip_pattern" ->
+      """WITH e9b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END AS l
+        |  FROM events),
+        |s1b AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'v' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        |  FROM e9b),
+        |s2b AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'c' THEN m1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+        |  FROM s1b)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(*) FILTER (WHERE l = 'p' AND m2 IS NOT NULL
+        |    AND m2 >= ts - INTERVAL 24 HOUR) AS BIGINT) AS n_completions
+        |FROM s2b GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -45,7 +45,7 @@ class FunctionsSpec extends AnyFunSuite {
          r.getLong(2), r.getString(3))
       }
     val ref = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, g) =>
-      val sq = g.sortBy(e => (e._2, e._3)).map(_._4.head).mkString
+      val sq = g.sortBy(e => (e._2, e._3)).map(e => letterOf(e._4)).mkString
       (u, g.length.toLong, sq.contains("vcp"))
     }
     val got = SparkEntry.queries("w9_seq_pattern")(s, TestSpark.Sf)
@@ -54,5 +54,98 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == ref, s"engine ${got.take(3)} vs ref ${ref.take(3)}")
     assert(got.exists(_._3) && got.exists(!_._3),
       "pattern matches all-or-none of the users — test vacuous")
+  }
+
+  /** The w9/w9b explicit letter map (unknown types → 'x', never a
+    * first-letter shortcut). */
+  private def letterOf(t: String): Char = t match {
+    case "view" => 'v'
+    case "click" => 'c'
+    case "purchase" => 'p'
+    case _ => 'x'
+  }
+
+  /** Collected events as (user, tsu µs, event_id, type). */
+  private def collectedEvents(s: org.apache.spark.sql.SparkSession) =
+    graft.core.Tables.events(s, TestSpark.Sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map { r =>
+        val i = r.getTimestamp(1).toInstant
+        (r.getLong(0), i.getEpochSecond * 1000000L + i.getNano / 1000L,
+         r.getLong(2), r.getString(3))
+      }
+
+  /** The w9b max-start DP, replayed independently in memory. */
+  private def skipDpRef(evs: Array[(Long, Long, Long, String)],
+                        pattern: String, windowUs: Long): Map[Long, Long] =
+    evs.groupBy(_._1).map { case (u, g) =>
+      val n = pattern.length
+      val m = Array.fill(n - 1)(-1L)
+      var cnt = 0L
+      g.sortBy(e => (e._2, e._3)).foreach { e =>
+        val l = letterOf(e._4)
+        val t = e._2
+        if (l == pattern(n - 1) && m(n - 2) >= t - windowUs) cnt += 1
+        val old = m.clone()
+        for (k <- 0 until n - 1) {
+          if (l == pattern(k)) {
+            if (k == 0) m(0) = math.max(old(0), t)
+            else if (old(k - 1) >= 0) m(k) = math.max(old(k), old(k - 1))
+          }
+        }
+      }
+      u -> cnt
+    }
+
+  test("W9b: skip-till-next-match completions equal the in-memory " +
+       "max-start DP for the canonical AND a second pattern, " +
+       "non-vacuously") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.queries.Windows.{skipPatternCount, SkipWindowUs}
+    val evs = collectedEvents(s)
+    val refVcp = skipDpRef(evs, "vcp", SkipWindowUs)
+    val gotVcp = SparkEntry.queries("w9b_skip_pattern")(s, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotVcp == refVcp,
+      s"vcp: engine ${gotVcp.toSeq.sortBy(_._1).take(3)} vs " +
+      s"ref ${refVcp.toSeq.sortBy(_._1).take(3)}")
+    assert(refVcp.values.sum > 0 && refVcp.values.exists(_ == 0L),
+      "vcp completions all-or-none — test vacuous")
+    // a second, repeated-letter pattern through the SAME generic fold:
+    // two clicks then a purchase (one event must never serve both 'c'
+    // positions — the simultaneous-update claim)
+    val refCcp = skipDpRef(evs, "ccp", SkipWindowUs)
+    val letterCol = when(col("event_type") === "view", lit("v"))
+      .when(col("event_type") === "click", lit("c"))
+      .when(col("event_type") === "purchase", lit("p"))
+      .otherwise(lit("x"))
+    val gotCcp = graft.core.Tables.events(s, TestSpark.Sf)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          letterCol.as("l")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        skipPatternCount(col("es"), "ccp", SkipWindowUs).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCcp == refCcp,
+      s"ccp: engine ${gotCcp.toSeq.sortBy(_._1).take(3)} vs " +
+      s"ref ${refCcp.toSeq.sortBy(_._1).take(3)}")
+    assert(refCcp.values.sum > 0, "ccp never completes — test vacuous")
+  }
+
+  test("W9b: the vcp/24h form equals the s8c streaming funnel's " +
+       "conversion multiset (pattern and window coincide)") {
+    val s = TestSpark.spark
+    val funnel = SparkEntry.queries("s8c_funnel_wide")(s, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w9b = SparkEntry.queries("w9b_skip_pattern")(s, TestSpark.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0L).toMap
+    assert(funnel.nonEmpty, "s8c converted nobody — equivalence vacuous")
+    assert(w9b == funnel,
+      s"w9b ${w9b.toSeq.sortBy(_._1).take(4)} vs " +
+      s"s8c ${funnel.toSeq.sortBy(_._1).take(4)}")
   }
 }
