@@ -275,6 +275,35 @@ object Streams {
     * WITH the final no-data batch — outer rows emit on the last
     * watermark advance; inner derivations are unaffected because a
     * no-data batch can only emit null-padded rows). */
+  /** S17 body — the left-semi interval join with the click-horizon
+    * width as a parameter: the canonical query runs the s5 family's
+    * 1-hour production condition; StreamingSpec "S17" additionally
+    * runs the 24-hour width, where the natural corpus has purchases
+    * with MULTIPLE in-window clicks (21 of 71 at sf0.001), so the
+    * emit-once guarantee is positively exercised (at 1 h the natural
+    * click density never doubles up — multiplicity would make semi ≡
+    * inner-distinct vacuously). */
+  private[graft] def s17Run(s: SparkSession, d: String,
+                            windowHours: Int): DataFrame = {
+    val src = Replayer.stream(s, d, "clean")
+    val p = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+              col("user_id").as("p_user"))
+      .withWatermark("p_ts", WatermarkDelay)
+    val c = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+              col("user_id").as("c_user"))
+      .withWatermark("c_ts", WatermarkDelay)
+    val j = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOUR") &&
+        col("c_ts") <= col("p_ts"), "left_semi")
+    runToMemory(s, j, "append", NoFinalBatch)
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_semi"), sum(col("p_id")).as("sum_id"))
+      .orderBy(col("user_id"))
+  }
+
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =
     sharedCore(s, d, "interval_full_clean") {
       val src = Replayer.stream(s, d, "clean")
@@ -606,6 +635,25 @@ object Streams {
              sum(when(col("p_id").isNull, 1L).otherwise(0L))
                .as("n_c_only"))
         .orderBy(col("user_id"))),
+
+    // S17 — stream-stream LEFT SEMI interval join: purchases having
+    // ≥ 1 click of the same user in the preceding hour, each emitted
+    // ONCE — the interval-join face the s5 family leaves out (inner
+    // s5, left outer s5b, full outer s5c; left anti exists only as the
+    // stream-STATIC S12 gate). Semi is the attribution-gate shape: no
+    // click-side columns, no per-pair fanout, and the state machine
+    // marks a matched left row so later clicks cannot re-emit it —
+    // count(*) per user below counts PURCHASES, so an engine that
+    // emitted per-pair would break the hash (pinned ≡ s5's
+    // countDistinct in StreamingSpec "S17"). Matched rows emit in the
+    // data batch where the second side arrives (inner-like, eager), so
+    // the oracle is the plain batch semi join — no eviction-horizon
+    // modeling needed on the clean replay; NoFinalBatch applies for
+    // the same reason. 100 TB: both sides shuffle once on user_id;
+    // per-key state = the trailing interval window under the
+    // watermark, same budget as s5 but with left rows dropped from
+    // state the moment they match.
+    "s17_semi_interval" -> ((s, d) => s17Run(s, d, windowHours = 1)),
 
     // S6 — streaming dedup on a duplicate-injected replay; final rows
     // must equal the clean batch table.
@@ -1286,6 +1334,18 @@ object Streams {
         |  ON c.user_id = p.user_id AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |WHERE p.event_type = 'purchase'
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    // s17 — the batch semi join IS the oracle: matched left rows emit
+    // eagerly (inner-like), so no horizon modeling; EXISTS states the
+    // emit-once semantics directly.
+    "s17_semi_interval" ->
+      """SELECT p.user_id, count(*) AS n_semi,
+        |  CAST(sum(p.event_id) AS BIGINT) AS sum_id
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
     // s5b — matched pairs all emit; null-extended rows only for purchases
     // the watermark evicted. Two calibrated facts make the horizon exact

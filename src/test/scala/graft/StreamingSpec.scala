@@ -735,4 +735,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.read.parquet(d2).filter(col("text").endsWith("regen")).count()
       === 50L)
   }
+
+  test("S17: the left-semi interval join emits each matched purchase " +
+       "exactly once — 1h counts equal s5's countDistinct; at 24h, " +
+       "where multi-click purchases exist, semi still equals the " +
+       "batch EXISTS reference") {
+    val semi = SparkEntry.queries("s17_semi_interval")(s, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inner = SparkEntry.queries("s5_interval_join")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(semi.nonEmpty, "semi join matched nothing — test vacuous")
+    // same matched-purchase multiset as the inner join's countDistinct
+    assert(semi == inner.map(r => r._1 -> r._3).toMap,
+      "semi counts diverge from the inner join's distinct purchases")
+    // emit-once, positively exercised: at the 24 h width the natural
+    // corpus has purchases with MULTIPLE in-window clicks (21 of 71 at
+    // sf0.001 — at 1 h the click density never doubles up), so a
+    // per-pair emitter would overcount below
+    val ev = graft.core.Tables.events(s, sf)
+      .select("event_id", "user_id", "ts", "event_type")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val pairs = p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - org.apache.spark.sql.functions
+          .expr("INTERVAL 24 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .groupBy(col("p_user"), col("p_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(_._3 > 1L),
+      "no 24h purchase has multiple clicks — emit-once untested")
+    val refWide = pairs.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val semiWide = graft.streaming.Streams.s17Run(s, sf, windowHours = 24)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(semiWide == refWide,
+      s"24h semi ${semiWide.toSeq.sortBy(_._1).take(3)} vs " +
+      s"batch reference ${refWide.toSeq.sortBy(_._1).take(3)}")
+  }
 }
