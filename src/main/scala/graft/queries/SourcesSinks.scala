@@ -4,7 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.core.{Canon, Tables}
+import graft.core.{Canon, ConfScope, Tables}
 
 /** SURVEY.md §2.1 SRC2/SRC3 (CSV/JSON scans with declared schema) +
   * SNK1 (batch sinks — the write half of each round-trip).
@@ -176,6 +176,34 @@ object SourcesSinks {
     // `test/EngineSpec.scala` "SNK6"). The checksum
     // reads the COMPACTED table — any row lost or doubled in the
     // rewrite breaks the hash vs the original-parquet oracle.
+    // SNK7 — SORTED-layout sink + data skipping: SNK6 fixes file
+    // COUNT; the other half of 100 TB layout is ORDER. Min/max
+    // (zone-map) pruning only bites when the probe key is clustered
+    // across files and within them: repartitionByRange(8, ts) is one
+    // range exchange, so the 8 files cover pairwise-DISJOINT ts ranges,
+    // and sortWithinPartitions(ts, event_id) makes every parquet row
+    // group a tight ts-run. The read-back applies a fixed 3-of-30-day
+    // ts slice (events span Jan 2024 at every sf): the parquet
+    // reader's pushed predicate drops whole row groups by footer
+    // stats, so ~90% of the table is never decoded — a random-layout
+    // write with identical content decodes everything. EngineSpec
+    // "SNK7" pins per-file range disjointness, the predicate reaching
+    // PushedFilters, and the scan's output-row metric collapsing to
+    // the matched slice. The checksum reads the FILTERED sorted table
+    // vs the oracle filtering the original parquet — a row lost or
+    // doubled by the rewrite, or dropped by over-eager pruning,
+    // breaks the hash.
+    "snk7_sorted_skip" -> ((s, dir) => {
+      snk7Write(s, dir)
+      snk7Read(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).as("sum_id"),
+             min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+             d(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "snk6_compaction" -> ((s, dir) => {
       val frag = stagingDir("snk6frag", dir)
       val comp = stagingDir("snk6comp", dir)
@@ -197,6 +225,40 @@ object SourcesSinks {
         .orderBy(col("event_type"))
     })
   )
+
+  /** SNK7 probe slice — fixed literals (events span 2024-01-01 …
+    * 2024-01-30 at every shipped sf), interpolated into both engines'
+    * predicates; ~10% selectivity, crossing one of the 8 range-file
+    * boundaries. */
+  private[graft] val Snk7From = "2024-01-10 00:00:00"
+  private[graft] val Snk7To = "2024-01-13 00:00:00"
+
+  /** SNK7 sorted write — exposed for EngineSpec's layout pins.
+    * TIMESTAMP_MICROS output is load-bearing: Spark's default INT96
+    * timestamps carry no usable parquet column statistics, so the
+    * sorted layout would write files the reader can never skip — the
+    * predicate shows up in PushedFilters and silently prunes nothing
+    * (EngineSpec's scan-metric pin exists to catch exactly that). */
+  private[graft] def snk7Write(s: SparkSession, dir: String): String = {
+    val out = stagingDir("snk7sorted", dir)
+    ConfScope.withConf(s, Map(
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) {
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"), col("ts"))
+        .repartitionByRange(8, col("ts"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** SNK7 filtered read-back over the sorted layout — exposed for
+    * EngineSpec's PushedFilters + scan-metric pins. */
+  private[graft] def snk7Read(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(stagingDir("snk7sorted", dir))
+      .filter(col("ts") >= lit(Snk7From).cast(TimestampType) &&
+              col("ts") < lit(Snk7To).cast(TimestampType))
 
   val oracle: Map[String, String] = Map(
     "src2_csv_roundtrip" ->
@@ -244,6 +306,17 @@ object SourcesSinks {
         |  CAST(sum(event_id) AS BIGINT) AS sum_id,
         |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // snk7 — DuckDB filters the ORIGINAL parquet with the same fixed
+    // slice; the sorted rewrite + pruned read must be lossless
+    "snk7_sorted_skip" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(min(ts) AS TIMESTAMP) AS min_ts,
+        |  CAST(max(ts) AS TIMESTAMP) AS max_ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '$Snk7From' AND ts < TIMESTAMP '$Snk7To'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

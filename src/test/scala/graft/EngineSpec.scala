@@ -109,4 +109,51 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(a.sameElements(b), "row sets differ between fragment and compact")
   }
+
+  test("SNK7: range-partitioned sorted layout gives pairwise-disjoint " +
+       "per-file ts ranges; the slice predicate reaches PushedFilters " +
+       "and the scan decodes only a fraction of the table") {
+    import graft.queries.SourcesSinks
+    import org.apache.spark.sql.functions.{min, max}
+    val path = SourcesSinks.snk7Write(s, TestSpark.Sf)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    val files =
+      try ls.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally ls.close()
+    assert(files.length >= 4, s"expected ≥4 range files, got ${files.length}")
+    // disjoint, clustered layout: file ts ranges must not overlap
+    // (RangePartitioner keeps equal keys together, so strictly <)
+    val ranges = files.map { f =>
+      val r = s.read.parquet(f)
+        .agg(min("ts").cast("string"), max("ts").cast("string")).head()
+      (r.getString(0), r.getString(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 < b._1, s"overlapping file ranges $a / $b")
+      case _ => ()
+    }
+    // the probe: predicate pushed to the scan, row groups skipped
+    val df = SourcesSinks.snk7Read(s, TestSpark.Sf)
+    val matched = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("PushedFilters") &&
+           planStr.contains("GreaterThanOrEqual(ts"),
+      s"ts predicate did not reach PushedFilters:\n${planStr.take(1200)}")
+    val scan = plan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf in the probe plan"))
+    val scanRows = scan.metrics("numOutputRows").value
+    val total = s.read.parquet(path).count()
+    assert(matched > 0 && matched < total,
+      s"probe slice is degenerate ($matched of $total)")
+    assert(scanRows < total,
+      s"scan decoded every row ($scanRows of $total) — footer-stats " +
+      "skipping never engaged; the sorted layout is not doing its job")
+    assert(scanRows >= matched,
+      s"scan emitted fewer rows ($scanRows) than matched ($matched)")
+  }
 }
