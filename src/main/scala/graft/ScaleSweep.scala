@@ -69,13 +69,21 @@ object ScaleSweep {
     "g2_triangles", "g3_labelprop", "j14_editdist_join", "j15_bucketed",
     "snk6_compaction", "a15_weighted_median",
     // w9's per-user ordered fold, l47's five n-gram scoring joins
-    "w9_seq_pattern", "l47_trigram_backoff")
+    "w9_seq_pattern", "l47_trigram_backoff",
+    // r14 additions: g4's frontier rounds × linear relaxation (round
+    // count = eccentricity, data-dependent — the measurement prices
+    // it), j16's dim-build windows + containment probe, w9b's per-user
+    // fold automaton, snk7's sorted rewrite + pruned read-back
+    "g4_bfs", "j16_scd2", "w9b_skip_pattern", "snk7_sorted_skip")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */
   private val StreamQ = Seq(
     "s5_interval_join", "s5b_interval_left", "s5c_interval_full",
     "s11_chained", "s13_sig_refresh",
+    // r14: the semi join's state budget (matched left rows drop
+    // immediately — the favorable variant of s5's)
+    "s17_semi_interval",
     // r13: the watermark-evicted heavy-hitter state — per-batch state
     // rows scale with active users per window, the part that matters —
     // and the drift monitor's histogram state (windows × types)

@@ -884,7 +884,13 @@ object Streams {
     // drop Scale or lift to DECIMAL (documented dial, not a rewrite).
     // 100 TB: histogram state is |open windows|·|types| (tiny by
     // construction); the batch stage runs on aggregate cardinality
-    // (windows × types), never raw events.
+    // (windows × types), never raw events. The un-partitioned lag
+    // window below (`ow`) is single-task BY DESIGN: its input is the
+    // closed-hour totals relation — one row per closed window, already
+    // aggregate cardinality (720 rows/month at hourly windows), so a
+    // global adjacent-pair ordering costs one task over a tiny
+    // relation; partitioning it (e.g. by day with boundary stitching)
+    // would buy nothing until the window COUNT itself is huge.
     "s16_drift" -> ((s, d) => {
       val h = runToMemory(s, s16Agg(s, d), "append")
         .select(col("window.start").as("win_start"), col("event_type"),
