@@ -74,7 +74,11 @@ object ScaleSweep {
     // count = eccentricity, data-dependent — the measurement prices
     // it), j16's dim-build windows + containment probe, w9b's per-user
     // fold automaton, snk7's sorted rewrite + pruned read-back
-    "g4_bfs", "j16_scd2", "w9b_skip_pattern", "snk7_sorted_skip")
+    "g4_bfs", "j16_scd2", "w9b_skip_pattern", "snk7_sorted_skip",
+    // r14 second batch: the l8e production dial — representative
+    // collapse (linear output) vs the pair listing whose 100× decade
+    // measured output-bound quadratic growth (see the l8e note)
+    "l8f_image_dedup")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */
@@ -201,7 +205,10 @@ object ScaleSweep {
       "l8e_image_neardup",
       // r13: chunk-corpus BM25 candidate volume needs the second decade,
       // as does g2's oriented wedge volume
-      "l46_passage_decon", "g2_triangles")
+      "l46_passage_decon", "g2_triangles",
+      // r14: the l8e production dial rides every decade the pair
+      // listing does, so the two rows stay comparable
+      "l8f_image_dedup")
     val measured = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, (Double, Double)]]()
     def record(q: String, ratio: Double, sSec: Double, bSec: Double): Unit =
       measured.getOrElseUpdate(q, scala.collection.mutable.Map.empty)
@@ -300,6 +307,22 @@ object ScaleSweep {
          "linear work, so the walk is LINEAR in data once fixed " +
          "costs are paid; the documented dial raises loop " +
          "partitions with frontier size"),
+      "l8e_image_neardup" ->
+        ("OUTPUT-BOUND superlinear at the third decade: the synthetic " +
+         "corpus saturates the 64-bit blockhash's effective entropy " +
+         "(600k images collapse onto 49k distinct hashes), so " +
+         "hamming-0 pairs ALONE are 13.6M ~ n^2/distinct - the " +
+         "radius-3 pair RELATION is quadratic in size and no candidate " +
+         "scheme can beat its own output (exact-dup text groups are " +
+         "<= 2, so this is hash-entropy saturation, not corpus " +
+         "duplication). The r12 plan (distinct on raw candidates + two " +
+         "hash re-joins) measured 141 s / marginal e ~ 2.5 at 100x; " +
+         "the r14 rewrite verifies map-side on the band join output " +
+         "(candidates never shuffle) - 16.7 s at 100x, marginal ~ 1.7, " +
+         "the residue being the output itself. The asymptote dial is " +
+         "the l8f row: production consumes near-dup as a " +
+         "representative collapse (one row per image, linear), listing " +
+         "pairs only within cluster-sized working sets"),
       "l33_span_dedup" ->
         ("10x->30x marginal e ~ 0.9: the span stream is one row per " +
          "token position, so linear IS the algorithm's asymptote; " +

@@ -95,6 +95,26 @@ object Multimodal {
       (id, h(0), h(1), h(2), h(3))
     }
 
+  /** Shared L8e/L8f front end: the image corpus (base + derived variants)
+    * hashed by the batched blockhash kernel. Checkpointed because every
+    * consumer reads it at least twice (band explode + verify sides, or
+    * group + assign sides). */
+  private def imgsHashed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val base = docs
+      .select(col("doc_id").as("img_id"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + VariantIdOffset).as("img_id"),
+          encode(concat(lit("z"), substring(col("text"), 2, 1 << 30)),
+            "UTF-8").as("bytes")))
+    base.as[(Long, Array[Byte])]
+      .mapPartitions(blockhashBatch)
+      .toDF("img_id", "h0", "h1", "h2", "h3")
+      .localCheckpoint()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L8b — batched decode over binary envelopes (stub kernel, real
     // plumbing: encode → binary column → mapPartitions batch → typed
@@ -143,47 +163,63 @@ object Multimodal {
     // exist via a derived VARIANT image per doc_id % 5 == 0 (first
     // byte overwritten — a tiny perturbation, id offset +1,000,000,
     // replayed by the oracle). The 64-bit hash is computed in the
-    // batched kernel (payload bytes never shuffle — only the 4×16-bit
-    // bands do), then pairs at hamming ≤ 3 come from an exact-match
-    // join on any of the 4 bands: by pigeonhole, ≤ 3 differing bits
-    // can spoil at most 3 of 4 bands, so band-blocking has GUARANTEED
-    // 100% recall at this radius — the LSH economy without the
-    // approximation. 100 TB: candidate volume is governed by band
-    // width (16 bits here; widen bands / add a second hash at larger
-    // corpora), the verify step is integer xor+popcount on 32 bytes
-    // per pair, and no stage touches payload bytes after the scan.
+    // batched kernel (payload bytes never shuffle — only the hash rows
+    // do), then pairs at hamming ≤ 3 come from an exact-match join on
+    // any of the 4 16-bit bands: by pigeonhole, ≤ 3 differing bits can
+    // spoil at most 3 of 4 bands, so band-blocking has GUARANTEED 100%
+    // recall at this radius — the LSH economy without the approximation.
+    // Plan shape (r14): both full hashes ride ALONG the band rows, so
+    // the hamming verify runs map-side on the band join's output —
+    // candidates never shuffle; only the verified ≤-radius pairs reach
+    // the final distinct (the r12 shape shuffled the raw candidate set
+    // twice through distinct + two hash re-joins).
+    // 100 TB: the pair LISTING itself is the scale ceiling — once the
+    // corpus exceeds the hash's effective entropy (measured here:
+    // 600k images collapse onto 49k distinct 64-bit hashes, so
+    // hamming-0 pairs alone are 13.6M ∝ n²), the radius-≤3 relation is
+    // quadratic in size and no candidate scheme can beat its own
+    // output. Production consumes near-dup as the L8f representative
+    // collapse below (linear output) and widens the hash for precision,
+    // not as an exhaustive pair dump; SCALE_r14.json carries both rows.
     "l8e_image_neardup" -> ((s, d) => {
-      import s.implicits._
-      val docs = Tables.documents(s, d)
-      val base = docs
-        .select(col("doc_id").as("img_id"),
-          encode(col("text"), "UTF-8").as("bytes"))
-        .unionByName(docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + VariantIdOffset).as("img_id"),
-            encode(concat(lit("z"), substring(col("text"), 2, 1 << 30)),
-              "UTF-8").as("bytes")))
-      val imgs = base.as[(Long, Array[Byte])]
-        .mapPartitions(blockhashBatch)
-        .toDF("img_id", "h0", "h1", "h2", "h3")
-        .localCheckpoint() // two consumers (band explode + 2-sided verify)
+      val imgs = imgsHashed(s, d)
       val bands = imgs.select(col("img_id"),
+        col("h0"), col("h1"), col("h2"), col("h3"),
         posexplode(array(col("h0"), col("h1"), col("h2"), col("h3")))
           .as(Seq("band", "bv")))
-      val cand = bands.as("a")
+      bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
             col("a.img_id") < col("b.img_id"))
-        .select(col("a.img_id").as("va"), col("b.img_id").as("vb"))
-        .distinct()
-      cand
-        .join(imgs.as("x"), col("va") === col("x.img_id"))
-        .join(imgs.as("y"), col("vb") === col("y.img_id"))
-        .select(col("va"), col("vb"),
-          expr("cast(bit_count(x.h0 ^ y.h0) + bit_count(x.h1 ^ y.h1) + " +
-               "bit_count(x.h2 ^ y.h2) + bit_count(x.h3 ^ y.h3) " +
+        .select(col("a.img_id").as("va"), col("b.img_id").as("vb"),
+          expr("cast(bit_count(a.h0 ^ b.h0) + bit_count(a.h1 ^ b.h1) + " +
+               "bit_count(a.h2 ^ b.h2) + bit_count(a.h3 ^ b.h3) " +
                "as bigint)").as("hamming"))
         .filter(col("hamming") <= HammingRadius)
+        .distinct()
         .orderBy(col("va"), col("vb"))
+    }),
+
+    // L8f — image dedup collapse (r14): the PRODUCTION consumption of
+    // L8e's near-dup signal. A 100 TB pipeline never materializes the
+    // pairwise relation (quadratic once the corpus saturates the hash's
+    // entropy — see L8e); it assigns every image to a cluster
+    // representative and filters the corpus through that map. Exact
+    // semantics: cluster = identical full 64-bit blockhash (radius-0,
+    // deterministic, no approximation), representative = min img_id.
+    // Output is one row per image — linear — built from ONE groupBy
+    // (map-side partial min, skew-immune) + one equi-join back on the
+    // hash key (AQE splits any hot hash). The skew-safe two-phase shape
+    // (G3's rule: never a window over a hub-sized partition).
+    "l8f_image_dedup" -> ((s, d) => {
+      val imgs = imgsHashed(s, d)
+      val hk = Seq("h0", "h1", "h2", "h3")
+      val keepers = imgs.groupBy(hk.map(col): _*)
+        .agg(min(col("img_id")).as("keeper"))
+      imgs.join(keepers, hk)
+        .select(col("img_id"), col("keeper"),
+          (col("img_id") === col("keeper")).cast("long").as("kept"))
+        .orderBy(col("img_id"))
     })
   )
 
@@ -293,6 +329,51 @@ object Multimodal {
         |         AS BIGINT) AS hamming
         |  FROM cand JOIN h4 x ON va = x.img_id JOIN h4 y ON vb = y.img_id)
         |SELECT va, vb, hamming FROM hm WHERE hamming <= $HammingRadius
-        |ORDER BY va, vb""".stripMargin
+        |ORDER BY va, vb""".stripMargin,
+    // l8f — same blockhash replay as l8e, then the radius-0 collapse:
+    // representative = min img_id per identical full hash (a window min
+    // is fine at oracle scale; the engine uses the skew-safe two-phase
+    // form).
+    "l8f_image_dedup" ->
+      s"""WITH b8e AS (
+        |  SELECT doc_id AS img_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + $VariantIdOffset, 'z' || substring(text, 2)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |pos8e AS (
+        |  SELECT img_id, i, ord(substring(text, i, 1)) AS byte
+        |  FROM b8e, unnest(generate_series(1, length(text))) AS g(i)),
+        |blk8e AS (
+        |  SELECT img_id, (i - 1) % 64 AS blk, sum(byte) AS s,
+        |         count(*) AS c
+        |  FROM pos8e GROUP BY img_id, (i - 1) % 64),
+        |tot8e AS (
+        |  SELECT b.img_id, coalesce(sum(p.byte), 0) AS total,
+        |         length(b.text) AS n
+        |  FROM b8e b LEFT JOIN pos8e p USING (img_id)
+        |  GROUP BY b.img_id, length(b.text)),
+        |allb AS (
+        |  SELECT t.img_id, g.blk, coalesce(b.s, 0) AS s,
+        |         coalesce(b.c, 0) AS c, t.total, t.n
+        |  FROM tot8e t
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS blk) g
+        |  LEFT JOIN blk8e b ON b.img_id = t.img_id AND b.blk = g.blk),
+        |hv AS (
+        |  SELECT img_id, blk // 16 AS band,
+        |    CAST(sum(CASE WHEN s * n >= total * c
+        |             THEN 1 << (blk % 16) ELSE 0 END) AS BIGINT) AS bv
+        |  FROM allb GROUP BY img_id, blk // 16),
+        |h4 AS (
+        |  SELECT img_id,
+        |    max(CASE WHEN band = 0 THEN bv END) AS h0,
+        |    max(CASE WHEN band = 1 THEN bv END) AS h1,
+        |    max(CASE WHEN band = 2 THEN bv END) AS h2,
+        |    max(CASE WHEN band = 3 THEN bv END) AS h3
+        |  FROM hv GROUP BY img_id)
+        |SELECT img_id,
+        |  min(img_id) OVER (PARTITION BY h0, h1, h2, h3) AS keeper,
+        |  CAST(img_id = min(img_id) OVER (PARTITION BY h0, h1, h2, h3)
+        |       AS BIGINT) AS kept
+        |FROM h4 ORDER BY img_id""".stripMargin
   )
 }

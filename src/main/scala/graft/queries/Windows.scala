@@ -186,25 +186,16 @@ object Windows {
     // per (user, session_window) — the composition is w8 ∘ w9, no new
     // machinery. No window function, no self-join per pattern step —
     // MATCH_RECOGNIZE semantics from one aggregate + one regex.
-    "w9_seq_pattern" -> ((s, dir) => {
-      Tables.events(s, dir)
-        .select(col("user_id"),
-          struct(col("ts"), col("event_id"), col("event_type")).as("e"))
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_list(col("e"))).as("es"))
-        .select(col("user_id"), size(col("es")).cast("long").as("n_events"),
-          // explicit letter map, NOT substring(type,1,1): a future event
-          // type sharing an initial with v/c/p must not silently alias
-          // into the pattern (advisor r13) — unknown types map to 'x'
-          concat_ws("", transform(col("es"),
-            x => when(x.getField("event_type") === "view", lit("v"))
-              .when(x.getField("event_type") === "click", lit("c"))
-              .when(x.getField("event_type") === "purchase", lit("p"))
-              .otherwise(lit("x")))).as("sq"))
-        .select(col("user_id"), col("n_events"),
-          col("sq").rlike("vcp").as("converted"))
-        .orderBy(col("user_id"))
-    }),
+    // Hyperactive-key GUARD (w9/w9b shared, r14): the sorted array is
+    // sliced to MaxEventsPerKey before matching — a deterministic
+    // truncation (first cap events by (ts, event_id)) that bounds the
+    // per-task array regardless of key skew; n_events stays the FULL
+    // pre-cap count, so n_events > MaxEventsPerKey IS the overflow
+    // flag (no schema change, invisible at every shipped sf where the
+    // per-user max is ~3 orders of magnitude under the cap; WindowSpec
+    // "W9 cap" pins the truncation semantics at a tiny injected cap).
+    "w9_seq_pattern" -> ((s, dir) =>
+      w9Converted(Tables.events(s, dir), MaxEventsPerKey)),
 
     // W9b — SKIP-TILL-NEXT-MATCH sequence pattern with a time bound:
     // the general CEP match mode W9's strict contiguity cannot express
@@ -223,23 +214,62 @@ object Windows {
     // event cardinality — session-bounded in this corpus; for
     // adversarial keys compose with w8's session_window (w8 ∘ w9) or
     // pre-aggregate per (user, day) — the fold state itself is O(1).
-    "w9b_skip_pattern" -> ((s, dir) => {
-      val letter = when(col("event_type") === "view", lit("v"))
-        .when(col("event_type") === "click", lit("c"))
-        .when(col("event_type") === "purchase", lit("p"))
-        .otherwise(lit("x"))
-      Tables.events(s, dir)
-        .select(col("user_id"),
-          struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
-            letter.as("l")).as("e"))
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_list(col("e"))).as("es"))
-        .select(col("user_id"), size(col("es")).cast("long").as("n_events"),
-          skipPatternCount(col("es"), "vcp", SkipWindowUs)
-            .as("n_completions"))
-        .orderBy(col("user_id"))
-    })
+    // Plus the r14 hyperactive-key guard (see w9): slice to
+    // MaxEventsPerKey post-sort, overflow detectable via n_events.
+    "w9b_skip_pattern" -> ((s, dir) =>
+      w9bCounts(Tables.events(s, dir), "vcp", SkipWindowUs,
+        MaxEventsPerKey))
   )
+
+  /** Per-key array cap for the w9/w9b sequence matchers: a hyperactive
+    * key's sorted event array is truncated to its first MaxEventsPerKey
+    * elements (by (ts, event_id)) before matching, bounding per-task
+    * memory under adversarial skew. n_events reports the UNCAPPED
+    * count, so `n_events > MaxEventsPerKey` flags a truncated key to
+    * consumers. 2^20 events ≈ 48 MB of struct rows per worst-case key —
+    * safely inside an executor task; every shipped sf peaks ~3 orders
+    * of magnitude lower. */
+  private[graft] val MaxEventsPerKey: Int = 1 << 20
+
+  /** W9 body, cap-parameterized (the query passes MaxEventsPerKey;
+    * WindowSpec pins truncation semantics at a tiny cap). */
+  private[graft] def w9Converted(events: DataFrame, cap: Int): DataFrame =
+    events
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), size(col("es")).cast("long").as("n_events"),
+        // explicit letter map, NOT substring(type,1,1): a future event
+        // type sharing an initial with v/c/p must not silently alias
+        // into the pattern (advisor r13) — unknown types map to 'x'
+        concat_ws("", transform(slice(col("es"), 1, cap),
+          x => when(x.getField("event_type") === "view", lit("v"))
+            .when(x.getField("event_type") === "click", lit("c"))
+            .when(x.getField("event_type") === "purchase", lit("p"))
+            .otherwise(lit("x")))).as("sq"))
+      .select(col("user_id"), col("n_events"),
+        col("sq").rlike("vcp").as("converted"))
+      .orderBy(col("user_id"))
+
+  /** W9b body, cap-parameterized. */
+  private[graft] def w9bCounts(events: DataFrame, pattern: String,
+                               windowUs: Long, cap: Int): DataFrame = {
+    val letter = when(col("event_type") === "view", lit("v"))
+      .when(col("event_type") === "click", lit("c"))
+      .when(col("event_type") === "purchase", lit("p"))
+      .otherwise(lit("x"))
+    events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          letter.as("l")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("e"))).as("es"))
+      .select(col("user_id"), size(col("es")).cast("long").as("n_events"),
+        skipPatternCount(slice(col("es"), 1, cap), pattern, windowUs)
+          .as("n_completions"))
+      .orderBy(col("user_id"))
+  }
 
   /** W9b window (µs): 24 h — the s8c width at which the natural corpus
     * completes v·c·p at every shipped sf. */

@@ -148,4 +148,59 @@ class FunctionsSpec extends AnyFunSuite {
       s"w9b ${w9b.toSeq.sortBy(_._1).take(4)} vs " +
       s"s8c ${funnel.toSeq.sortBy(_._1).take(4)}")
   }
+
+  test("W9/W9b hyperactive-key cap: truncation is deterministic (first " +
+       "cap events by (ts, event_id)), n_events keeps the uncapped " +
+       "count as the overflow flag, and the shipped cap is unreachable") {
+    val s = TestSpark.spark
+    import s.implicits._
+    import graft.queries.Windows.{w9Converted, w9bCounts, MaxEventsPerKey}
+    def ts(sec: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(sec))
+    // user 1: the only v·c·p lies BEYOND a cap of 4 (prefix v,x,x,v);
+    // user 2: converts inside the first 3 events;
+    // user 3: a ts TIE at the cap boundary — (ts,eid) order keeps the
+    // completing 'p' (eid 30) and drops the 'x' (eid 31); an ordering
+    // by anything else would flip the result.
+    val evs = Seq(
+      (1L, ts(1), 10L, "view"), (1L, ts(2), 11L, "error"),
+      (1L, ts(3), 12L, "error"), (1L, ts(4), 13L, "view"),
+      (1L, ts(5), 14L, "view"), (1L, ts(6), 15L, "click"),
+      (1L, ts(7), 16L, "purchase"), (1L, ts(8), 17L, "error"),
+      (1L, ts(9), 18L, "error"), (1L, ts(10), 19L, "error"),
+      (2L, ts(1), 20L, "view"), (2L, ts(2), 21L, "click"),
+      (2L, ts(3), 22L, "purchase"), (2L, ts(4), 23L, "error"),
+      (3L, ts(1), 28L, "view"), (3L, ts(2), 29L, "click"),
+      (3L, ts(3), 30L, "purchase"), (3L, ts(3), 31L, "error")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val W = graft.queries.Windows.SkipWindowUs
+
+    val cap4 = w9Converted(evs, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(cap4(1L) == ((10L, false)),
+      "user 1 must NOT convert at cap 4 (match lies beyond the cap) " +
+      "and must report the uncapped n_events=10 as the overflow flag")
+    assert(cap4(2L) == ((4L, true)), "user 2 converts inside the cap")
+    assert(cap4(3L) == ((4L, true)),
+      "user 3's ts tie must resolve by event_id (keep eid 30 'p')")
+    val uncapped = w9Converted(evs, MaxEventsPerKey).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(uncapped(1L), "user 1 converts when uncapped")
+
+    val b4 = w9bCounts(evs, "vcp", W, 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(b4(1L) == ((10L, 0L)) && b4(2L) == ((4L, 1L)) &&
+           b4(3L) == ((4L, 1L)),
+      s"w9b cap semantics: $b4")
+    val bFull = w9bCounts(evs, "vcp", W, MaxEventsPerKey).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bFull(1L) == 1L, "user 1 completes once when uncapped")
+
+    // the shipped cap is unreachable at every sf: the corpus' max
+    // per-user cardinality sits orders of magnitude under 2^20
+    val maxPerUser = graft.core.Tables.events(s, TestSpark.Sf)
+      .groupBy("user_id").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxPerUser < MaxEventsPerKey / 100,
+      s"corpus max per-user events $maxPerUser approaches the cap")
+  }
 }

@@ -47,4 +47,49 @@ class MultimodalSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  private lazy val dedup =
+    SparkEntry.queries("l8f_image_dedup")(TestSpark.spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("L8f: every image gets exactly one assignment; keeper is a kept " +
+       "member of its own cluster and never exceeds the image id") {
+    val nImgs = {
+      val nDocs = graft.core.Tables
+        .documents(TestSpark.spark, TestSpark.Sf).count()
+      val nVar = graft.core.Tables.documents(TestSpark.spark, TestSpark.Sf)
+        .filter("doc_id % 5 = 0").count()
+      nDocs + nVar
+    }
+    assert(dedup.length.toLong == nImgs, "one output row per image")
+    assert(dedup.map(_._1).distinct.length == dedup.length,
+      "img_id is unique")
+    val keptFlags = dedup.map(t => t._1 -> t._3).toMap
+    dedup.foreach { case (img, keeper, kept) =>
+      assert(keeper <= img, s"keeper $keeper exceeds member $img")
+      assert(kept == (if (img == keeper) 1L else 0L),
+        s"kept flag wrong for ($img, $keeper)")
+      assert(keptFlags(keeper) == 1L,
+        s"keeper $keeper of $img is not itself kept")
+    }
+    val nKept = dedup.count(_._3 == 1L)
+    assert(dedup.map(_._2).distinct.length == nKept,
+      "distinct keepers == kept rows")
+    assert(nKept < dedup.length,
+      "collapse is non-trivial — some cluster has > 1 member " +
+      "(exact dups / unperturbed-block variants exist at every sf)")
+  }
+
+  test("L8f composes with L8e: a hamming-0 near-dup pair always shares " +
+       "a keeper (identical hashes are one cluster)") {
+    val keeperOf = dedup.map(t => t._1 -> t._2).toMap
+    val zeroPairs = rows.filter(_._3 == 0L)
+    assert(zeroPairs.nonEmpty, "no hamming-0 pair — cross-pin vacuous")
+    zeroPairs.foreach { case (va, vb, _) =>
+      assert(keeperOf(va) == keeperOf(vb),
+        s"hamming-0 pair ($va, $vb) split across clusters " +
+        s"(${keeperOf(va)} vs ${keeperOf(vb)})")
+    }
+  }
 }

@@ -41,7 +41,14 @@ class SqlSpec extends AnyFunSuite {
     "f5_map", "l7_lang_stats",
     "s1_tumbling", "s3_session", "s3b_session_dynamic",
     "s4_stream_static", "s5_interval_join", "s6_dedup", "s7_late",
-    "s10_window_topn", "s11_chained")
+    "s10_window_topn", "s11_chained",
+    // r13/r14 additions whose oracles are ANSI-portable (probed
+    // through Engine.sql): the two-phase weighted median, the bucketed
+    // and SCD2 joins, the semi interval join's EXISTS face, the W9b
+    // chained-window-maxima DP, and both sink round-trip checksums
+    "a15_weighted_median", "j15_bucketed", "j16_scd2",
+    "s17_semi_interval", "w9b_skip_pattern",
+    "snk6_compaction", "snk7_sorted_skip")
   // Known dialect-divergent oracles, excluded by declaration (their SQL
   // parity is covered by the driver's DuckDB gate instead): the f-family
   // and l-series lean on DuckDB list/string builtins; a5/a11
@@ -50,7 +57,10 @@ class SqlSpec extends AnyFunSuite {
   // w3 (date_diff unit quoting), w4/w8 (epoch/epoch_us — no ANSI
   // microsecond extraction), w6 (IGNORE NULLS placement), w7
   // (count(DISTINCT) OVER rejected by Spark), s2 (time_bucket),
-  // s5b/s5c/s8* (engine-watermark CTE shapes written for DuckDB).
+  // s5b/s5c/s8* (engine-watermark CTE shapes written for DuckDB),
+  // j14 (DuckDB len() vs Spark length()), w9 (regexp_matches),
+  // g4 (AS MATERIALIZED CTE hint), g1b/g2/g3/l47 and the l8e/l8f
+  // blockhash replays (ord()/generate_series table functions).
 
   /** Canonical (column-name-sorted, stringified, row-sorted) form — the
     * same shape the driver's hash compare reduces results to. */
