@@ -77,8 +77,9 @@ object ScaleSweep {
     "g4_bfs", "j16_scd2", "w9b_skip_pattern", "snk7_sorted_skip",
     // r14 second batch: the l8e production dial — representative
     // collapse (linear output) vs the pair listing whose 100× decade
-    // measured output-bound quadratic growth (see the l8e note)
-    "l8f_image_dedup")
+    // measured output-bound quadratic growth (see the l8e note) —
+    // and snk8's min/max pass + z-value range exchange + pruned probe
+    "l8f_image_dedup", "snk8_zorder_skip")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */

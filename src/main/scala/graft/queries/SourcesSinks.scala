@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.core.{Canon, ConfScope, Tables}
@@ -204,6 +204,36 @@ object SourcesSinks {
         .orderBy(col("event_type"))
     }),
 
+    // SNK8 — Z-ORDER (Morton) layout + TWO-dimensional data skipping:
+    // SNK7's single-key sort prunes on ts alone; a second frequent
+    // predicate column (value) still sprays across every file. Z-order
+    // interleaves the bits of per-column RANGE-BUCKET ids (32 buckets
+    // per dimension — the public Delta/Iceberg OPTIMIZE ZORDER shape:
+    // bucket, interleave, range-partition + sort by the z-value), so
+    // each output file covers a compact RECTANGLE in (ts, value) space
+    // and parquet footer stats prune on EITHER column. The bucket
+    // boundaries come from one tiny min/max aggregate (1 driver row —
+    // aggregate cardinality); the z-value is a layout artifact, dropped
+    // before the write, so ANY bucketing arithmetic is semantically
+    // free — the checksum vs the original-parquet oracle is what
+    // guards content. Read-back = SNK7's 3-day ts slice AND a fixed
+    // value band: EngineSpec "SNK8" pins both predicates reaching
+    // PushedFilters, the per-file (ts, value) bounding boxes
+    // intersecting the probe box in only a minority of files, and the
+    // scan-decode metric collapsing. 100 TB: one agg pass + one range
+    // exchange + task-local sort — the same bill as a plain sort, with
+    // multi-predicate pruning bought for it.
+    "snk8_zorder_skip" -> ((s, dir) => {
+      snk8Write(s, dir)
+      snk8Read(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).as("sum_id"),
+             sum(col("user_id")).as("sum_uid"),
+             d(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "snk6_compaction" -> ((s, dir) => {
       val frag = stagingDir("snk6frag", dir)
       val comp = stagingDir("snk6comp", dir)
@@ -259,6 +289,65 @@ object SourcesSinks {
     s.read.parquet(stagingDir("snk7sorted", dir))
       .filter(col("ts") >= lit(Snk7From).cast(TimestampType) &&
               col("ts") < lit(Snk7To).cast(TimestampType))
+
+  /** SNK8 probe box: SNK7's ts slice × a value band that is non-empty
+    * at every shipped sf (value tops out ≈ 327 / 490 / 560). */
+  private[graft] val Snk8ValLo = 100.0
+  private[graft] val Snk8ValHi = 200.0
+
+  /** SNK8 buckets per dimension (5 bits each → 10-bit z-values). */
+  private[graft] val Snk8Buckets = 32
+
+  /** Morton interleave of two Snk8Buckets-range bucket ids: dimension
+    * A's bit k lands at z-bit 2k+1, B's at 2k — the standard z-curve,
+    * built from shift/and/or so it stays inside whole-stage codegen.
+    * Exposed for EngineSpec's known-value pin. */
+  private[graft] def zInterleave5(ba: Column, bb: Column): Column =
+    (0 until 5).map { k =>
+      shiftleft(shiftright(ba, k).bitwiseAND(lit(1L)), 2 * k + 1)
+        .bitwiseOR(shiftleft(shiftright(bb, k).bitwiseAND(lit(1L)), 2 * k))
+    }.reduce(_.bitwiseOR(_))
+
+  /** SNK8 z-ordered write — exposed for EngineSpec's layout pins.
+    * TIMESTAMP_MICROS for the same reason as SNK7 (INT96 carries no
+    * usable parquet statistics). */
+  private[graft] def snk8Write(s: SparkSession, dir: String): String = {
+    val out = stagingDir("snk8zorder", dir)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"), col("ts"))
+    // range boundaries for the bucket ids: one min/max aggregate,
+    // 1 driver row (the Delta OPTIMIZE ZORDER range-id pass)
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      min(col("value")), max(col("value"))).head()
+    val (tLo, tHi) = (b.getLong(0), b.getLong(1))
+    val (vLo, vHi) = (b.getDouble(2), b.getDouble(3))
+    val nB = lit(Snk8Buckets.toDouble)
+    val bt = least(lit(Snk8Buckets - 1L),
+      floor((unix_micros(col("ts")) - lit(tLo)).cast("double") * nB /
+        lit((tHi - tLo + 1).toDouble)).cast("long"))
+    val bv = least(lit(Snk8Buckets - 1L),
+      floor((col("value") - lit(vLo)) * nB /
+        lit(vHi - vLo + 1e-9)).cast("long"))
+    ConfScope.withConf(s, Map(
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")) {
+      ev.withColumn("zv", zInterleave5(bt, bv))
+        .repartitionByRange(16, col("zv"))
+        .sortWithinPartitions(col("zv"), col("event_id"))
+        .drop("zv")
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  /** SNK8 two-predicate read-back — exposed for EngineSpec's
+    * PushedFilters + bounding-box + scan-metric pins. */
+  private[graft] def snk8Read(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(stagingDir("snk8zorder", dir))
+      .filter(col("ts") >= lit(Snk7From).cast(TimestampType) &&
+              col("ts") < lit(Snk7To).cast(TimestampType) &&
+              col("value") >= lit(Snk8ValLo) &&
+              col("value") < lit(Snk8ValHi))
 
   val oracle: Map[String, String] = Map(
     "src2_csv_roundtrip" ->
@@ -317,6 +406,18 @@ object SourcesSinks {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE ts >= TIMESTAMP '$Snk7From' AND ts < TIMESTAMP '$Snk7To'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // snk8 — the two-predicate probe box over the ORIGINAL table; the
+    // engine answers it from the z-ordered rewrite, so a row lost,
+    // doubled, or over-pruned by the layout breaks the hash.
+    "snk8_zorder_skip" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '$Snk7From' AND ts < TIMESTAMP '$Snk7To'
+        |  AND value >= $Snk8ValLo AND value < $Snk8ValHi
         |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -156,4 +156,71 @@ class EngineSpec extends AnyFunSuite {
     assert(scanRows >= matched,
       s"scan emitted fewer rows ($scanRows) than matched ($matched)")
   }
+
+  test("SNK8: the Morton interleave is bit-exact; z-ordered files cover " +
+       "compact (ts, value) rectangles so the 2-D probe box intersects " +
+       "only a minority of them; both predicates reach PushedFilters " +
+       "and the scan decodes a fraction") {
+    import graft.queries.SourcesSinks
+    import org.apache.spark.sql.functions.{col, lit, min, max, unix_micros}
+    // known-value pin: ba=0b10101 (21) → odd z-bits 9,5,1; bb=0b01010
+    // (10) → even z-bits 6,2 ⇒ z = 546 | 68 = 614; plus the corners
+    val zed = s.range(1)
+      .select(
+        SourcesSinks.zInterleave5(lit(21L), lit(10L)).as("a"),
+        SourcesSinks.zInterleave5(lit(0L), lit(0L)).as("b"),
+        SourcesSinks.zInterleave5(lit(31L), lit(31L)).as("c")).head()
+    assert(zed.getLong(0) == 614L, s"z(21,10) = ${zed.getLong(0)}, want 614")
+    assert(zed.getLong(1) == 0L && zed.getLong(2) == 1023L,
+      "z corners wrong: z(0,0) must be 0, z(31,31) must be 1023")
+
+    val path = SourcesSinks.snk8Write(s, TestSpark.Sf)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    val files =
+      try ls.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+      finally ls.close()
+    assert(files.length >= 4, s"expected ≥4 z-range files, got ${files.length}")
+    // per-file 2-D bounding boxes vs the probe box: the z-layout's
+    // whole point is that a box predicate touches FEW files — a
+    // single-key ts sort would put every value range in every file
+    val tsLo = java.sql.Timestamp.valueOf(SourcesSinks.Snk7From).getTime
+    val tsHi = java.sql.Timestamp.valueOf(SourcesSinks.Snk7To).getTime
+    val boxes = files.map { f =>
+      val r = s.read.parquet(f).agg(
+        min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+        min(col("value")), max(col("value"))).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    val hit = boxes.count { case (tl, th, vl, vh) =>
+      th >= tsLo * 1000L && tl < tsHi * 1000L &&
+        vh >= SourcesSinks.Snk8ValLo && vl < SourcesSinks.Snk8ValHi
+    }
+    assert(hit > 0, "no file box intersects the probe — probe degenerate")
+    assert(hit * 2 <= files.length,
+      s"$hit of ${files.length} file boxes intersect the probe box — " +
+      "the z-layout is not clustering both dimensions")
+
+    val df = SourcesSinks.snk8Read(s, TestSpark.Sf)
+    val matched = df.collect().length.toLong
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no FileSourceScanExec leaf in the probe plan"))
+    // the rendered plan truncates PushedFilters — read the scan's own
+    // untruncated metadata entry
+    val pushed = scan.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThanOrEqual(ts") &&
+           pushed.contains("GreaterThanOrEqual(value"),
+      s"both predicates must reach PushedFilters: $pushed")
+    val scanRows = scan.metrics("numOutputRows").value
+    val total = s.read.parquet(path).count()
+    assert(matched > 0 && matched < total,
+      s"probe box is degenerate ($matched of $total)")
+    assert(scanRows < total,
+      s"scan decoded every row ($scanRows of $total) — footer-stats " +
+      "skipping never engaged on the z-layout")
+    assert(scanRows >= matched,
+      s"scan emitted fewer rows ($scanRows) than matched ($matched)")
+  }
 }
