@@ -79,7 +79,10 @@ object ScaleSweep {
     // collapse (linear output) vs the pair listing whose 100× decade
     // measured output-bound quadratic growth (see the l8e note) —
     // and snk8's min/max pass + z-value range exchange + pruned probe
-    "l8f_image_dedup", "snk8_zorder_skip")
+    "l8f_image_dedup", "snk8_zorder_skip",
+    // g5's rounds × (frontier join + min merge) — like g4 the round
+    // count is data-dependent (weighted eccentricity), priced here
+    "g5_sssp")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */

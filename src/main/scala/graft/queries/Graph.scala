@@ -271,6 +271,86 @@ object Graph {
       .orderBy(col("dist"), col("p_partkey")), rounds)
   }
 
+  /** G5 relaxation-round cap. Identity-safe like BfsCap: once no node
+    * improves, every later round is a no-op, so the generated oracle
+    * unrolls all SsspCap full-relaxation rounds unconditionally while
+    * the engine stops on the first improvement-free round. Bound:
+    * weights ≤ 3 and every edge weighs ≥ 1, so any shortest path has
+    * ≤ 3 × hop-eccentricity ≤ 21 edges at the shipped sfs (measured
+    * hop eccentricity ≤ 7); 24 is the replayable budget. */
+  val SsspCap = 24
+
+  /** The support-2 co-order graph with SUPPORT-DERIVED integer edge
+    * weights for G5: strong ties are short — support ≥ 4 → w = 1,
+    * support 3 → w = 2, support 2 → w = 3. Same single o_orderkey
+    * self-join as supportEdges, the count reused as the weight
+    * source instead of dropped. */
+  private def weightedSupportEdges(s: SparkSession, d: String): DataFrame = {
+    val op = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.as("x").join(op.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("a"), col("b"),
+        when(col("c") >= 4, lit(1L)).when(col("c") === 3, lit(2L))
+          .otherwise(lit(3L)).as("w"))
+  }
+
+  /** G5 body: multi-source WEIGHTED single-source-shortest-paths —
+    * G4 answers "how many hops", G5 answers "how far" when edges
+    * carry cost (Bellman-Ford with an improved-only frontier, the
+    * distributed relaxation every Pregel SSSP uses). Each round joins
+    * the frontier (nodes whose distance just improved) against the
+    * weighted edges, takes the per-target min of (frontier dist + w),
+    * keeps only targets that BEAT their settled distance, and merges.
+    * Unlike unit-weight BFS a node can improve more than once (a
+    * longer-hop cheaper path arriving later), which is exactly what
+    * the improved-only frontier re-propagates; stops on the first
+    * improvement-free round under the identity-safe SsspCap. 100 TB:
+    * per round one shuffle join of |frontier| against edges + one
+    * node-keyed min merge; total relaxations bounded by Σ improvements
+    * (≤ |V| · max-dist-levels), round count ≤ max edges on a shortest
+    * path; per-round localCheckpoint truncates lineage (the G1 Pregel
+    * hygiene). Returns (result, rounds) — rounds for the spec's
+    * stopped-before-cap pin. */
+  private[graft] def g5Run(s: SparkSession, d: String): (DataFrame, Int) = {
+    val und = weightedSupportEdges(s, d)
+    val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(
+        und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint()
+    var dist = e.select(col("src").as("nid")).distinct()
+      .filter(col("nid") % BfsSrcMod === 0)
+      .select(col("nid"), lit(0L).as("d"))
+      .localCheckpoint()
+    var frontier = dist
+    var rounds = 0
+    var done = frontier.isEmpty
+    while (rounds < SsspCap && !done) {
+      val cand = e.join(frontier, e("src") === frontier("nid"))
+        .groupBy(e("dst").as("nid"))
+        .agg(min(frontier("d") + e("w")).as("nd"))
+      val improved = cand.join(dist, Seq("nid"), "left")
+        .filter(col("d").isNull || col("nd") < col("d"))
+        .select(col("nid"), col("nd").as("d"))
+        .localCheckpoint()
+      done = improved.isEmpty
+      if (!done) {
+        rounds += 1
+        dist = dist.unionByName(improved)
+          .groupBy(col("nid")).agg(min(col("d")).as("d"))
+          .localCheckpoint()
+        frontier = improved
+      }
+    }
+    (dist.select(col("nid").as("p_partkey"),
+        col("d").cast(IntegerType).as("dist"))
+      .orderBy(col("dist"), col("p_partkey")), rounds)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G3 — LABEL PROPAGATION community detection (Raghavan et al. 2007)
     // on the co-order part graph: every node starts as its own label;
@@ -346,6 +426,11 @@ object Graph {
         .limit(20)
     }),
     "g4_bfs" -> ((s, d) => g4Run(s, d)._1),
+
+    // G5 — weighted SSSP over the support-2 co-order graph (see g5Run):
+    // exact integer distances, support-derived weights (strong ties are
+    // short), generated full-relaxation oracle unrolled to SsspCap.
+    "g5_sssp" -> ((s, d) => g5Run(s, d)._1),
     "g1b_pagerank_conv" -> ((s, d) => g1bRun(s, d)._1),
     "g1_pagerank" -> ((s, d) => {
       val e = edges(s, d).localCheckpoint()
@@ -485,6 +570,42 @@ object Graph {
        |FROM st$BfsCap ORDER BY dist, p_partkey""".stripMargin
   }
 
+  /** G5 generated oracle: SsspCap FULL-relaxation Bellman-Ford rounds
+    * unrolled unconditionally (identity-safe once converged — the g4Sql
+    * argument): round i's distance per node is the min of round i−1's
+    * and every in-edge's (source dist + weight). Full relaxation and
+    * the engine's improved-only frontier compute the same fixed point;
+    * the unroll count only needs to cover the longest shortest path
+    * (≤ 21 edges at the shipped sfs, see SsspCap). */
+  private def g5Sql: String = {
+    val rounds = (1 to SsspCap).map { i =>
+      s"""sp$i AS MATERIALIZED (
+         |  SELECT nid, min(d) AS d FROM (
+         |    SELECT nid, d FROM sp${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS nid, s.d + e.w AS d
+         |    FROM eg5 e JOIN sp${i - 1} s ON e.src = s.nid)
+         |  GROUP BY nid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH opg5 AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |ueg5 AS MATERIALIZED (
+       |  SELECT a, b, CASE WHEN c >= 4 THEN 1 WHEN c = 3 THEN 2
+       |                    ELSE 3 END AS w FROM (
+       |    SELECT x.pk AS a, y.pk AS b, count(*) AS c FROM opg5 x
+       |    JOIN opg5 y ON x.ok = y.ok AND x.pk < y.pk
+       |    GROUP BY 1, 2 HAVING count(*) >= 2)),
+       |eg5 AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM ueg5
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM ueg5),
+       |sp0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS nid, 0 AS d FROM eg5
+       |  WHERE src % $BfsSrcMod = 0),
+       |$rounds
+       |SELECT nid AS p_partkey, CAST(d AS INT) AS dist
+       |FROM sp$SsspCap ORDER BY dist, p_partkey""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     // Generated oracle (the l3c idiom): the five rounds unrolled as
     // chained CTEs, each replaying the integer Pregel step verbatim.
@@ -503,6 +624,7 @@ object Graph {
       // g2 — the same degree-ordered orientation replayed: pack the
       // (deg, id) order into one BIGINT key, orient, wedge-join, close.
       "g4_bfs" -> g4Sql,
+      "g5_sssp" -> g5Sql,
       "g3_labelprop" -> g3Sql,
       "g2_triangles" ->
         """WITH op2 AS (

@@ -247,4 +247,53 @@ class RetrievalGraphSpec extends AnyFunSuite {
     val ref = dist.toSeq.sortBy(r => (r._2, r._1))
     assert(got == ref, s"engine ${got.take(5)} vs ref ${ref.take(5)}")
   }
+
+  test("G5: weighted SSSP distances equal an in-memory Dijkstra, stop " +
+       "before the cap, and the weights genuinely bend some path") {
+    val s = TestSpark.spark
+    import graft.queries.Graph.{BfsSrcMod, SsspCap}
+    val li = graft.core.Tables.lineitem(s, TestSpark.Sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    // weighted support-2 edges: support >= 4 -> w 1, 3 -> 2, 2 -> 3
+    val wedges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2)
+      .map { case ((a, b), occ) =>
+        (a, b, if (occ.size >= 4) 1L else if (occ.size == 3) 2L else 3L)
+      }.toSeq
+    assert(wedges.map(_._3).distinct.length >= 2,
+      "all edges share one weight — weighted SSSP degenerates to BFS")
+    val adj = wedges.flatMap { case (a, b, w) => Seq(a -> (b, w), b -> (a, w)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = adj.keys.filter(_ % BfsSrcMod == 0).toSeq
+    assert(src.nonEmpty, "empty source set — SSSP vacuous")
+    // multi-source Dijkstra
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    val pq = scala.collection.mutable.PriorityQueue[(Long, Long)]()(
+      Ordering.by(-_._1))
+    src.foreach { n => dist(n) = 0L; pq.enqueue((0L, n)) }
+    while (pq.nonEmpty) {
+      val (d0, n) = pq.dequeue()
+      if (dist(n) == d0)
+        adj(n).foreach { case (m, w) =>
+          if (!dist.contains(m) || d0 + w < dist(m)) {
+            dist(m) = d0 + w; pq.enqueue((d0 + w, m))
+          }
+        }
+    }
+    val ref = dist.toSeq.sortBy(r => (r._2, r._1))
+      .map { case (n, d) => (n, d.toInt) }
+    // non-vacuity: some optimal distance uses a non-3 weight, and the
+    // walk reaches beyond a single heaviest edge
+    assert(ref.exists(r => r._2 > 0 && r._2 % 3 != 0),
+      "every distance is a multiple of 3 — weights never mattered")
+    assert(ref.map(_._2).max > 3, "SSSP never reached past one edge")
+    val (out, engRounds) = graft.queries.Graph.g5Run(s, TestSpark.Sf)
+    assert(engRounds < SsspCap, s"engine hit the cap ($engRounds)")
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == ref, s"engine ${got.take(5)} vs ref ${ref.take(5)}")
+  }
 }
