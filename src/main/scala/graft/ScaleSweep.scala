@@ -81,8 +81,9 @@ object ScaleSweep {
     // and snk8's min/max pass + z-value range exchange + pruned probe
     "l8f_image_dedup", "snk8_zorder_skip",
     // g5's rounds × (frontier join + min merge) — like g4 the round
-    // count is data-dependent (weighted eccentricity), priced here
-    "g5_sssp")
+    // count is data-dependent (weighted eccentricity), priced here —
+    // and src9's two-generation rewrite + footer-merged read
+    "g5_sssp", "src9_schema_evolution")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */
@@ -90,8 +91,9 @@ object ScaleSweep {
     "s5_interval_join", "s5b_interval_left", "s5c_interval_full",
     "s11_chained", "s13_sig_refresh",
     // r14: the semi join's state budget (matched left rows drop
-    // immediately — the favorable variant of s5's)
-    "s17_semi_interval",
+    // immediately — the favorable variant of s5's), and s18's
+    // 1-row-per-user SCD2 maintainer (the cheapest stateful op)
+    "s17_semi_interval", "s18_scd2_stream",
     // r13: the watermark-evicted heavy-hitter state — per-batch state
     // rows scale with active users per window, the part that matters —
     // and the drift monitor's histogram state (windows × types)

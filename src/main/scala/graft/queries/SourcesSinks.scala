@@ -36,7 +36,7 @@ object SourcesSinks {
     * PID component keeps two CONCURRENT processes running the same
     * round-trip (e.g. bench alongside tests) from overwriting the
     * directory one of them is still reading back. */
-  private def stagingDir(kind: String, sfDir: String): String = {
+  private[graft] def stagingDir(kind: String, sfDir: String): String = {
     val key = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
     val p = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_roundtrip",
@@ -234,6 +234,41 @@ object SourcesSinks {
         .orderBy(col("event_type"))
     }),
 
+    // SRC9 — SCHEMA-EVOLUTION read (mergeSchema): at 100 TB the table
+    // is years of files and the schema DRIFTED — old generations lack
+    // columns newer ones carry. Generation 1 (even orderkeys) is
+    // written WITHOUT l_extendedprice; generation 2 (odd) with it; the
+    // read unions the footers (`mergeSchema`), old files surface the
+    // missing column as NULL, and the directory layout (gen=N) doubles
+    // as a discovered partition column. The checksum separates the
+    // generations arithmetically (sum/count of the evolved column hit
+    // only gen-2 rows), so a row read with the wrong generation's
+    // schema breaks the hash vs the oracle replaying the split from
+    // the original table. 100 TB note: footer-merge cost is per-file —
+    // scope `mergeSchema` to evolving prefixes (or pin the unified
+    // schema explicitly) rather than defaulting it on; EngineSpec
+    // "SRC9" pins the physical asymmetry (gen-1 files alone lack the
+    // column) and the per-generation null pattern.
+    "src9_schema_evolution" -> ((s, dir) => {
+      val out = stagingDir("src9evolve", dir)
+      val li = Tables.lineitem(s, dir)
+      li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").parquet(out + "/gen=1")
+      li.filter(col("l_orderkey") % 2 === 1)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").parquet(out + "/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("long")).as("sum_qty"),
+             d(sum(col("l_extendedprice").cast(DecimalType(18, 2))))
+               .as("sum_price"),
+             count(col("l_extendedprice")).as("n_evolved"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "snk6_compaction" -> ((s, dir) => {
       val frag = stagingDir("snk6frag", dir)
       val comp = stagingDir("snk6comp", dir)
@@ -418,6 +453,18 @@ object SourcesSinks {
         |FROM events
         |WHERE ts >= TIMESTAMP '$Snk7From' AND ts < TIMESTAMP '$Snk7To'
         |  AND value >= $Snk8ValLo AND value < $Snk8ValHi
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // src9 — the generation split replayed arithmetically: the evolved
+    // column exists only for odd orderkeys (generation 2).
+    "src9_schema_evolution" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CASE WHEN l_orderkey % 2 = 1
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(count(CASE WHEN l_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+        |    AS n_evolved
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

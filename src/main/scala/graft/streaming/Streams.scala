@@ -304,6 +304,36 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** S18 body — streaming SCD2 dimension maintenance (see
+    * Scd2Processor): purchases keyed by user through transformWithState
+    * (RocksDB, the declared 100 TB state backend); closed version rows
+    * surface as timestamps. Thresholds are cents parameters so
+    * StreamingSpec can pin threshold-sensitivity; the canonical query
+    * runs $400 / $1000 — both transitions fire naturally at every
+    * shipped sf (3 / 11 / 156 users reach 'high'). */
+  private[graft] def s18Run(s: SparkSession, d: String,
+                            midCents: Long, highCents: Long): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev = Replayer.stream(s, d, "clean")
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("user_id"))
+      .as[(Long, Long, Long, Long)]
+    val versions = ev.groupByKey(_._4)
+      .mapValues(t => Scd2Event(t._1, t._2, t._3))
+      .transformWithState(new Scd2Processor(midCents, highCents),
+        TimeMode.None(), OutputMode.Append())
+    runToMemory(s,
+        versions.toDF("user_id", "band", "vf_us", "vt_us"), "append",
+        RocksDbConf ++ NoFinalBatch)
+      .select(col("user_id"), col("band"),
+        timestamp_micros(col("vf_us")).as("valid_from"),
+        timestamp_micros(col("vt_us")).as("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =
     sharedCore(s, d, "interval_full_clean") {
       val src = Replayer.stream(s, d, "clean")
@@ -654,6 +684,22 @@ object Streams {
     // watermark, same budget as s5 but with left rows dropped from
     // state the moment they match.
     "s17_semi_interval" -> ((s, d) => s17Run(s, d, windowHours = 1)),
+
+    // S18 — STREAMING SCD2 maintenance (the CDC-apply face of J16's
+    // batch dimension build): per-user running purchase spend maps to
+    // a tier band; a threshold-crossing purchase emits the CLOSED
+    // [valid_from, valid_to) version for the band just left and opens
+    // the next — the upsert train a warehouse dimension consumes.
+    // Change-driven emission (append), exact integer cents, ONE tuple
+    // of state per user (bands are monotone under growing spend, so a
+    // user closes ≤ 2 versions ever). The still-open current version
+    // never emits, so the oracle models closed versions only: the
+    // cum-sum → band → change-row → lead() chain over the original
+    // table, dropping the NULL-valid_to tail. 100 TB: one user_id
+    // shuffle, RocksDB state = 1 row/user — the cheapest stateful op
+    // in the S-series.
+    "s18_scd2_stream" -> ((s, d) =>
+      s18Run(s, d, midCents = 40000L, highCents = 100000L)),
 
     // S6 — streaming dedup on a duplicate-injected replay; final rows
     // must equal the clean batch table.
@@ -1353,6 +1399,41 @@ object Streams {
         |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
         |    AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+    // s18 — closed SCD2 versions replayed from the original table:
+    // per-user cum purchase cents (the a15 round-to-cents idiom) →
+    // band per purchase → band-entry rows (lag change detection) →
+    // close each version with lead(); the open tail (valid_to NULL)
+    // never emits in the engine and is dropped here.
+    "s18_scd2_stream" ->
+      """WITH pu18 AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |cs18 AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(cents) OVER (PARTITION BY user_id
+        |                     ORDER BY ts, event_id) AS cum
+        |  FROM pu18),
+        |bd18 AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN cum < 40000 THEN 'low'
+        |         WHEN cum < 100000 THEN 'mid' ELSE 'high' END AS band
+        |  FROM cs18),
+        |ch18 AS (
+        |  SELECT user_id, ts, event_id, band,
+        |    lag(band) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS pb
+        |  FROM bd18),
+        |vs18 AS (
+        |  SELECT user_id, band, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS valid_to
+        |  FROM ch18 WHERE pb IS NULL OR band <> pb)
+        |SELECT user_id, band,
+        |  CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |  CAST(valid_to AS TIMESTAMP) AS valid_to
+        |FROM vs18 WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from""".stripMargin,
     // s5b — matched pairs all emit; null-extended rows only for purchases
     // the watermark evicted. Two calibrated facts make the horizon exact
     // (both verified empirically ON THE PINNED Spark 4.1.2 BUILD — these

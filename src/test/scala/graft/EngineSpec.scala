@@ -223,4 +223,33 @@ class EngineSpec extends AnyFunSuite {
     assert(scanRows >= matched,
       s"scan emitted fewer rows ($scanRows) than matched ($matched)")
   }
+
+  test("SRC9: generation-1 files physically lack the evolved column; " +
+       "the merged read unions the schemas with the per-generation " +
+       "null pattern") {
+    import org.apache.spark.sql.functions.col
+    // the query writes the staging layout as a side effect
+    SparkEntry.queries("src9_schema_evolution")(s, TestSpark.Sf).collect()
+    val base = graft.queries.SourcesSinks
+      .stagingDir("src9evolve", TestSpark.Sf)
+    val gen1 = s.read.parquet(base + "/gen=1")
+    assert(!gen1.columns.contains("l_extendedprice"),
+      s"gen-1 files must PHYSICALLY lack the evolved column, " +
+      s"got ${gen1.columns.mkString(",")}")
+    val merged = s.read.option("mergeSchema", "true").parquet(base)
+    assert(merged.columns.contains("l_extendedprice") &&
+           merged.columns.contains("gen"),
+      s"merged schema must union the generations and discover the " +
+      s"partition column, got ${merged.columns.mkString(",")}")
+    val nulls = merged.groupBy(col("gen"))
+      .agg(org.apache.spark.sql.functions.count(col("l_extendedprice"))
+        .as("nn"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nulls(1)._1 == 0L && nulls(1)._2 > 0L,
+      s"every gen-1 row must read the evolved column as NULL: $nulls")
+    assert(nulls(2)._1 == nulls(2)._2 && nulls(2)._2 > 0L,
+      s"every gen-2 row must carry the evolved column: $nulls")
+  }
 }
