@@ -316,6 +316,38 @@ object Llm {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // X5 — the OPTIMIZER-RULE rung of the custom-operator ladder
+    // (Expression l3b → Rule here): the SAME cosine top-k written in
+    // the DECLARATIVE qdot form (aggregate ∘ zip_with — what a user who
+    // never heard of graft_dot writes), run with DotProductRewrite
+    // injected via the public ExperimentalMethods hook. The optimizer
+    // swaps the chain for the native codegen'd LongDotProduct — an
+    // exact identity (null array / null element / length mismatch /
+    // ANSI overflow all match, see the Expression's scaladoc) — so this
+    // entry must hash the SAME oracle as l3/l3b, and PlanSpec "X5" pins
+    // that the executed plan really contains graft_dot and no
+    // aggregate(zip_with) residue.
+    "x5_dot_rewrite" -> ((s, d) => {
+      graft.plans.DotProductRewrite.ensure(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), qz(col("embedding")).as("q"))
+        .withColumn("nrm", qnorm(col("q")))
+      val qs = e.filter(col("vec_id").isin(0, 1, 2))
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+                col("nrm").as("qn"))
+      val pairs = broadcast(qs).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          (qdot(col("qq"), col("q")).cast(DoubleType) /
+            (sqrt(col("qn").cast(DoubleType)) *
+             sqrt(col("nrm").cast(DoubleType)))).as("cos"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vid").asc)
+      pairs.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("vid"), col("cos"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // L3c — IVF-bucketed ANN top-k: the declared 100 TB scale path for
     // similarity search (SURVEY §2.10 L3). Coarse quantizer = K=10 cells
     // trained by a DETERMINISTIC integer Lloyd's k-means (fixed 5
@@ -1708,6 +1740,7 @@ object Llm {
         |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
     "l3_cosine_topk" -> l3Sql,
     "l3b_native_topk" -> l3Sql, // native expression must not change results
+    "x5_dot_rewrite" -> l3Sql, // optimizer rewrite must not change results
     // l3c — the IVF pipeline is integer-exact end-to-end (floor-quantized
     // k-means centroids, BIGINT distances, min-encoded argmin), so the
     // DuckDB oracle replays the SAME declared semantics — including the 5

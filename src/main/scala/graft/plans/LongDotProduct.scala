@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -20,13 +21,21 @@ import org.apache.spark.sql.SparkSessionExtensions
   * inside whole-stage codegen: no allocation, no virtual calls —
   * preference order (b) from the build rules (native Expression > UDF).
   *
-  * Null semantics: null input array → null result (standard
-  * BinaryExpression null-intolerance); elements are assumed non-null
-  * (quantized vectors are produced dense by Llm.qz). Lengths may differ —
-  * the loop runs over the shorter (same as zip_with's null-padding would
-  * contribute nothing here).
+  * Semantics are an EXACT match for the declarative chain
+  * `aggregate(zip_with(a, b, (x, y) => x * y), 0L, (acc, v) => acc + v)`
+  * — load-bearing since r14, because DotProductRewrite swaps one for the
+  * other inside the optimizer and a rewrite must be an identity:
+  *  - null input array → null (standard BinaryExpression);
+  *  - DIFFERING lengths → null (zip_with pads the shorter side with
+  *    nulls, the padded product is null, and null poisons the sum);
+  *  - any null ELEMENT → null (same poisoning);
+  *  - overflow: under ANSI (`failOnError`, captured from the session
+  *    conf like Spark's own Add) both forms THROW (this one a plain
+  *    ArithmeticException, Spark's a SparkArithmeticException — value
+  *    behavior identical, error class differs); under legacy both WRAP.
   */
-case class LongDotProduct(left: Expression, right: Expression)
+case class LongDotProduct(left: Expression, right: Expression,
+                          failOnError: Boolean = SQLConf.get.ansiEnabled)
     extends BinaryExpression {
 
   // ExpectsInputTypes would be the idiomatic mixin, but AbstractDataType
@@ -43,14 +52,24 @@ case class LongDotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot"
+  // null can arise from length mismatch / null elements even when both
+  // inputs are non-null — nullable unconditionally
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (failOnError)
+        acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      else acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -60,13 +79,25 @@ case class LongDotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val step =
+        if (failOnError)
+          s"$acc = java.lang.Math.addExact($acc, " +
+            s"java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i)));"
+        else s"$acc += $x.getLong($i) * $y.getLong($i);"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $x.getLong($i) * $y.getLong($i);
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $step
+         |  }
          |}
-         |${ev.value} = $acc;
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -98,9 +129,14 @@ object GraftFunctions {
   }
 }
 
-/** `SparkSessionExtensions` hook — injectable via config. */
+/** `SparkSessionExtensions` hook — injectable via config. r14 adds the
+  * optimizer rule: a session built with this extension rewrites the
+  * declarative dot-product chain to the native expression automatically
+  * (see DotProductRewrite). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((GraftFunctions.ident, GraftFunctions.info,
       GraftFunctions.builder))
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
 }
