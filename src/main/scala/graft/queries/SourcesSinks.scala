@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -234,6 +235,34 @@ object SourcesSinks {
         .orderBy(col("event_type"))
     }),
 
+    // SNK9 — MANIFEST-pinned atomic snapshot publish: the third leg of
+    // the 100 TB layout story (SNK6 file count, SNK7/SNK8 ordering,
+    // SNK9 ISOLATION). Directory listing is not a publication protocol:
+    // a reader that lists files races compaction (sees both old and new
+    // files → doubled rows) and in-flight writers (sees half-written
+    // temp files). The public fix (the Iceberg/Delta log idea, reduced
+    // to its core) is to publish a VERSION = an immutable data-file set
+    // + one atomically-renamed manifest naming exactly those files;
+    // readers resolve the manifest and never list. Here: publish v1
+    // (the events table, 8 files), compact into v2 (2 files, v1 files
+    // RETAINED — versions are immutable), publish v2's manifest; the
+    // canonical read resolves the LATEST manifest. EngineSpec "SNK9"
+    // additionally pins the isolation claim: after v2 exists and a
+    // dangling junk parquet is dropped into the data dir (a torn
+    // concurrent writer), the v1 snapshot still reads exactly v1's
+    // content and a naive directory read is provably corrupted.
+    "snk9_snapshot_publish" -> ((s, dir) => {
+      val (_, v2) = snk9PublishBoth(s, dir)
+      snk9ReadSnapshot(s, v2)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).as("sum_id"),
+             min(col("event_id")).as("min_id"),
+             max(col("event_id")).as("max_id"),
+             d(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // SRC9 — SCHEMA-EVOLUTION read (mergeSchema): at 100 TB the table
     // is years of files and the schema DRIFTED — old generations lack
     // columns newer ones carry. Generation 1 (even orderkeys) is
@@ -375,6 +404,66 @@ object SourcesSinks {
     out
   }
 
+  /** SNK9 snapshot layout root: `data/` holds immutable version file
+    * sets side by side; `manifests/vN.list` names a version's exact
+    * files (one absolute path per line), written to a temp name and
+    * ATOMIC_MOVE-renamed — the publish point. */
+  private[graft] def snk9Root(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(stagingDir("snk9snap", dir))
+
+  /** Publish one version: write the dataframe's files under an
+    * immutable per-version data dir, list them (at publish time, by the
+    * writer — readers never list), and atomically rename the manifest
+    * into place. Returns the manifest path. */
+  private[graft] def snk9Publish(s: SparkSession, root: java.nio.file.Path,
+                                 version: Int, df: DataFrame): String = {
+    val dataDir = root.resolve("data").resolve(s"v$version")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val files = {
+      val ls = java.nio.file.Files.list(dataDir)
+      try ls.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.sorted
+      finally ls.close()
+    }
+    require(files.nonEmpty, s"version $version published no files")
+    val mdir = root.resolve("manifests")
+    java.nio.file.Files.createDirectories(mdir)
+    val tmp = mdir.resolve(s"v$version.list.tmp")
+    java.nio.file.Files.writeString(tmp, files.mkString("\n"))
+    val fin = mdir.resolve(s"v$version.list")
+    java.nio.file.Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fin.toString
+  }
+
+  /** Publish v1 (the events table as 8 files) and v2 (the same rows
+    * compacted to 2 files — v1's files RETAINED). Returns both manifest
+    * paths. */
+  private[graft] def snk9PublishBoth(s: SparkSession, dir: String)
+      : (String, String) = {
+    val root = snk9Root(dir)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+    val v1 = snk9Publish(s, root, 1, ev.repartition(8))
+    val v2 = snk9Publish(s, root, 2,
+      s.read.parquet(root.resolve("data").resolve("v1").toString)
+        .repartition(2))
+    (v1, v2)
+  }
+
+  /** Resolve a snapshot through its manifest — the reader path: no
+    * directory listing anywhere, so concurrent compaction (new version
+    * dirs) and torn writers (junk files) are invisible by
+    * construction. */
+  private[graft] def snk9ReadSnapshot(s: SparkSession,
+                                      manifest: String): DataFrame = {
+    val files = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(manifest))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    s.read.parquet(files: _*)
+  }
+
   /** SNK8 two-predicate read-back — exposed for EngineSpec's
     * PushedFilters + bounding-box + scan-metric pins. */
   private[graft] def snk8Read(s: SparkSession, dir: String): DataFrame =
@@ -454,6 +543,16 @@ object SourcesSinks {
         |WHERE ts >= TIMESTAMP '$Snk7From' AND ts < TIMESTAMP '$Snk7To'
         |  AND value >= $Snk8ValLo AND value < $Snk8ValHi
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // snk9 — the latest snapshot must carry exactly the original rows:
+    // any torn/doubled file surviving the manifest protocol breaks the
+    // hash.
+    "snk9_snapshot_publish" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // src9 — the generation split replayed arithmetically: the evolved
     // column exists only for odd orderkeys (generation 2).
     "src9_schema_evolution" ->

@@ -252,4 +252,46 @@ class EngineSpec extends AnyFunSuite {
     assert(nulls(2)._1 == nulls(2)._2 && nulls(2)._2 > 0L,
       s"every gen-2 row must carry the evolved column: $nulls")
   }
+
+  test("SNK9: manifest-pinned snapshots isolate readers — v1 reads " +
+       "exactly v1 after compaction AND after a torn writer drops junk " +
+       "into the data dir, while a naive directory read corrupts") {
+    import graft.queries.SourcesSinks
+    import org.apache.spark.sql.functions.{col, sum}
+    val (v1, v2) = SourcesSinks.snk9PublishBoth(s, TestSpark.Sf)
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)), sum(col("event_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val base = checksum(graft.core.Tables.events(s, TestSpark.Sf)
+      .select(col("event_id")))
+    val c1 = checksum(SourcesSinks.snk9ReadSnapshot(s, v1))
+    val c2 = checksum(SourcesSinks.snk9ReadSnapshot(s, v2))
+    assert(c1 == base && c2 == base,
+      s"published snapshots diverge from the source: base $base, " +
+      s"v1 $c1, v2 $c2")
+    // torn concurrent writer: copy one v1 parquet file to a junk name
+    // inside the SAME data dir a naive reader would list
+    val root = SourcesSinks.snk9Root(TestSpark.Sf)
+    val v1dir = root.resolve("data").resolve("v1")
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(v1dir)
+    val one =
+      try ls.iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      finally ls.close()
+    val junk = v1dir.resolve("part-junk-torn-writer.parquet")
+    java.nio.file.Files.copy(one, junk,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      // the manifest-pinned read is unaffected...
+      assert(checksum(SourcesSinks.snk9ReadSnapshot(s, v1)) == base,
+        "junk file leaked into the manifest-pinned snapshot")
+      // ...while the naive directory read provably corrupts (rows from
+      // the duplicated file double-count)
+      val naive = checksum(s.read.parquet(v1dir.toString))
+      assert(naive._1 > base._1,
+        "the corruption probe is vacuous — naive listing saw no junk")
+    } finally java.nio.file.Files.delete(junk)
+  }
 }
