@@ -235,6 +235,39 @@ object SourcesSinks {
         .orderBy(col("event_type"))
     }),
 
+    // J17 — DYNAMIC partition pruning (DPP): SNK3 pins STATIC pruning
+    // (a literal partition predicate); at 100 TB the selective
+    // predicate usually lives on a DIMENSION side of a join, only
+    // knowable at runtime. The fact table is written partitioned by
+    // event_type; the dim is a DATA-DEPENDENT type subset (types whose
+    // min event_id is even — deterministic, non-foldable, splits the
+    // domain 3/2 at every shipped sf), broadcast into the join; Spark
+    // injects a dynamicpruningexpression into the fact scan's
+    // PartitionFilters, so non-qualifying partitions are never even
+    // listed — the runtime complement of static pruning. PlanSpec
+    // "J17" pins the dynamic filter in the scan and that the scan
+    // decodes exactly the surviving partitions' rows.
+    "j17_dpp" -> ((s, dir) => {
+      val out = stagingDir("j17dpp", dir)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(min(col("event_id")).as("mid"))
+        .filter(col("mid") % 2 === 0)
+        .select(col("event_type"))
+      fact.join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).as("sum_id"),
+             sum(col("user_id")).as("sum_uid"),
+             d(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // SNK9 — MANIFEST-pinned atomic snapshot publish: the third leg of
     // the 100 TB layout story (SNK6 file count, SNK7/SNK8 ordering,
     // SNK9 ISOLATION). Directory listing is not a publication protocol:
@@ -543,6 +576,18 @@ object SourcesSinks {
         |WHERE ts >= TIMESTAMP '$Snk7From' AND ts < TIMESTAMP '$Snk7To'
         |  AND value >= $Snk8ValLo AND value < $Snk8ValHi
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // j17 — the runtime dim subset replayed: types whose min event_id
+    // is even.
+    "j17_dpp" ->
+      """WITH d17 AS (
+        |  SELECT event_type FROM events
+        |  GROUP BY event_type HAVING min(event_id) % 2 = 0)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(e.event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(e.user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN d17 ON e.event_type = d17.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     // snk9 — the latest snapshot must carry exactly the original rows:
     // any torn/doubled file surviving the manifest protocol breaks the
     // hash.

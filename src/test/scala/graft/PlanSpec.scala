@@ -324,6 +324,45 @@ class PlanSpec extends AnyFunSuite {
       s"used for co-location:\n$p")
   }
 
+  test("J17: the dim-side predicate reaches the partitioned fact scan " +
+       "as a DYNAMIC pruning filter, and the scan decodes exactly the " +
+       "surviving partitions' rows") {
+    val s = TestSpark.spark
+    val df = SparkEntry.queries("j17_dpp")(s, TestSpark.Sf)
+    val matched = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the fact scan:\n${p.take(1500)}")
+    // the probe is non-degenerate: some types survive, some are pruned
+    val total = graft.core.Tables.events(s, TestSpark.Sf)
+      .select("event_type").distinct().count()
+    assert(matched.length > 0 && matched.length < total,
+      s"dim subset degenerate: ${matched.length} of $total types")
+    // partition-level pruning is exact: the fact scan must emit only
+    // the surviving partitions' rows (no residual row-level filtering)
+    // AQE wraps the executed plan and hides completed stages inside
+    // QueryStageExec nodes — recurse through both to reach the scans
+    def allScans(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(q.plan)
+      }.flatten
+    val scans = allScans(df.queryExecution.executedPlan)
+    val factScan = scans.find(_.metadata
+      .getOrElse("Location", "").contains("j17dpp"))
+      .getOrElse(fail(s"no fact scan over the partitioned layout; " +
+        s"scans: ${scans.map(_.metadata.getOrElse("Location", "?"))}"))
+    val scanRows = factScan.metrics("numOutputRows").value
+    val expected = matched.map(_.getLong(1)).sum
+    assert(scanRows == expected,
+      s"fact scan decoded $scanRows rows, surviving partitions hold " +
+      s"$expected — dynamic pruning did not engage at partition level")
+  }
+
   test("X5: the optimizer rule rewrites the declarative dot-product " +
        "chain to the native expression, and the rewrite is an identity " +
        "on every edge input") {

@@ -49,7 +49,8 @@ class SqlSpec extends AnyFunSuite {
     "a15_weighted_median", "j15_bucketed", "j16_scd2",
     "s17_semi_interval", "w9b_skip_pattern",
     "snk6_compaction", "snk7_sorted_skip", "snk8_zorder_skip",
-    "src9_schema_evolution", "s18_scd2_stream", "snk9_snapshot_publish")
+    "src9_schema_evolution", "s18_scd2_stream", "snk9_snapshot_publish",
+    "j17_dpp")
   // Known dialect-divergent oracles, excluded by declaration (their SQL
   // parity is covered by the driver's DuckDB gate instead): the f-family
   // and l-series lean on DuckDB list/string builtins; a5/a11
