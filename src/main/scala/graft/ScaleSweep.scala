@@ -338,6 +338,13 @@ object ScaleSweep {
         ("e ~ 0: the canonical check is slice-bounded (doc_id < 1000" +
          ", constant work at both scales) - l10b, unbounded, is the " +
          "scaling measurement for MinHash-LSH"),
+      "j16_scd2" ->
+        ("30x runs FASTER than 10x (verified plan diff, the j8_asof " +
+         "pattern): at 10x both the version-probe and the fact-orders " +
+         "join still fit the broadcast threshold and run as " +
+         "BroadcastHashJoins (broadcast build + per-probe containment " +
+         "residual); at 30x both flip to better-parallelized " +
+         "SortMergeJoins - the flip a real cluster would also make"),
       "j8_asof" ->
         ("30x runs FASTER than 10x (verified plan diff, not noise): at " +
          "10x the 1.5M-row orders side still fits the broadcast " +
