@@ -142,6 +142,36 @@ object Joins {
         .orderBy(col("event_id")))
   ,
 
+    // J8b — FORWARD as-of join with TOLERANCE (the direction J8 lacks;
+    // pandas merge_asof direction='forward'): per order, the SAME
+    // customer's next order strictly after it but within 90 days — the
+    // reorder-interval query (~30% of orders re-order inside the
+    // window at every sf, so both outcomes are live). Same machinery
+    // as J8 — equi-join on the customer key + a single min(struct)
+    // per left row — with one twist the direction forces: J8's
+    // max(struct) is immune to the left join's null padding (null
+    // struct fields sort FIRST ascending, so max skips them), but
+    // min(struct) would PREFER the padded struct, so the struct is
+    // built only for matched rows and min's null-skipping does the
+    // rest. 100 TB: one custkey shuffle, per-order state one struct
+    // through the 2-phase aggregate — J8's bill, forward-facing.
+    "j8b_asof_forward" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      o.as("a").join(o.as("b"),
+          col("a.o_custkey") === col("b.o_custkey") &&
+            col("b.o_orderdate") > col("a.o_orderdate") &&
+            col("b.o_orderdate") <=
+              col("a.o_orderdate") + expr("INTERVAL 90 DAY"), "left")
+        .groupBy(col("a.o_orderkey").as("o_orderkey"))
+        .agg(min(when(col("b.o_orderkey").isNotNull,
+          struct(col("b.o_orderdate"), col("b.o_orderkey")))).as("best"))
+        .select(col("o_orderkey"),
+          col("best.o_orderdate").as("next_date"),
+          col("best.o_orderkey").as("next_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // J11 — correlated scalar subquery, submitted as SQL TEXT so Catalyst's
     // decorrelation (RewriteCorrelatedScalarSubquery) does the rewrite: the
     // per-row subquery becomes one Aggregate over orders + a join back —
@@ -515,6 +545,20 @@ object Joins {
         |  LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |SELECT event_id, o_orderkey, o_orderdate FROM j
         |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // j8b — forward variant of the j8 oracle: earliest in-tolerance
+    // successor, ties to the lowest orderkey.
+    "j8b_asof_forward" ->
+      """WITH j8b AS (
+        |  SELECT a.o_orderkey AS o_orderkey, b.o_orderkey AS nk,
+        |    b.o_orderdate AS nd,
+        |    row_number() OVER (PARTITION BY a.o_orderkey
+        |      ORDER BY b.o_orderdate ASC, b.o_orderkey ASC) AS rn
+        |  FROM orders a
+        |  LEFT JOIN orders b ON b.o_custkey = a.o_custkey
+        |    AND b.o_orderdate > a.o_orderdate
+        |    AND b.o_orderdate <= a.o_orderdate + INTERVAL 90 DAY)
+        |SELECT o_orderkey, nd AS next_date, nk AS next_orderkey
+        |FROM j8b WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
     "j11_scalar_subquery" -> j11Sql, // ANSI-portable: the same text runs in both engines
     "j12_recursive" -> j12Sql, // ANSI-portable recursive CTE, same text in both engines
     "j13_lateral" -> j13Sql, // ANSI-portable LATERAL, same text in both engines

@@ -448,7 +448,7 @@ object SourcesSinks {
     * immutable per-version data dir, list them (at publish time, by the
     * writer — readers never list), and atomically rename the manifest
     * into place. Returns the manifest path. */
-  private[graft] def snk9Publish(s: SparkSession, root: java.nio.file.Path,
+  private[graft] def snk9Publish(root: java.nio.file.Path,
                                  version: Int, df: DataFrame): String = {
     val dataDir = root.resolve("data").resolve(s"v$version")
     df.write.mode("overwrite").parquet(dataDir.toString)
@@ -478,8 +478,8 @@ object SourcesSinks {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"),
         col("event_type"))
-    val v1 = snk9Publish(s, root, 1, ev.repartition(8))
-    val v2 = snk9Publish(s, root, 2,
+    val v1 = snk9Publish(root, 1, ev.repartition(8))
+    val v2 = snk9Publish(root, 2,
       s.read.parquet(root.resolve("data").resolve("v1").toString)
         .repartition(2))
     (v1, v2)

@@ -130,4 +130,52 @@ class SimJoinSpec extends AnyFunSuite {
       s"engine counts ${got.toSeq.sortBy(_._1).take(4)} vs " +
       s"reference ${inEffect.toSeq.sortBy(_._1).take(4)}")
   }
+
+  test("J8b: forward as-of equals an in-memory per-customer scan, the " +
+       "tolerance genuinely binds, and no order matches itself or a " +
+       "past order") {
+    val s = TestSpark.spark
+    // o_orderdate surfaces as Timestamp or LocalDateTime depending on
+    // the parquet physical type (NTZ) — normalize to epoch millis
+    def ms(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: java.time.LocalDateTime =>
+        l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => fail(s"unexpected date type $other")
+    }
+    val orders = graft.core.Tables.orders(s, TestSpark.Sf)
+      .select("o_custkey", "o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), ms(r.get(2))))
+    val TolMs = 90L * 24 * 3600 * 1000
+    val ref = orders.groupBy(_._1).values.flatMap { g =>
+      g.map { case (_, k, d) =>
+        val next = g.filter(o => o._3 > d && o._3 <= d + TolMs)
+          .sortBy(o => (o._3, o._2)).headOption
+        k -> next.map(o => (o._3, o._2))
+      }
+    }.toMap
+    val got = SparkEntry.queries("j8b_asof_forward")(s, TestSpark.Sf)
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some((ms(r.get(1)), r.getLong(2))))
+      }.toMap
+    assert(got == ref, "forward as-of diverges from the in-memory scan")
+    val matched = got.count(_._2.isDefined)
+    assert(matched > 0 && matched < got.size,
+      s"degenerate coverage: $matched of ${got.size}")
+    // the tolerance binds: some customer HAS a later order, just not
+    // within 90 days — without the tolerance, that row would match
+    val hasLaterAnyHorizon = orders.groupBy(_._1).values.flatMap { g =>
+      g.map { case (_, k, d) => k -> g.exists(_._3 > d) }
+    }.toMap
+    assert(got.exists { case (k, v) => v.isEmpty && hasLaterAnyHorizon(k) },
+      "tolerance never binds — every later order is within 90 days, " +
+      "the tolerance clause is untested")
+    // direction: every match is strictly in the future of its left row
+    val dateOf = orders.map(o => o._2 -> o._3).toMap
+    got.foreach { case (k, v) => v.foreach { case (nd, nk) =>
+      assert(nk != k, s"order $k matched itself")
+      assert(nd > dateOf(k), s"order $k matched a non-future order $nk")
+    } }
+  }
 }
