@@ -83,7 +83,10 @@ object ScaleSweep {
     // g5's rounds × (frontier join + min merge) — like g4 the round
     // count is data-dependent (weighted eccentricity), priced here —
     // and src9's two-generation rewrite + footer-merged read
-    "g5_sssp", "src9_schema_evolution")
+    "g5_sssp", "src9_schema_evolution",
+    // r14 third batch: j17's partitioned write + DPP probe, snk9's
+    // two-version publish train, j8b's forward struct-aggregate
+    "j17_dpp", "snk9_snapshot_publish", "j8b_asof_forward")
   /** Streaming queries — timed on fresh child sessions (full replay).
     * r12 adds s13 (the incremental signature-index refresh — the
     * per-batch index merge is the part whose scaling matters). */
