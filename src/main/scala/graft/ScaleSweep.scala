@@ -96,7 +96,7 @@ object ScaleSweep {
     // r14: the semi join's state budget (matched left rows drop
     // immediately — the favorable variant of s5's), and s18's
     // 1-row-per-user SCD2 maintainer (the cheapest stateful op)
-    "s17_semi_interval", "s18_scd2_stream",
+    "s17_semi_interval", "s18_scd2_stream", "s19_stream_snapshot",
     // r13: the watermark-evicted heavy-hitter state — per-batch state
     // rows scale with active users per window, the part that matters —
     // and the drift monitor's histogram state (windows × types)

@@ -444,6 +444,34 @@ object SourcesSinks {
   private[graft] def snk9Root(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(stagingDir("snk9snap", dir))
 
+  /** List one data dir's parquet files — the WRITER-side listing of
+    * the manifest protocol (readers never list). */
+  private[graft] def listParquet(dataDir: java.nio.file.Path): Seq[String] = {
+    val ls = java.nio.file.Files.list(dataDir)
+    try ls.iterator().asScala.map(_.toString)
+      .filter(_.endsWith(".parquet")).toSeq.sorted
+    finally ls.close()
+  }
+
+  /** Atomically publish a manifest naming `files` as version `version`
+    * under `root` — temp write + ATOMIC_MOVE rename is the publish
+    * point. Shared by SNK9 (batch versions) and S19 (per-micro-batch
+    * versions). Returns the manifest path. */
+  private[graft] def publishManifest(root: java.nio.file.Path,
+                                     version: Long,
+                                     files: Seq[String]): String = {
+    require(files.nonEmpty, s"version $version published no files")
+    val mdir = root.resolve("manifests")
+    java.nio.file.Files.createDirectories(mdir)
+    val tmp = mdir.resolve(s"v$version.list.tmp")
+    java.nio.file.Files.writeString(tmp, files.mkString("\n"))
+    val fin = mdir.resolve(s"v$version.list")
+    java.nio.file.Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fin.toString
+  }
+
   /** Publish one version: write the dataframe's files under an
     * immutable per-version data dir, list them (at publish time, by the
     * writer — readers never list), and atomically rename the manifest
@@ -452,21 +480,7 @@ object SourcesSinks {
                                  version: Int, df: DataFrame): String = {
     val dataDir = root.resolve("data").resolve(s"v$version")
     df.write.mode("overwrite").parquet(dataDir.toString)
-    val files = {
-      val ls = java.nio.file.Files.list(dataDir)
-      try ls.iterator().asScala.map(_.toString)
-        .filter(_.endsWith(".parquet")).toSeq.sorted
-      finally ls.close()
-    }
-    require(files.nonEmpty, s"version $version published no files")
-    val mdir = root.resolve("manifests")
-    java.nio.file.Files.createDirectories(mdir)
-    val tmp = mdir.resolve(s"v$version.list.tmp")
-    java.nio.file.Files.writeString(tmp, files.mkString("\n"))
-    val fin = mdir.resolve(s"v$version.list")
-    java.nio.file.Files.move(tmp, fin,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    fin.toString
+    publishManifest(root, version, listParquet(dataDir))
   }
 
   /** Publish v1 (the events table as 8 files) and v2 (the same rows

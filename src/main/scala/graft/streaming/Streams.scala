@@ -685,6 +685,76 @@ object Streams {
     // state the moment they match.
     "s17_semi_interval" -> ((s, d) => s17Run(s, d, windowHours = 1)),
 
+    // S19 — STREAMING atomic snapshot publish: SNK9's manifest
+    // protocol driven by the stream (foreachBatch), closing the loop
+    // between the streaming ingest (SNK4/SNK5's batch-addressed
+    // idempotent writes) and the batch layout's reader isolation.
+    // Each micro-batch b writes its rows to an immutable batch-
+    // addressed dir (idempotent under foreachBatch's at-least-once
+    // replay — same id, same path, same bytes) and atomically publishes
+    // manifest v_b = v_{b-1}'s files + its own: every manifest version
+    // is a BATCH-ATOMIC PREFIX of the stream, so a reader pinned to
+    // any version sees complete batches only, never a half-published
+    // one, while the stream keeps appending. The canonical read
+    // resolves the LATEST manifest and must reproduce the full batch
+    // table — a dropped, doubled, or torn batch breaks the hash.
+    // StreamingSpec "S19" pins the chain (each version's file set
+    // strictly extends the previous), the prefix property (version k's
+    // ids == batches 0..k's ids exactly), and junk-file isolation.
+    // 100 TB: per batch one append + one driver-side rename; the
+    // manifest grows by |batch files| per version — compact via SNK9's
+    // batch rewrite when versions age out.
+    "s19_stream_snapshot" -> ((s, d) => {
+      import graft.queries.SourcesSinks
+      val root = upsertRoot(d + "#s19snap")
+      Replayer.deleteTree(root)
+      java.nio.file.Files.createDirectories(root)
+      def publish(batch: DataFrame, id: Long): Unit = {
+        val dataDir = root.resolve("data").resolve(s"b$id")
+        batch.select(col("event_id"), col("user_id"), col("value"),
+            col("event_type"))
+          .write.mode("overwrite").parquet(dataDir.toString)
+        val prev =
+          if (id == 0) Seq.empty[String]
+          else java.nio.file.Files.readString(
+              root.resolve("manifests").resolve(s"v${id - 1}.list"))
+            .split("\n").toSeq.filter(_.nonEmpty)
+        SourcesSinks.publishManifest(root, id,
+          prev ++ SourcesSinks.listParquet(dataDir))
+      }
+      val ckpt = Replayer.checkpoint()
+      try {
+        ConfScope.withConf(s, Map(
+          "spark.sql.shuffle.partitions" -> streamPartitions) ++
+          NoFinalBatch) {
+          val q = Replayer.stream(s, d, "clean").writeStream
+            .foreachBatch(publish _)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      } finally Replayer.dropCheckpoint(ckpt)
+      val latest = {
+        val mdir = root.resolve("manifests")
+        val ls = java.nio.file.Files.list(mdir)
+        val names =
+          try {
+            val it = ls.iterator()
+            val buf = scala.collection.mutable.ArrayBuffer[String]()
+            while (it.hasNext) buf += it.next().toString
+            buf.toSeq
+          } finally ls.close()
+        names.filter(_.endsWith(".list"))
+          .maxBy(n => n.split("/v").last.stripSuffix(".list").toLong)
+      }
+      SourcesSinks.snk9ReadSnapshot(s, latest)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).as("sum_id"),
+             sum(vdec).cast(DoubleType).as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // S18 — STREAMING SCD2 maintenance (the CDC-apply face of J16's
     // batch dimension build): per-user running purchase spend maps to
     // a tier band; a threshold-crossing purchase emits the CLOSED
@@ -1404,6 +1474,13 @@ object Streams {
     // band per purchase → band-entry rows (lag change detection) →
     // close each version with lead(); the open tail (valid_to NULL)
     // never emits in the engine and is dropped here.
+    // s19 — the latest manifest must reproduce the full batch table:
+    // a dropped, doubled, or torn batch breaks the per-user checksum.
+    "s19_stream_snapshot" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s18_scd2_stream" ->
       """WITH pu18 AS (
         |  SELECT user_id, ts, event_id,

@@ -50,7 +50,7 @@ class SqlSpec extends AnyFunSuite {
     "s17_semi_interval", "w9b_skip_pattern",
     "snk6_compaction", "snk7_sorted_skip", "snk8_zorder_skip",
     "src9_schema_evolution", "s18_scd2_stream", "snk9_snapshot_publish",
-    "j17_dpp", "j8b_asof_forward")
+    "j17_dpp", "j8b_asof_forward", "s19_stream_snapshot")
   // Known dialect-divergent oracles, excluded by declaration (their SQL
   // parity is covered by the driver's DuckDB gate instead): the f-family
   // and l-series lean on DuckDB list/string builtins; a5/a11

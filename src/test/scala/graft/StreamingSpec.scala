@@ -848,4 +848,66 @@ class StreamingSpec extends AnyFunSuite {
       "alternate-threshold run diverges from its reference")
     assert(alt != got, "changing the mid threshold changed nothing")
   }
+
+  test("S19: every manifest version is a batch-atomic prefix of the " +
+       "stream (version k's ids == batch dirs 0..k's ids exactly), the " +
+       "chain strictly extends, and junk in the data root is invisible " +
+       "to every version") {
+    import graft.queries.SourcesSinks
+    // the query runs the stream and leaves the layout behind
+    val finalRows = SparkEntry.queries("s19_stream_snapshot")(s, sf)
+      .collect()
+    assert(finalRows.nonEmpty, "empty final snapshot")
+    val root = graft.streaming.Streams.upsertRoot(sf + "#s19snap")
+    val mdir = root.resolve("manifests")
+    import scala.jdk.CollectionConverters._
+    val versions = {
+      val ls = java.nio.file.Files.list(mdir)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".list"))
+        .map(_.stripPrefix("v").stripSuffix(".list").toLong).toSeq.sorted
+      finally ls.close()
+    }
+    assert(versions.size >= 3,
+      s"expected >=3 micro-batch versions, got $versions")
+    def manifestFiles(v: Long): Seq[String] = java.nio.file.Files
+      .readString(mdir.resolve(s"v$v.list"))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    // chain: each version's file set strictly extends the previous
+    versions.sliding(2).foreach {
+      case Seq(a, b) =>
+        val (fa, fb) = (manifestFiles(a).toSet, manifestFiles(b).toSet)
+        assert(fa.subsetOf(fb) && fa.size < fb.size,
+          s"version $b does not strictly extend $a")
+      case _ => ()
+    }
+    // batch-atomic prefix: version k's ids == union of batch dirs 0..k
+    def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+    val batchIds = versions.map { v =>
+      v -> idsOf(s.read.parquet(
+        root.resolve("data").resolve(s"b$v").toString))
+    }.toMap
+    var acc = Set.empty[Long]
+    versions.foreach { v =>
+      acc = acc ++ batchIds(v)
+      val snap = idsOf(SourcesSinks.snk9ReadSnapshot(s,
+        mdir.resolve(s"v$v.list").toString))
+      assert(snap == acc,
+        s"version $v is not the exact batch prefix (${snap.size} vs " +
+        s"${acc.size} ids)")
+    }
+    // junk isolation: a torn writer's file in a data dir changes nothing
+    val b0 = root.resolve("data").resolve("b0")
+    val one = SourcesSinks.listParquet(b0).head
+    val junk = b0.resolve("part-junk-torn.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(one), junk)
+    try versions.foreach { v =>
+      val snap = idsOf(SourcesSinks.snk9ReadSnapshot(s,
+        mdir.resolve(s"v$v.list").toString))
+      assert(snap.size == versions.take(versions.indexOf(v) + 1)
+          .map(batchIds(_).size).sum,
+        s"junk leaked into version $v")
+    } finally java.nio.file.Files.delete(junk)
+  }
 }
