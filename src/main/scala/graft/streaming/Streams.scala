@@ -689,9 +689,12 @@ object Streams {
     // protocol driven by the stream (foreachBatch), closing the loop
     // between the streaming ingest (SNK4/SNK5's batch-addressed
     // idempotent writes) and the batch layout's reader isolation.
-    // Each micro-batch b writes its rows to an immutable batch-
-    // addressed dir (idempotent under foreachBatch's at-least-once
-    // replay — same id, same path, same bytes) and atomically publishes
+    // Each micro-batch b writes its rows to a batch-addressed dir
+    // (idempotent under foreachBatch's at-least-once replay: the
+    // replayed id overwrites its dir WHOLESALE and the manifest is
+    // re-listed from the rewrite — AvailableNow replays from the failed
+    // batch forward, so no later manifest can reference the replaced
+    // files) and atomically publishes
     // manifest v_b = v_{b-1}'s files + its own: every manifest version
     // is a BATCH-ATOMIC PREFIX of the stream, so a reader pinned to
     // any version sees complete batches only, never a half-published
