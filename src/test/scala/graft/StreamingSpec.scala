@@ -849,6 +849,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(alt != got, "changing the mid threshold changed nothing")
   }
 
+  test("replay-order contract: event_id order IS ts order in the " +
+       "events table (zero inversions), so the clean replay's " +
+       "contiguous-id batches deliver every key's events in global " +
+       "(ts, event_id) order — the standing assumption of the " +
+       "batch-sequential stateful processors (S8 funnel, S14 absence, " +
+       "S18 SCD2)") {
+    val evs = graft.core.Tables.events(s, sf)
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .sortBy(_._1)
+    val inversions = evs.sliding(2).count {
+      case Array(a, b) => a._2 > b._2
+      case _ => false
+    }
+    assert(inversions == 0,
+      s"$inversions ts inversions in event_id order — a driver " +
+      "regeneration broke the replay-order contract; the S8/S14/S18 " +
+      "cross-batch ordering assumption no longer holds and those " +
+      "processors need per-key reorder buffers")
+  }
+
   test("S19: every manifest version is a batch-atomic prefix of the " +
        "stream (version k's ids == batch dirs 0..k's ids exactly), the " +
        "chain strictly extends, and junk in the data root is invisible " +
