@@ -192,8 +192,9 @@ object Windows {
     // per-task array regardless of key skew; n_events stays the FULL
     // pre-cap count, so n_events > MaxEventsPerKey IS the overflow
     // flag (no schema change, invisible at every shipped sf where the
-    // per-user max is ~3 orders of magnitude under the cap; WindowSpec
-    // "W9 cap" pins the truncation semantics at a tiny injected cap).
+    // per-user max is ~3 orders of magnitude under the cap;
+    // FunctionsSpec "W9/W9b hyperactive-key cap" pins the truncation
+    // semantics at a tiny injected cap).
     "w9_seq_pattern" -> ((s, dir) =>
       w9Converted(Tables.events(s, dir), MaxEventsPerKey)),
 
@@ -232,7 +233,7 @@ object Windows {
   private[graft] val MaxEventsPerKey: Int = 1 << 20
 
   /** W9 body, cap-parameterized (the query passes MaxEventsPerKey;
-    * WindowSpec pins truncation semantics at a tiny cap). */
+    * FunctionsSpec pins truncation semantics at a tiny cap). */
   private[graft] def w9Converted(events: DataFrame, cap: Int): DataFrame =
     events
       .select(col("user_id"),
