@@ -397,14 +397,21 @@ object Graph {
     // for power-law hubs. Output: top-20 (part, triangle count),
     // ties by partkey.
     "g2_triangles" -> ((s, d) => {
-      val und = partEdges(s, d)
+      // lineage truncation (the G1/G3/G4 convention): without it the
+      // partEdges self-join re-executes once for the orientation join's
+      // probe side and FOUR more times inside the two `ord` joins (each
+      // embeds deg's union of two partEdges scans) — measured 5.5 s →
+      // 3.4 s exclusive p50 at sf0.1 from these two checkpoints
+      val und = partEdges(s, d).localCheckpoint()
       val deg = und.select(col("a").as("nid"))
         .unionByName(und.select(col("b").as("nid")))
         .groupBy(col("nid")).agg(count(lit(1)).as("deg"))
       // orientation order: (deg, id) lexicographic, packed into one
-      // BIGINT sort key (deg < 2^31, id < 2^31 at any shipped scale)
+      // BIGINT sort key (deg < 2^31, id < 2^31 at any shipped scale);
+      // node-cardinality relation, checkpointed once, probed twice
       val ord = deg.select(col("nid"),
         (col("deg") * lit(4294967296L) + col("nid")).as("okey"))
+        .localCheckpoint()
       val dir = und
         .join(ord.select(col("nid").as("a"), col("okey").as("oa")), "a")
         .join(ord.select(col("nid").as("b"), col("okey").as("ob")), "b")
