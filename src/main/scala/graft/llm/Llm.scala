@@ -328,8 +328,17 @@ object Llm {
     // that the executed plan really contains graft_dot and no
     // aggregate(zip_with) residue.
     "x5_dot_rewrite" -> ((s, d) => {
-      graft.plans.DotProductRewrite.ensure(s)
-      val e = Tables.embeddings(s, d)
+      // r16 (advisor): the rule rides a CHILD session, not the shared
+      // one — `ensure` on the driver-supplied session is sticky (no
+      // un-ensure runs before the returned frame is consumed, because
+      // optimization happens lazily at action time), silently rewriting
+      // every later aggregate(zip_with) query and making l3-vs-l3b-vs-
+      // x5 timings order-dependent. newSession() shares the
+      // SparkContext and cached data but owns its sessionState, so
+      // extraOptimizations scopes to exactly this query's plan.
+      val s2 = s.newSession()
+      graft.plans.DotProductRewrite.ensure(s2)
+      val e = Tables.embeddings(s2, d)
         .select(col("vec_id"), qz(col("embedding")).as("q"))
         .withColumn("nrm", qnorm(col("q")))
       val qs = e.filter(col("vec_id").isin(0, 1, 2))

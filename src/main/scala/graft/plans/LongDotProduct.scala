@@ -33,6 +33,21 @@ import org.apache.spark.sql.SparkSessionExtensions
   *    conf like Spark's own Add) both forms THROW (this one a plain
   *    ArithmeticException, Spark's a SparkArithmeticException — value
   *    behavior identical, error class differs); under legacy both WRAP.
+  *    Crucially (r16, the advisor's null+overflow edge): zip_with
+  *    evaluates EVERY overlapping non-null pair's product before the
+  *    fold ever sees a null, so a null element or a length mismatch
+  *    does NOT shield an overflowing pair elsewhere in the overlap
+  *    from throwing. Under failOnError this loop therefore keeps
+  *    running multiplyExact over all overlapping non-null pairs after
+  *    a null/mismatch is seen and only then returns null — null
+  *    short-circuits only the ADDITIONS (the fold stops accumulating
+  *    at the first null product, exactly like `aggregate`'s
+  *    null-poisoned acc). The one residual divergence is throw ORDER
+  *    when both an add- and a later mul-overflow exist (declaratively
+  *    all products evaluate before any addition; here they interleave)
+  *    — both sides still throw, so value behavior stays identical.
+  *    Legacy mode wraps, so the legacy path keeps the cheap
+  *    first-null short-circuit (no observable difference).
   */
 case class LongDotProduct(left: Expression, right: Expression,
                           failOnError: Boolean = SQLConf.get.ansiEnabled)
@@ -59,46 +74,85 @@ case class LongDotProduct(left: Expression, right: Expression,
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      if (failOnError)
-        acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
-      else acc += x.getLong(i) * y.getLong(i)
-      i += 1
+    val xn = x.numElements()
+    val yn = y.numElements()
+    if (failOnError) {
+      // ANSI: every overlapping non-null pair must pass multiplyExact
+      // (zip_with evaluates all products before the fold sees a null),
+      // additions stop at the first null product — see scaladoc.
+      val n = math.min(xn, yn)
+      var acc = 0L
+      var nullSeen = false
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) nullSeen = true
+        else {
+          val p = Math.multiplyExact(x.getLong(i), y.getLong(i))
+          if (!nullSeen) acc = Math.addExact(acc, p)
+        }
+        i += 1
+      }
+      if (nullSeen || xn != yn) null else acc
+    } else {
+      if (xn != yn) return null
+      var acc = 0L
+      var i = 0
+      while (i < xn) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val xn = ctx.freshName("xn")
+      val yn = ctx.freshName("yn")
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      val step =
-        if (failOnError)
-          s"$acc = java.lang.Math.addExact($acc, " +
-            s"java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i)));"
-        else s"$acc += $x.getLong($i) * $y.getLong($i);"
-      s"""
-         |int $n = $x.numElements();
-         |long $acc = 0L;
-         |if ($n != $y.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
-         |      ${ev.isNull} = true; break;
-         |    }
-         |    $step
-         |  }
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $acc; }
-       """.stripMargin
+      val ns = ctx.freshName("nullSeen")
+      val p = ctx.freshName("p")
+      if (failOnError)
+        // ANSI mirror of nullSafeEval: multiplyExact every overlapping
+        // non-null pair even after a null/mismatch; additions stop at
+        // the first null product.
+        s"""
+           |int $xn = $x.numElements();
+           |int $yn = $y.numElements();
+           |int $n = java.lang.Math.min($xn, $yn);
+           |long $acc = 0L;
+           |boolean $ns = false;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($x.isNullAt($i) || $y.isNullAt($i)) {
+           |    $ns = true;
+           |  } else {
+           |    long $p = java.lang.Math.multiplyExact($x.getLong($i), $y.getLong($i));
+           |    if (!$ns) { $acc = java.lang.Math.addExact($acc, $p); }
+           |  }
+           |}
+           |if ($ns || $xn != $yn) { ${ev.isNull} = true; }
+           |else { ${ev.value} = $acc; }
+         """.stripMargin
+      else
+        s"""
+           |int $n = $x.numElements();
+           |long $acc = 0L;
+           |if ($n != $y.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($x.isNullAt($i) || $y.isNullAt($i)) {
+           |      ${ev.isNull} = true; break;
+           |    }
+           |    $acc += $x.getLong($i) * $y.getLong($i);
+           |  }
+           |}
+           |if (!${ev.isNull}) { ${ev.value} = $acc; }
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(

@@ -150,6 +150,52 @@ object Streams {
     merged.write.mode("overwrite").parquet(snap.toString)
   }
 
+  /** S19's per-batch manifest publication (shared with StreamingSpec's
+    * empty-batch and restart tests so the path under test IS the
+    * canonical one). r16 fix (advisor): a ZERO-FILE micro-batch —
+    * possible under sparser replays or AvailableNow's trailing
+    * no-data batch — previously either crashed batch 0 on
+    * publishManifest's `require(files.nonEmpty)` or published a
+    * non-extending duplicate manifest, breaking the strict-prefix
+    * chain pin. Now an empty batch publishes NOTHING (its version id
+    * is simply absent from the chain — every manifest still names a
+    * batch-atomic prefix), and the previous file set is resolved as
+    * the LATEST manifest with version < id rather than exactly id−1,
+    * so the chain tolerates the gap. Replay of a non-empty batch id
+    * stays idempotent: the dir rewrite produces the same bytes and the
+    * manifest is re-listed from the rewrite. */
+  private[graft] def s19PublishBatch(root: java.nio.file.Path)
+                                    (batch: DataFrame, id: Long): Unit = {
+    import graft.queries.SourcesSinks
+    // row-empty batch: nothing to publish (isEmpty is a take(1) — one
+    // trivial job per batch; an empty single-partition batch would
+    // otherwise write one 0-row part file and pad the chain with it)
+    if (batch.isEmpty) return
+    val dataDir = root.resolve("data").resolve(s"b$id")
+    batch.select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.mode("overwrite").parquet(dataDir.toString)
+    val files = SourcesSinks.listParquet(dataDir)
+    if (files.isEmpty) return // zero-FILE batch (0 partitions): same skip
+    val mdir = root.resolve("manifests")
+    val prev: Seq[String] =
+      if (!java.nio.file.Files.isDirectory(mdir)) Seq.empty
+      else {
+        val ls = java.nio.file.Files.list(mdir)
+        val vs =
+          try ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".list"))
+            .flatMap(_.stripPrefix("v").stripSuffix(".list").toLongOption)
+            .filter(_ < id).toSeq
+          finally ls.close()
+        if (vs.isEmpty) Seq.empty
+        else java.nio.file.Files
+          .readString(mdir.resolve(s"v${vs.max}.list"))
+          .split("\n").toSeq.filter(_.nonEmpty)
+      }
+    SourcesSinks.publishManifest(root, id, prev ++ files)
+  }
+
   /** Highest-batch-id committed snapshot under `root`. */
   private[graft] def latestSnapshot(root: java.nio.file.Path): String = {
     val kids = java.nio.file.Files.list(root)
@@ -712,26 +758,13 @@ object Streams {
       val root = upsertRoot(d + "#s19snap")
       Replayer.deleteTree(root)
       java.nio.file.Files.createDirectories(root)
-      def publish(batch: DataFrame, id: Long): Unit = {
-        val dataDir = root.resolve("data").resolve(s"b$id")
-        batch.select(col("event_id"), col("user_id"), col("value"),
-            col("event_type"))
-          .write.mode("overwrite").parquet(dataDir.toString)
-        val prev =
-          if (id == 0) Seq.empty[String]
-          else java.nio.file.Files.readString(
-              root.resolve("manifests").resolve(s"v${id - 1}.list"))
-            .split("\n").toSeq.filter(_.nonEmpty)
-        SourcesSinks.publishManifest(root, id,
-          prev ++ SourcesSinks.listParquet(dataDir))
-      }
       val ckpt = Replayer.checkpoint()
       try {
         ConfScope.withConf(s, Map(
           "spark.sql.shuffle.partitions" -> streamPartitions) ++
           NoFinalBatch) {
           val q = Replayer.stream(s, d, "clean").writeStream
-            .foreachBatch(publish _)
+            .foreachBatch(s19PublishBatch(root) _)
             .option("checkpointLocation", ckpt)
             .trigger(Trigger.AvailableNow()).start()
           q.awaitTermination()

@@ -416,5 +416,52 @@ class PlanSpec extends AnyFunSuite {
       } finally s.experimental.extraOptimizations = saved
     assert(baseline == rewritten,
       s"rewrite is not an identity: baseline $baseline vs $rewritten")
+
+    // the advisor's r15 edge: a null element (or a length mismatch)
+    // must NOT shield an overflowing non-null pair from ANSI's throw —
+    // zip_with evaluates every overlapping product before the fold
+    // sees the null, so the declarative chain throws; the native
+    // expression must match (throw under ANSI, null under legacy),
+    // per overflow row AND with the two forms agreeing.
+    val big = Long.MaxValue
+    val overflowRows = Seq(
+      // null at i=1 BEFORE the overflowing pair at i=2
+      Row(10L, Seq[Any](1L, null, big), Seq[Any](1L, 1L, 2L)),
+      // length mismatch (3 vs 2) with the overflow inside the overlap
+      Row(11L, Seq[Any](big, 1L, 1L), Seq[Any](2L, 1L)))
+    val ansiOn = s.conf.get("spark.sql.ansi.enabled").toBoolean
+    overflowRows.foreach { r =>
+      val one = s.createDataFrame(s.sparkContext.parallelize(Seq(r), 1),
+        probeSchema)
+      def run(withRule: Boolean): Either[Throwable, Any] = {
+        val saved2 = s.experimental.extraOptimizations
+        try {
+          s.experimental.extraOptimizations =
+            if (withRule) saved2
+            else saved2.filterNot(_ == graft.plans.DotProductRewrite)
+          val df = one.select(
+            aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+              lit(0L), (acc, v) => acc + v).as("dot"))
+          if (withRule)
+            assert(df.queryExecution.executedPlan.toString.contains("graft_dot"),
+              "overflow probe was not rewritten")
+          try Right(df.collect().head.get(0))
+          catch { case t: Throwable => Left(t) }
+        } finally s.experimental.extraOptimizations = saved2
+      }
+      val native = run(withRule = true)
+      val declRes = run(withRule = false)
+      if (ansiOn) {
+        assert(declRes.isLeft,
+          s"row ${r.getLong(0)}: declarative chain did not throw under ANSI")
+        assert(native.isLeft,
+          s"row ${r.getLong(0)}: native graft_dot returned ${native} where " +
+          "the declarative chain throws — null+overflow divergence")
+      } else {
+        assert(declRes == Right(null) && native == Right(null),
+          s"row ${r.getLong(0)}: legacy mode expected null/null, got " +
+          s"decl=$declRes native=$native")
+      }
+    }
   }
 }

@@ -931,4 +931,55 @@ class StreamingSpec extends AnyFunSuite {
         s"junk leaked into version $v")
     } finally java.nio.file.Files.delete(junk)
   }
+
+  test("S19: a zero-file micro-batch publishes no manifest and the " +
+       "chain bridges the gap (advisor r15 — batch 0 must not crash, " +
+       "a later empty batch must not publish a duplicate)") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val root = Files.createTempDirectory("graft_s19_empty")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("event_type", StringType)))
+    def df(rows: Seq[Row]) =
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+        // coalesce(1) of an EMPTY RDD still writes zero part files —
+        // exactly the production empty-batch shape under test
+        .coalesce(1)
+    val mdir = root.resolve("manifests")
+    def versions: Seq[Long] =
+      if (!Files.isDirectory(mdir)) Seq.empty
+      else {
+        val ls = Files.list(mdir)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.endsWith(".list"))
+            .flatMap(_.stripPrefix("v").stripSuffix(".list").toLongOption)
+            .toSeq.sorted
+        } finally ls.close()
+      }
+    // batch 0 EMPTY: previously crashed publishManifest's require —
+    // now it must be a silent no-op
+    Streams.s19PublishBatch(root)(df(Seq.empty), 0L)
+    assert(versions.isEmpty, s"empty batch 0 published: $versions")
+    Streams.s19PublishBatch(root)(
+      df(Seq(Row(1L, 10L, 1.0, "view"), Row(2L, 10L, 2.0, "click"))), 1L)
+    assert(versions == Seq(1L), s"expected v1 only, got $versions")
+    // batch 2 EMPTY: no duplicate manifest, chain unchanged
+    Streams.s19PublishBatch(root)(df(Seq.empty), 2L)
+    assert(versions == Seq(1L), s"empty batch 2 published: $versions")
+    // batch 3 bridges the gap: prev resolves to v1, not the absent v2
+    Streams.s19PublishBatch(root)(df(Seq(Row(3L, 11L, 3.0, "purchase"))), 3L)
+    assert(versions == Seq(1L, 3L), s"expected v1+v3, got $versions")
+    def files(v: Long): Set[String] = Files.readString(
+      mdir.resolve(s"v$v.list")).split("\n").toSet.filter(_.nonEmpty)
+    assert(files(1L).subsetOf(files(3L)) && files(1L).size < files(3L).size,
+      "v3 does not strictly extend v1 across the empty-batch gap")
+    val snap = graft.queries.SourcesSinks.snk9ReadSnapshot(s,
+      mdir.resolve("v3.list").toString)
+      .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(snap == Set(1L, 2L, 3L), s"v3 snapshot wrong: $snap")
+  }
 }
