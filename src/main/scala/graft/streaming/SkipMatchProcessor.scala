@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Per-key DP state for S20: m(k) = the latest possible start
+  * timestamp (µs) over ordered subsequences matching pattern[0..k]
+  * among events processed so far; −1 = none (safe: tsu − windowUs is
+  * always positive for this corpus). Exactly the accumulator of W9b's
+  * batch fold (queries/Windows.scala skipPatternCount), carried across
+  * micro-batches instead of across array elements. */
+case class SkipMatchState(m: Seq[Long])
+
+/** S20 — STREAMING skip-till-next-match CEP (Flink CEP's
+  * `followedBy… within`, MATCH_RECOGNIZE's relaxed-contiguity mode):
+  * the general non-contiguous sequence pattern W9b evaluates in batch,
+  * run incrementally over the live replay on `transformWithState`.
+  * For each arriving event (processed in the replay's global
+  * (ts, event_id) order — the S8/S14/S18 batch-sequential contract,
+  * pinned in StreamingSpec "replay-order contract"), the max-start DP
+  * advances: every slot updates from the PRE-event state
+  * simultaneously (one event never serves two positions of the same
+  * match; repeated pattern letters stay correct), and the event is
+  * emitted as a completion iff it carries the pattern's last letter
+  * and m(n−2) clears the time horizon ts − windowUs.
+  *
+  * Equivalence with the batch fold is structural — same update, same
+  * completion predicate, same (ts, event_id) total order — and pinned
+  * two ways in StreamingSpec: per-user completion counts against
+  * w9bCounts on the natural corpus, and the full emission set against
+  * skipPatternCount on a synthetic repeated-letter pattern.
+  *
+  * State: O(|pattern|) longs per key, CONSTANT in events processed —
+  * strictly smaller than the funnel/absence trailing-window lists
+  * (StreamingSpec pins one state row under a hyperactive key). 100 TB:
+  * one user_id shuffle into RocksDB state (the declared backend),
+  * per-event work O(|pattern|), no per-key history buffered — this is
+  * the CEP operator whose state budget survives unbounded keys without
+  * a session-window compose. */
+class SkipMatchProcessor(pattern: String,
+                         windowUs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, (Long, Long)] {
+  require(pattern.length >= 2, s"pattern too short for a sequence: $pattern")
+
+  @transient private var st: ValueState[SkipMatchState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SkipMatchState](
+      "skipmatch", Encoders.product[SkipMatchState], TTLConfig.NONE)
+
+  /** The W9/W9b explicit letter map — unknown types map to 'x', never
+    * silently alias into the pattern (advisor r13). */
+  private def letterOf(t: String): Char = t match {
+    case "view" => 'v'
+    case "click" => 'c'
+    case "purchase" => 'p'
+    case _ => 'x'
+  }
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: TimerValues): Iterator[(Long, Long)] = {
+    val n = pattern.length
+    val m = Option(st.get()).map(_.m.toArray)
+      .getOrElse(Array.fill(n - 1)(-1L))
+    val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    val upd = new Array[Long](n - 1)
+    rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+      val l = letterOf(e.event_type)
+      val t = e.tsu
+      // completion decided from the PRE-event state (the fold's acc)
+      if (l == pattern(n - 1) && m(n - 2) >= t - windowUs)
+        out += ((user, e.event_id))
+      var k = 0
+      while (k < n - 1) {
+        upd(k) =
+          if (l != pattern(k)) m(k)
+          else if (k == 0) math.max(m(0), t)
+          else if (m(k - 1) >= 0) math.max(m(k), m(k - 1))
+          else m(k)
+        k += 1
+      }
+      System.arraycopy(upd, 0, m, 0, n - 1)
+    }
+    st.update(SkipMatchState(m.toSeq))
+    out.iterator
+  }
+}

@@ -791,6 +791,36 @@ object Streams {
         .orderBy(col("user_id"))
     }),
 
+    // S20 — STREAMING skip-till-next-match CEP (Flink CEP
+    // `followedBy…within` / MATCH_RECOGNIZE relaxed contiguity): W9b's
+    // max-start DP run incrementally over the live replay on
+    // transformWithState + RocksDB — see SkipMatchProcessor. Emits one
+    // (user_id, completion_id) row per event at which some ordered
+    // v…c…p subsequence completes within the 24 h horizon (the W9b
+    // calibration — natural completions at every shipped sf). State is
+    // O(|pattern|) longs per key, CONSTANT in events processed — the
+    // CEP operator whose budget survives unbounded keys with no
+    // session-window compose (S8/S14 hold trailing-window lists; this
+    // holds 2 longs). Equivalence with the batch fold pinned in
+    // StreamingSpec (per-user counts vs w9bCounts; emission set vs
+    // skipPatternCount on a repeated-letter pattern). 100 TB: one
+    // user_id shuffle into state, O(|pattern|) work per event.
+    "s20_stream_pattern" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val completions = ev.groupByKey(_.user_id)
+        .transformWithState(
+          new SkipMatchProcessor("vcp", graft.queries.Windows.SkipWindowUs),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, completions.toDF("user_id", "completion_id"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("completion_id"))
+    }),
+
     // S18 — STREAMING SCD2 maintenance (the CDC-apply face of J16's
     // batch dimension build): per-user running purchase spend maps to
     // a tier band; a threshold-crossing purchase emits the CLOSED
@@ -1813,6 +1843,34 @@ object Streams {
         |  SELECT 1 FROM events c
         |  WHERE c.user_id = vs.user_id AND c.event_type = 'click'
         |    AND c.ts >= vs.vstar AND c.ts <= vs.ts)
-        |ORDER BY user_id, purchase_id""".stripMargin
+        |ORDER BY user_id, purchase_id""".stripMargin,
+
+    // s20 — W9b's two chained strictly-preceding window maxima (the
+    // max-start DP in closed form — see the w9b oracle note in
+    // queries/Windows.scala), selecting the completing EVENTS instead
+    // of per-user counts: a purchase completes iff the latest
+    // view-before-some-click-before-it clears the 24 h horizon.
+    "s20_stream_pattern" ->
+      """WITH e20 AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END AS l
+        |  FROM events),
+        |s1b AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'v' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        |  FROM e20),
+        |s2b AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'c' THEN m1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+        |  FROM s1b)
+        |SELECT user_id, event_id AS completion_id
+        |FROM s2b
+        |WHERE l = 'p' AND m2 IS NOT NULL AND m2 >= ts - INTERVAL 24 HOUR
+        |ORDER BY user_id, completion_id""".stripMargin
   )
 }

