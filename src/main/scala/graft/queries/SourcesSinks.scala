@@ -331,6 +331,25 @@ object SourcesSinks {
         .orderBy(col("l_returnflag"))
     }),
 
+    // SNK10 — row-level MERGE as copy-on-write version publish (see
+    // snk10Run): keyed update/delete/insert applied by rewriting only
+    // delta-touched files, manifest v2 = carried v1 files + new files,
+    // atomic rename the sole publish point. The checksum reads the v2
+    // snapshot THROUGH its manifest (mixed carried + rewritten files);
+    // the oracle replays the same merge in SQL over the source table —
+    // a lost delete, double-applied update, missed insert, or a
+    // carried/rewritten file-set error all break the hash.
+    "snk10_merge" -> ((s, dir) => {
+      val r = snk10Run(s, dir)
+      snk9ReadSnapshot(s, r.v2Manifest)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("event_id")).as("sum_id"),
+             sum(col("user_id")).as("sum_uid"),
+             d(sum(col("value").cast(DecimalType(18, 4)))).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     "snk6_compaction" -> ((s, dir) => {
       val frag = stagingDir("snk6frag", dir)
       val comp = stagingDir("snk6comp", dir)
@@ -499,6 +518,104 @@ object SourcesSinks {
     (v1, v2)
   }
 
+  /** SNK10 copy-on-write MERGE result — the file-set evidence the
+    * EngineSpec pins assert over. */
+  private[graft] case class Snk10Result(v1Manifest: String,
+                                        v2Manifest: String,
+                                        v1Files: Seq[String],
+                                        touchedFiles: Seq[String],
+                                        carriedFiles: Seq[String],
+                                        newFiles: Seq[String])
+
+  /** SNK10 root (own staging dir — snk9's versions stay untouched). */
+  private[graft] def snk10Root(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(stagingDir("snk10merge", dir))
+
+  /** The SNK10 keyed delta, deterministic and disjoint by
+    * construction, and RECENT-SKEWED — confined to the top quarter of
+    * the key range (id·4 ≥ 3·max_id), the production MERGE shape
+    * (corrections target recent keys), so the range-clustered layout's
+    * touched-file set is a strict subset: UPDATE value += 1000 where
+    * event_id % 97 == 0, DELETE where event_id % 101 == 0 (and not
+    * updated), INSERT 5 rows at ids 10_000_000+i (beyond every shipped
+    * sf's id range). */
+  private[graft] val Snk10InsertRows: Seq[(Long, Long, Double, String)] =
+    (0 until 5).map(i => (10000000L + i, 9000L + i, i + 0.5, "insert"))
+
+  /** SNK10 — row-level MERGE as a COPY-ON-WRITE version publish (the
+    * Iceberg/Delta MERGE INTO reduced to its manifest core, completing
+    * SNK9's protocol with mutation): apply a keyed delta
+    * (update/delete/insert) to the published table by rewriting ONLY
+    * the data files that contain a delta key; untouched files are
+    * carried into version v+1's manifest verbatim, and readers pinned
+    * to v see nothing until the v+1 manifest's atomic rename.
+    *
+    * Touched-file identification: v1 is written RANGE-CLUSTERED on the
+    * merge key (repartitionByRange + sortWithinPartitions — the SNK7
+    * layout), so a keyed delta's file footprint is as small as its key
+    * range is tight; the probe itself is a column-pruned scan of
+    * (event_id, _metadata.file_path) semi-joined with the broadcast
+    * delta keys. 100 TB: the probe's scan reads ONE int64 column — but
+    * the production dial is to persist per-file (min,max) key stats in
+    * the manifest at write time (they are computed here writer-side
+    * anyway by the sort) and prune file candidates manifest-side,
+    * touching zero data files that cannot contain a delta key; the
+    * rewrite stage is then strictly proportional to the touched file
+    * set, never to table size. Delta keys broadcast (delta ≪ table,
+    * the MERGE premise); the rewrite reads only touched files.
+    *
+    * Consistency: new files land under data/v2 (immutable, version-
+    * addressed), the v2 manifest = carried v1 files + v2 files, and
+    * the ATOMIC_MOVE rename is the only publish point — a crash
+    * mid-merge leaves v1 intact and v2 unreferenced (garbage, not
+    * corruption). EngineSpec "SNK10" pins v1-unchanged, the
+    * exactly-touched-files property (every rewritten file contains a
+    * delta key, every carried file contains none), and merged content
+    * against an independent batch reference. */
+  private[graft] def snk10Run(s: SparkSession, dir: String): Snk10Result = {
+    val root = snk10Root(dir)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+    val v1m = snk9Publish(root, 1,
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions(col("event_id")))
+    val v1Files = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(v1m))
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val base = snk9ReadSnapshot(s, v1m)
+    // delta keys that MUTATE existing rows (updates ∪ deletes),
+    // recent-skewed (top quarter of the key range — one exact-integer
+    // comparison, no float quantile); inserts never touch a base file.
+    // maxId is a 1-row scalar collect (index-sized, not a data collect)
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val recent = col("event_id") * 4 >= lit(3L * maxId)
+    val isUpdate = col("event_id") % 97 === 0 && recent
+    val isDelete = col("event_id") % 101 === 0 && col("event_id") % 97 =!= 0 &&
+      recent
+    // touched files: column-pruned probe, delta keys broadcast via the
+    // semi join's build side (file-count-sized result collect)
+    val touched = base
+      .filter(isUpdate || isDelete)
+      .select(col("_metadata.file_path").as("fp"))
+      .distinct().collect().map(_.getString(0))
+      .map(p => new java.net.URI(p).getPath).toSeq.sorted
+    val touchedSet = touched.toSet
+    val carried = v1Files.filterNot(touchedSet)
+    // rewrite ONLY the touched files: delete, update, append inserts
+    val rewritten = s.read.parquet(touched: _*)
+      .filter(!isDelete)
+      .withColumn("value",
+        when(isUpdate, col("value") + 1000.0d).otherwise(col("value")))
+      .unionByName(s.createDataFrame(Snk10InsertRows)
+        .toDF("event_id", "user_id", "value", "event_type"))
+    val v2dir = root.resolve("data").resolve("v2")
+    rewritten.write.mode("overwrite").parquet(v2dir.toString)
+    val newFiles = listParquet(v2dir)
+    val v2m = publishManifest(root, 2, carried ++ newFiles)
+    Snk10Result(v1m, v2m, v1Files, touched, carried, newFiles)
+  }
+
   /** Resolve a snapshot through its manifest — the reader path: no
     * directory listing anywhere, so concurrent compaction (new version
     * dirs) and torn writers (junk files) are invisible by
@@ -567,6 +684,36 @@ object SourcesSinks {
         |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // snk10 — the same keyed MERGE replayed in closed form over the
+    // source table: update +1000 at id%97==0, delete id%101==0 (not
+    // updated), append the 5 fixed insert rows; the engine answers
+    // from the copy-on-write v2 manifest (carried + rewritten files)
+    "snk10_merge" ->
+      """WITH mx AS (SELECT max(event_id) AS m FROM events),
+        |merged AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 97 = 0
+        |              AND event_id * 4 >= 3 * (SELECT m FROM mx)
+        |         THEN value + 1000 ELSE value END AS value,
+        |    event_type
+        |  FROM events
+        |  WHERE NOT (event_id % 101 = 0 AND event_id % 97 <> 0
+        |             AND event_id * 4 >= 3 * (SELECT m FROM mx))
+        |  UNION ALL
+        |  SELECT CAST(event_id AS BIGINT), CAST(user_id AS BIGINT),
+        |    CAST(value AS DOUBLE), event_type
+        |  FROM (VALUES
+        |    (10000000, 9000, 0.5, 'insert'),
+        |    (10000001, 9001, 1.5, 'insert'),
+        |    (10000002, 9002, 2.5, 'insert'),
+        |    (10000003, 9003, 3.5, 'insert'),
+        |    (10000004, 9004, 4.5, 'insert'))
+        |    AS ins(event_id, user_id, value, event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM merged GROUP BY event_type ORDER BY event_type""".stripMargin,
     // snk7 — DuckDB filters the ORIGINAL parquet with the same fixed
     // slice; the sorted rewrite + pruned read must be lossless
     "snk7_sorted_skip" ->

@@ -253,6 +253,73 @@ class EngineSpec extends AnyFunSuite {
       s"every gen-2 row must carry the evolved column: $nulls")
   }
 
+  test("SNK10: copy-on-write MERGE rewrites exactly the delta-touched " +
+       "files, v1 reads unchanged after v2 publishes, and the merged " +
+       "snapshot equals an independent batch reference") {
+    import graft.queries.SourcesSinks
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val r = SourcesSinks.snk10Run(s, TestSpark.Sf)
+    // non-vacuous copy-on-write: some files rewritten, some carried
+    assert(r.touchedFiles.nonEmpty, "no touched files — merge vacuous")
+    assert(r.carriedFiles.nonEmpty,
+      "every file touched — copy-on-write degenerated to full rewrite")
+    assert(r.touchedFiles.size + r.carriedFiles.size == r.v1Files.size &&
+           (r.touchedFiles ++ r.carriedFiles).toSet == r.v1Files.toSet,
+      "touched ∪ carried is not a partition of v1's file set")
+    assert(r.newFiles.forall(f => !r.v1Files.contains(f)),
+      "a v2 data file collides with a v1 path — versions not immutable")
+    // v1 is byte-for-byte intact: reads exactly the original table
+    val orig = graft.core.Tables.events(s, TestSpark.Sf)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+    val v1 = SourcesSinks.snk9ReadSnapshot(s, r.v1Manifest)
+    assert(v1.exceptAll(orig).isEmpty && orig.exceptAll(v1).isEmpty,
+      "v1 snapshot diverged from the source after the merge published")
+    // exactly-touched: a carried file contains NO mutating delta key...
+    val maxId = orig.agg(org.apache.spark.sql.functions.max(
+      col("event_id"))).head().getLong(0)
+    val recent = col("event_id") * 4 >= lit(3L * maxId)
+    val isDeltaKey = (col("event_id") % 97 === 0 ||
+      col("event_id") % 101 === 0) && recent
+    assert(s.read.parquet(r.carriedFiles: _*).filter(isDeltaKey)
+        .count() == 0L,
+      "a carried file contains a delta key — under-rewrite")
+    // ...and every touched file contains at least one (no over-rewrite)
+    val touchedWithKeys = s.read.parquet(r.touchedFiles: _*)
+      .filter(isDeltaKey)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(x => new java.net.URI(x.getString(0)).getPath).toSet
+    assert(touchedWithKeys == r.touchedFiles.toSet,
+      s"over-rewrite: ${r.touchedFiles.toSet -- touchedWithKeys} " +
+      "rewritten without containing any delta key")
+    // merged content equals the independent batch-merge reference
+    val inserts = s.createDataFrame(SourcesSinks.Snk10InsertRows)
+      .toDF("event_id", "user_id", "value", "event_type")
+    val ref = orig
+      .filter(!(col("event_id") % 101 === 0 && col("event_id") % 97 =!= 0 &&
+                recent))
+      .withColumn("value",
+        when(col("event_id") % 97 === 0 && recent,
+          col("value") + lit(1000.0d)).otherwise(col("value")))
+      .unionByName(inserts)
+    val v2 = SourcesSinks.snk9ReadSnapshot(s, r.v2Manifest)
+    assert(v2.exceptAll(ref).isEmpty && ref.exceptAll(v2).isEmpty,
+      "merged snapshot diverges from the batch-merge reference")
+    // the reference itself must differ from the original in all three
+    // ways, or the merge clauses are untested
+    val nDeleted = orig.filter(col("event_id") % 101 === 0 &&
+      col("event_id") % 97 =!= 0 && recent).count()
+    val nUpdated = orig.filter(col("event_id") % 97 === 0 && recent).count()
+    assert(nDeleted > 0 && nUpdated > 0,
+      s"delta vacuous: $nUpdated updates, $nDeleted deletes")
+    assert(v2.count() == orig.count() - nDeleted + 5,
+      "row accounting broken: deletes or inserts did not land")
+    assert(v2.filter(col("event_type") === "insert").count() == 5)
+    assert(v2.join(orig.filter(col("event_id") % 97 === 0 && recent)
+        .select(col("event_id"), col("value").as("old_value")), "event_id")
+      .filter(col("value") =!= col("old_value") + 1000.0d).count() == 0)
+  }
+
   test("SNK9: manifest-pinned snapshots isolate readers — v1 reads " +
        "exactly v1 after compaction AND after a torn writer drops junk " +
        "into the data dir, while a naive directory read corrupts") {
