@@ -35,8 +35,10 @@ class Scd2Processor(midCents: Long, highCents: Long)
     st = getHandle.getValueState[Scd2State](
       "scd2", Encoders.product[Scd2State], TTLConfig.NONE)
 
+  // single-sourced with the S4b temporal join (see Scd2Bands) so the
+  // maintainer and its consumer cannot drift
   private def bandOf(cum: Long): String =
-    if (cum < midCents) "low" else if (cum < highCents) "mid" else "high"
+    Scd2Bands.bandOf(cum, midCents, highCents)
 
   override def handleInputRows(user: Long, rows: Iterator[Scd2Event],
                                timers: TimerValues)

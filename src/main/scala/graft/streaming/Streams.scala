@@ -837,6 +837,42 @@ object Streams {
     "s18_scd2_stream" -> ((s, d) =>
       s18Run(s, d, midCents = 40000L, highCents = 100000L)),
 
+    // S4b — STREAMING TEMPORAL DIM JOIN (Flink's event-time temporal
+    // table join): every event joins the S18 SCD2 version in effect
+    // at its EVENT TIME — executed Flink-style, the versioned build
+    // side co-located in keyed state with the probes instead of
+    // re-shuffled as a version stream (see TemporalJoinProcessor;
+    // band logic single-sourced with Scd2Processor via Scd2Bands).
+    // Events before the user's first purchase emit band 'none'; a
+    // transition purchase joins the band it opens ([valid_from,
+    // valid_to) inclusive start — the J8 as-of convention). Oracle =
+    // the closed-form as-of: per-event running purchase cents via one
+    // window, CASE to the band. 100 TB: one user_id shuffle shared by
+    // both roles, ONE Scd2State tuple per user, O(1)/event; the
+    // out-of-order general case buffers probes until the watermark
+    // clears their event time (rate × delay bound) — degenerate on
+    // the ordered replay.
+    "s4b_temporal_join" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev = Replayer.stream(s, d, "clean")
+        .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          (col("event_type") === "purchase").as("isPurchase"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L)
+            .as("cents"),
+          col("user_id"))
+        .as[(Long, Long, Boolean, Long, Long)]
+      val joined = ev.groupByKey(_._5)
+        .mapValues(t => TemporalEvent(t._1, t._2, t._3, t._4))
+        .transformWithState(
+          new TemporalJoinProcessor(midCents = 40000L, highCents = 100000L),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, joined.toDF("user_id", "event_id", "band"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // S6 — streaming dedup on a duplicate-injected replay; final rows
     // must equal the clean batch table.
     "s6_dedup" -> ((s, d) => {
@@ -1577,6 +1613,25 @@ object Streams {
         |  CAST(valid_to AS TIMESTAMP) AS valid_to
         |FROM vs18 WHERE valid_to IS NOT NULL
         |ORDER BY user_id, valid_from""".stripMargin,
+
+    // s4b — the as-of join in closed form: per-event running purchase
+    // cents (one window, the purchase row includes its own cents —
+    // [valid_from, valid_to) inclusive start), CASE to the band,
+    // NULL running sum = no version in effect yet ('none')
+    "s4b_temporal_join" ->
+      """WITH b4 AS (
+        |  SELECT user_id, event_id,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(round(value * 100, 0) AS BIGINT) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CASE WHEN cum IS NULL THEN 'none'
+        |       WHEN cum < 40000 THEN 'low'
+        |       WHEN cum < 100000 THEN 'mid' ELSE 'high' END AS band
+        |FROM b4 ORDER BY user_id, event_id""".stripMargin,
     // s5b — matched pairs all emit; null-extended rows only for purchases
     // the watermark evicted. Two calibrated facts make the horizon exact
     // (both verified empirically ON THE PINNED Spark 4.1.2 BUILD — these

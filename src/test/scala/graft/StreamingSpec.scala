@@ -932,6 +932,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(junk)
   }
 
+  test("S4b: the temporal join's bands agree with an as-of join " +
+       "against S18's OWN version stream, a version-straddling event " +
+       "and a pre-first-version event both exist and carry the right " +
+       "band, and a transition purchase joins the band it opens") {
+    val out = SparkEntry.queries("s4b_temporal_join")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    val bandOf = out.map(r => (r._1, r._2) -> r._3).toMap
+    val ev = Tables.events(s, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // S18's closed versions ARE the dimension this join consumes: every
+    // event inside a closed version [from, to) must carry ITS band —
+    // the J8 as-of machinery as the oracle, driven by s18Run's output
+    val versions = graft.streaming.Streams
+      .s18Run(s, sf, midCents = 40000L, highCents = 100000L)
+      .select(col("user_id"), col("band"),
+        unix_micros(col("valid_from")).as("vf"),
+        unix_micros(col("valid_to")).as("vt"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(versions.nonEmpty, "no closed versions — test vacuous")
+    val vByUser = versions.groupBy(_._1)
+    var straddlers = 0
+    ev.foreach { case (u, id, t, _) =>
+      vByUser.getOrElse(u, Array.empty).foreach { case (_, band, vf, vt) =>
+        if (t >= vf && t < vt) {
+          straddlers += 1
+          assert(bandOf((u, id)) == band,
+            s"event $id of user $u at $t inside [$vf,$vt) carries " +
+            s"${bandOf((u, id))}, version says $band")
+        }
+      }
+    }
+    assert(straddlers > 0, "no event falls inside any closed version — " +
+      "the straddling case is vacuous")
+    // pre-first-version: band 'none' iff the event precedes the user's
+    // first purchase, and such events exist
+    val firstPurchase = ev.filter(_._4 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val nones = out.filter(_._3 == "none")
+    assert(nones.nonEmpty, "no pre-first-version events — vacuous")
+    val evTs = ev.map(e => (e._1, e._2) -> e._3).toMap
+    nones.foreach { case (u, id, _) =>
+      assert(firstPurchase.get(u).forall(evTs((u, id)) < _),
+        s"event $id of user $u got 'none' after its first purchase")
+    }
+    out.filter(_._3 != "none").foreach { case (u, id, _) =>
+      assert(firstPurchase(u) <= evTs((u, id)),
+        s"event $id of user $u got a band before any purchase")
+    }
+    // inclusive-start convention: the purchase that OPENS each closed
+    // version (at ts == valid_from) joins that version's band
+    val purchaseAt = ev.filter(_._4 == "purchase")
+      .map(e => (e._1, e._3) -> e._2).toMap
+    var openers = 0
+    versions.foreach { case (u, band, vf, _) =>
+      purchaseAt.get((u, vf)).foreach { pid =>
+        openers += 1
+        assert(bandOf((u, pid)) == band,
+          s"opening purchase $pid of user $u joins ${bandOf((u, pid))}," +
+          s" not the band it opens ($band)")
+      }
+    }
+    assert(openers > 0, "no opening purchase found — inclusive-start vacuous")
+  }
+
   test("S20: streaming skip-till-next-match completions equal the W9b " +
        "batch fold per user (the whole-corpus equivalence pin)") {
     val out = SparkEntry.queries("s20_stream_pattern")(s, sf).collect()
