@@ -358,7 +358,20 @@ object Streams {
     * runs $400 / $1000 — both transitions fire naturally at every
     * shipped sf (3 / 11 / 156 users reach 'high'). */
   private[graft] def s18Run(s: SparkSession, d: String,
-                            midCents: Long, highCents: Long): DataFrame = {
+                            midCents: Long, highCents: Long): DataFrame =
+    runToMemory(s, s18Versions(s, d, midCents, highCents), "append",
+        RocksDbConf ++ NoFinalBatch)
+      .select(col("user_id"), col("band"),
+        timestamp_micros(col("vf_us")).as("valid_from"),
+        timestamp_micros(col("vt_us")).as("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** The S18 STREAMING frame before any sink (columns user_id, band,
+    * vf_us, vt_us) — shared with StreamingSpec's kill-and-restart test
+    * so the pipeline under restart IS the canonical one. */
+  private[graft] def s18Versions(s: SparkSession, d: String,
+                                 midCents: Long, highCents: Long)
+      : DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     val ev = Replayer.stream(s, d, "clean")
@@ -367,17 +380,11 @@ object Streams {
         round(col("value") * 100, 0).cast("long").as("cents"),
         col("user_id"))
       .as[(Long, Long, Long, Long)]
-    val versions = ev.groupByKey(_._4)
+    ev.groupByKey(_._4)
       .mapValues(t => Scd2Event(t._1, t._2, t._3))
       .transformWithState(new Scd2Processor(midCents, highCents),
         TimeMode.None(), OutputMode.Append())
-    runToMemory(s,
-        versions.toDF("user_id", "band", "vf_us", "vt_us"), "append",
-        RocksDbConf ++ NoFinalBatch)
-      .select(col("user_id"), col("band"),
-        timestamp_micros(col("vf_us")).as("valid_from"),
-        timestamp_micros(col("vt_us")).as("valid_to"))
-      .orderBy(col("user_id"), col("valid_from"))
+      .toDF("user_id", "band", "vf_us", "vt_us")
   }
 
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =

@@ -932,6 +932,113 @@ class StreamingSpec extends AnyFunSuite {
     } finally java.nio.file.Files.delete(junk)
   }
 
+  test("S18: kill-and-restart from checkpoint leaves the emitted " +
+       "version train exactly-once (the SNK2 pin on the stateful " +
+       "processor whose replay-idempotence was comment-argued only)") {
+    import graft.streaming.Streams
+    val ckpt = Files.createTempDirectory("graft_s18_ckpt").toString
+    val out = Files.createTempDirectory("graft_s18_out").toString
+    // the RocksDB provider conf must be in effect AT QUERY START (the
+    // conf snapshot happens there), so withConf wraps start(), not
+    // just the writer construction
+    def start(t: Trigger) = graft.core.ConfScope.withConf(s,
+        graft.streaming.Streams.RocksDbConf) {
+      Streams.s18Versions(s, sf, midCents = 40000L, highCents = 100000L)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(t).start()
+    }
+    // phase 1: commit a strict prefix of the replay, then "crash"
+    val q1 = start(Trigger.ProcessingTime("100 milliseconds"))
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    val prefixBatches = q1.recentProgress.count(_.numInputRows > 0)
+    assert(prefixBatches >= 1 && prefixBatches < Replayer.NumFiles,
+      s"restart test needs a strict prefix, processed $prefixBatches " +
+      s"of ${Replayer.NumFiles} batches")
+    // phase 2: restart from the same checkpoint (state restores to the
+    // last committed batch; the in-flight batch replays), drain
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination()
+    // exactly-once: the restarted train equals the uninterrupted run's
+    // version multiset — a double-emitted or lost closed version breaks
+    val fin = s.read.parquet(out)
+      .select(col("user_id"), col("band"), col("vf_us"), col("vt_us"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val ref = Streams.s18Run(s, sf, midCents = 40000L, highCents = 100000L)
+      .select(col("user_id"), col("band"),
+        unix_micros(col("valid_from")), unix_micros(col("valid_to")))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(fin.nonEmpty, "no versions emitted — test vacuous")
+    assert(fin.toSeq == ref.toSeq,
+      s"restarted version train diverged: ${fin.length} rows vs " +
+      s"reference ${ref.length}")
+  }
+
+  test("S19: kill-and-restart keeps the manifest chain intact — " +
+       "already-published versions are byte-identical after the " +
+       "restart and the final snapshot equals the batch table") {
+    import graft.streaming.Streams
+    val root = Files.createTempDirectory("graft_s19_restart")
+    val ckpt = Files.createTempDirectory("graft_s19r_ckpt").toString
+    val mdir = root.resolve("manifests")
+    def manifests: Map[String, String] =
+      if (!Files.isDirectory(mdir)) Map.empty
+      else {
+        val ls = Files.list(mdir)
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.filter(_.toString.endsWith(".list"))
+            .map(p => p.getFileName.toString -> Files.readString(p)).toMap
+        } finally ls.close()
+      }
+    def stream() = Replayer.stream(s, sf, "clean").writeStream
+      .foreachBatch(Streams.s19PublishBatch(root) _)
+      .option("checkpointLocation", ckpt)
+    // phase 1: publish a strict prefix, then "crash"
+    val q1 = stream().trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    val published = manifests
+    assert(published.nonEmpty &&
+           published.size < Replayer.NumFiles,
+      s"restart test needs a strict manifest prefix, got " +
+      s"${published.keySet}")
+    // phase 2: restart; the in-flight batch replays (same id → same
+    // dir rewrite → same manifest content), later batches extend
+    val q2 = stream().trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val after = manifests
+    published.foreach { case (name, content) =>
+      assert(after(name).split("\n").toSet == content.split("\n").toSet,
+        s"pre-restart manifest $name changed file set across the restart")
+    }
+    assert(after.size == Replayer.NumFiles,
+      s"expected ${Replayer.NumFiles} versions, got ${after.keySet}")
+    // chain: each version strictly extends the previous
+    val ordered = after.toSeq
+      .sortBy(_._1.stripPrefix("v").stripSuffix(".list").toLong)
+      .map(_._2.split("\n").toSet)
+    ordered.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b) && a.size < b.size,
+        "manifest chain does not strictly extend across the restart")
+    }
+    // final snapshot == the batch table (nothing dropped or doubled)
+    val latest = mdir.resolve(s"v${after.size - 1}.list").toString
+    val snap = graft.queries.SourcesSinks.snk9ReadSnapshot(s, latest)
+      .agg(count(lit(1)), sum(col("event_id"))).head()
+    val exp = Tables.events(s, sf)
+      .agg(count(lit(1)), sum(col("event_id"))).head()
+    assert((snap.getLong(0), snap.getLong(1)) ==
+           (exp.getLong(0), exp.getLong(1)),
+      "restarted snapshot diverged from the batch table")
+  }
+
   test("S4b: the temporal join's bands agree with an as-of join " +
        "against S18's OWN version stream, a version-straddling event " +
        "and a pre-first-version event both exist and carry the right " +
