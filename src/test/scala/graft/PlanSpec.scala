@@ -11,6 +11,75 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(TestSpark.spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
 
+  test("CBO: ANALYZE TABLE column statistics flip the join build side " +
+       "— a selectively-filtered table broadcasts only once the " +
+       "cost-based filter estimate knows it is small") {
+    // the §4 'Join reorder / CBO' row's demonstration: file-size-only
+    // estimation cannot see through a selective filter (Filter passes
+    // its child's sizeInBytes), so the plan stays SortMergeJoin; with
+    // ANALYZE ... FOR ALL COLUMNS + spark.sql.cbo.enabled the
+    // row-count × selectivity estimate shrinks below the broadcast
+    // threshold and JoinSelection flips to BroadcastHashJoin. At
+    // 100 TB this is the difference between shuffling a petabyte fact
+    // table and shipping a few-MB filtered dim — stats maintenance IS
+    // a performance feature, not bookkeeping.
+    import org.apache.spark.sql.functions.col
+    val s = TestSpark.spark
+    s.sql("DROP TABLE IF EXISTS cbo_li")
+    s.sql("DROP TABLE IF EXISTS cbo_ord")
+    graft.core.Tables.lineitem(s, TestSpark.Sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").saveAsTable("cbo_li")
+    graft.core.Tables.orders(s, TestSpark.Sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").saveAsTable("cbo_ord")
+    try {
+      def joined = s.table("cbo_ord").join(
+        s.table("cbo_li").filter(col("l_quantity") < 2),
+        col("o_orderkey") === col("l_orderkey"))
+      // threshold strictly below BOTH unfiltered size estimates, so the
+      // pre-stats plan cannot broadcast either side (computed from the
+      // actual file sizes — robust to testdata regeneration)
+      val liSize = s.table("cbo_li")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val ordSize = s.table("cbo_ord")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val thr = (liSize.min(ordSize) / 4).toString
+      val confs = Map(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> thr)
+      // sparkPlan = the STATIC physical plan (JoinSelection's
+      // stats-driven choice), before AQE's runtime re-plan
+      val before = graft.core.ConfScope.withConf(s, confs) {
+        joined.queryExecution.sparkPlan.toString
+      }
+      assert(before.contains("SortMergeJoin") &&
+             !before.contains("BroadcastHashJoin"),
+        s"pre-stats plan should SMJ under threshold $thr:\n$before")
+      s.sql("ANALYZE TABLE cbo_li COMPUTE STATISTICS FOR ALL COLUMNS")
+      s.sql("ANALYZE TABLE cbo_ord COMPUTE STATISTICS FOR ALL COLUMNS")
+      val after = graft.core.ConfScope.withConf(s, confs) {
+        joined.queryExecution.sparkPlan.toString
+      }
+      assert(after.contains("BroadcastHashJoin"),
+        s"post-ANALYZE plan should broadcast the filtered side under " +
+        s"threshold $thr:\n$after")
+      // control: the flip is the ESTIMATOR's, not the raw table size's —
+      // with CBO off the same stats leave the total size untouched and
+      // the plan stays SMJ
+      val cboOff = graft.core.ConfScope.withConf(s, confs +
+          ("spark.sql.cbo.enabled" -> "false")) {
+        joined.queryExecution.sparkPlan.toString
+      }
+      assert(cboOff.contains("SortMergeJoin") &&
+             !cboOff.contains("BroadcastHashJoin"),
+        s"with CBO off the stats alone must not flip the build side:\n$cboOff")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS cbo_li")
+      s.sql("DROP TABLE IF EXISTS cbo_ord")
+    }
+  }
+
   test("A9: a1_pricing aggregates in two phases (partial + final)") {
     val p = plan("a1_pricing")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
