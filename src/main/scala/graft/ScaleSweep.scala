@@ -276,6 +276,18 @@ object ScaleSweep {
     // explanation ships with the measurement so adjudication needs no
     // code spelunking. l34 is the one DESIGNED superlinear at fixed K.
     val notes = Seq(
+      "g1b_pagerank_conv" ->
+        ("second decade (r16, both decades re-measured in ONE clean " +
+         "session): 13.6 s -> 33.8 s (10x, e=0.40) -> 44.2 s (30x, " +
+         "e=0.35; marginal 10x->30x e~0.25) - monotone and SUBLINEAR, " +
+         "so the r14 capture's 56 s at 10x was contention (the r14/r15 " +
+         "bench era's known machine-state inflation), not a plan flip: " +
+         "per-round cost is one contribution shuffle + a 1-row dangling-" +
+         "mass collect, rounds grow only with convergence depth (weakly " +
+         "with scale), and per-round fixed costs still dominate at 30x " +
+         "- the asymptote is rounds x linear shuffle, with the " +
+         "documented dial being per-round partition count at cluster " +
+         "frontiers"),
       "l40_bpe_train" ->
         ("the trained model is a build-once artifact cached per corpus " +
          "fingerprint (the IVF-codebook contract), so this row measures " +
