@@ -111,6 +111,13 @@ object Graph {
     val e = directedEdges(s, d).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
+    // static e⋈deg hoisted OUT of the loop (r16): every round used to
+    // re-join edges with out-degrees; both are loop-invariant, so the
+    // join runs once and pins one more O(|E|) relation (the same
+    // storage/fault-tolerance trade `e` itself makes — on executor
+    // loss production re-runs the stage from the scans).
+    val edeg = e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
     val nodes = e.select(col("src").as("nid"))
       .unionByName(e.select(col("dst").as("nid"))).distinct()
       .localCheckpoint()
@@ -120,23 +127,24 @@ object Graph {
       .localCheckpoint()
     var rounds = 0
     var stationary = false
+    // dangling mass as a driver scalar (1 row per round — the L22
+    // convergence-scalar idiom). Besides being the natural way to
+    // feed a scalar into the next step, it keeps `pr` referenced
+    // EXACTLY ONCE in the checkpointed plan: localCheckpoint
+    // preserves origin size-in-bytes stats, and Catalyst's default
+    // join estimate is the PRODUCT of child sizes — with k
+    // references per round the preserved stat's digit count grows
+    // k-fold per round and analysis time goes exponential in the
+    // round number (BigInteger multiplication on the main thread;
+    // measured: rounds 18/19/20 at 4.5/8.4/39 s on sf0.001 with
+    // k = 3). Single-reference keeps the digit growth linear. The
+    // initial mass is its own job; every later round's rides the
+    // fused probe below.
+    var dangShare = pr.join(deg, pr("nid") === deg("src"), "left_anti")
+      .agg(coalesce(sum(col("pr")), lit(0L)))
+      .head().getLong(0) / nv
     while (rounds < ConvCap && !stationary) {
-      // dangling mass as a driver scalar (1 row per round — the L22
-      // convergence-scalar idiom). Besides being the natural way to
-      // feed a scalar into the next step, it keeps `pr` referenced
-      // EXACTLY ONCE in the checkpointed plan: localCheckpoint
-      // preserves origin size-in-bytes stats, and Catalyst's default
-      // join estimate is the PRODUCT of child sizes — with k
-      // references per round the preserved stat's digit count grows
-      // k-fold per round and analysis time goes exponential in the
-      // round number (BigInteger multiplication on the main thread;
-      // measured: rounds 18/19/20 at 4.5/8.4/39 s on sf0.001 with
-      // k = 3). Single-reference keeps the digit growth linear.
-      val dangShare = pr.join(deg, pr("nid") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("pr")), lit(0L)))
-        .head().getLong(0) / nv
-      val in = e.join(pr, e("src") === pr("nid"))
-        .join(deg, "src")
+      val in = edeg.join(pr, edeg("src") === pr("nid"))
         .select(col("dst"), expr("pr div deg").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("inm"))
       val next = nodes
@@ -146,12 +154,24 @@ object Graph {
             expr(s"(coalesce(inm, CAST(0 AS BIGINT)) + $dangShare) div 2"))
             .as("pr"))
         .localCheckpoint()
-      // stationarity probe against the PREVIOUS checkpoint — outside
-      // the checkpointed plan, so its join never inflates carried stats
-      stationary = next
+      // ONE fused probe job per round (r16 — was two): stationarity
+      // against the PREVIOUS checkpoint AND the NEXT round's dangling
+      // mass, both over the just-materialized `next`. Outside the
+      // checkpointed plan, so the joins never inflate carried stats;
+      // the full-scan aggregate replaces limit(1).isEmpty — nv rows
+      // cost less than the job the short-circuit used to save.
+      val probe = next
         .join(pr.select(col("nid").as("pnid"), col("pr").as("prev")),
           next("nid") === col("pnid"))
-        .where(col("pr") =!= col("prev")).limit(1).isEmpty
+        .join(deg, next("nid") === deg("src"), "left")
+        .agg(
+          coalesce(sum(when(col("deg").isNull, next("pr"))), lit(0L))
+            .as("dang"),
+          coalesce(max(when(next("pr") =!= col("prev"), 1)), lit(0))
+            .as("changed"))
+        .head()
+      stationary = probe.getInt(1) == 0
+      dangShare = probe.getLong(0) / nv
       pr = next
       rounds += 1
       if (sys.env.contains("GRAFT_G1B_TRACE"))
