@@ -551,7 +551,24 @@ object Streams {
           q.awaitTermination()
         }
       } finally Replayer.dropCheckpoint(ckpt)
-      val raw = s.read.parquet(rawDir.toString + "/b*")
+      // explicit batch-dir listing, not a "/b*" glob: the glob path
+      // made DataSource's FileStreamSink-metadata probe log a benign
+      // but full-stack FileNotFoundException on every run (it probes
+      // the literal glob as a path), which reads like a query failure
+      // in the Verify/bench logs
+      val rawDirs = {
+        val ls = java.nio.file.Files.list(rawDir)
+        try {
+          val it = ls.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer[String]()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.startsWith("b")) buf += p.toString
+          }
+          buf.toSeq.sorted
+        } finally ls.close()
+      }
+      val raw = s.read.parquet(rawDirs: _*)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_raw"),
           sum(vdec).as("sv_raw"))
