@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Per-user S21 state: views whose abandonment window is still open —
+  * (tsu, event_id) pairs, pruned on answer or expiry. */
+case class AbandonState(views: Seq[(Long, Long)])
+
+/** S21 — TIMEOUT-emission absence CEP on event-time TIMERS (Flink's
+  * `notFollowedBy … within` with its true onTimer firing shape, and
+  * the first operator here to exercise the transformWithState timer
+  * API): a view with NO purchase by the same user in [view, view+W]
+  * emits an abandonment row WHEN ITS DEADLINE EXPIRES — i.e. when the
+  * event-time watermark passes view_ts + W — not retrospectively at
+  * some later event (S14's absence operator computes its pattern at
+  * the purchase; this one must fire on the NON-arrival of one, which
+  * only a timer can observe).
+  *
+  * Mechanics (empirically pinned on this Spark build by the r16 timer
+  * probe): a timer registered at expiry E ms fires in the first
+  * micro-batch whose event-time watermark ≥ E (inclusive at
+  * equality); the watermark is floor-ms(max event ts seen in PRIOR
+  * batches) − delay; and expired timers fire BEFORE the batch's input
+  * rows — the event-time-consistent order, since a fired timer's
+  * expiry ≤ wm while current-batch rows of an in-order stream carry
+  * event times > wm. Timers-first means a hypothetical answering
+  * purchase landing in the very firing batch would NOT suppress — but
+  * on an event-time-ordered stream that row cannot exist: the firing
+  * batch's watermark requires a PRIOR event at ts ≥ deadline + delay,
+  * and an answering purchase (ts ≤ deadline) precedes that event in
+  * stream order, so it always lands in a strictly earlier batch
+  * (StreamingSpec pins both halves: timers-first on a same-batch
+  * construction, and suppression from the prior batch). Deadlines are
+  * registered at (tsu div 1000) + W_ms — the same floor the oracle's
+  * horizon model uses.
+  *
+  * Answered views are pruned from state immediately; their timers are
+  * left to fire and sweep nothing (one no-op firing each) rather than
+  * tracked for deleteTimer — timer count per key is bounded by the
+  * user's view rate × (W + delay) either way, the same trailing-window
+  * budget S14 carries. Views whose deadline the final watermark never
+  * reaches (the stream-tail horizon) correctly never emit; the oracle
+  * models that horizon exactly (the s5b watermark-model discipline).
+  *
+  * 100 TB: one user_id shuffle, state = open views per user (bounded
+  * by rate × W), timers are RocksDB-range-scanned per batch — O(fired)
+  * per batch, not O(registered). */
+class AbandonProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, (Long, Long)] {
+
+  @transient private var st: ValueState[AbandonState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[AbandonState](
+      "abandon", Encoders.product[AbandonState], TTLConfig.NONE)
+
+  private def winMs = windowUs / 1000
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: TimerValues): Iterator[(Long, Long)] = {
+    var pending = Option(st.get()).map(_.views.toList).getOrElse(Nil)
+    rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+      e.event_type match {
+        case "view" =>
+          pending ::= ((e.tsu, e.event_id))
+          getHandle.registerTimer(e.tsu / 1000 + winMs)
+        case "purchase" =>
+          pending = pending.filterNot(v =>
+            v._1 <= e.tsu && e.tsu <= v._1 + windowUs)
+        case _ => ()
+      }
+    }
+    st.update(AbandonState(pending))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo)
+      : Iterator[(Long, Long)] = {
+    val horizon = info.getExpiryTimeInMs
+    val prev = Option(st.get()).map(_.views.toList).getOrElse(Nil)
+    // sweep EVERY pending view whose deadline cleared, not just the
+    // one this timer was registered for — robust to shared-expiry
+    // coalescing, and exact either way (deadline ≤ fired expiry ≤ wm)
+    val (expired, keep) = prev.partition(v => v._1 / 1000 + winMs <= horizon)
+    st.update(AbandonState(keep))
+    expired.sortBy(v => (v._1, v._2)).map(v => (user, v._2)).iterator
+  }
+}

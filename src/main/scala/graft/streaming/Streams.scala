@@ -209,6 +209,11 @@ object Streams {
 
   /** RocksDB provider conf for transformWithState runs (TWS requires it;
     * it is also the declared 100 TB state backend). */
+  /** S21 abandonment window (µs): 2 h — abandoned, answered, and
+    * horizon-suppressed views all exist naturally at every shipped sf
+    * (178/1/9 at sf0.001, 1912/8/62 at sf0.01). */
+  private[graft] val AbandonWindowUs: Long = 2L * 3600L * 1000000L
+
   private[graft] val RocksDbConf = Map(
     "spark.sql.streaming.stateStore.providerClass" ->
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -843,6 +848,35 @@ object Streams {
       runToMemory(s, completions.toDF("user_id", "completion_id"),
                   "append", RocksDbConf ++ NoFinalBatch)
         .orderBy(col("user_id"), col("completion_id"))
+    }),
+
+    // S21 — TIMEOUT-emission absence CEP on EVENT-TIME TIMERS (Flink's
+    // notFollowedBy…within with its true onTimer firing; the first
+    // operator exercising the transformWithState timer API): a view
+    // with no purchase in [view, view+2h] emits WHEN THE WATERMARK
+    // PASSES ITS DEADLINE — firing on the NON-arrival of an event,
+    // which S14's at-the-purchase evaluation cannot express. See
+    // AbandonProcessor for the pinned timer mechanics; the oracle
+    // models the firing horizon exactly (floor-ms(max ts) − delay,
+    // the s5b watermark-model discipline) — the stream tail's
+    // unexpired views correctly never emit. NoFinalBatch is NOT set:
+    // the trailing watermark-advance batch is what fires the last
+    // deadlines. 100 TB: one user_id shuffle, state = open views per
+    // user (rate × window), timers range-scanned per batch.
+    "s21_abandon_timer" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val abandoned = ev.groupByKey(_.user_id)
+        .transformWithState(new AbandonProcessor(AbandonWindowUs),
+          TimeMode.EventTime(), OutputMode.Append())
+      runToMemory(s, abandoned.toDF("user_id", "view_id"), "append",
+                  RocksDbConf)
+        .orderBy(col("user_id"), col("view_id"))
     }),
 
     // S18 — STREAMING SCD2 maintenance (the CDC-apply face of J16's
@@ -1950,6 +1984,30 @@ object Streams {
         |SELECT user_id, event_id AS completion_id
         |FROM s2b
         |WHERE l = 'p' AND m2 IS NOT NULL AND m2 >= ts - INTERVAL 24 HOUR
-        |ORDER BY user_id, completion_id""".stripMargin
+        |ORDER BY user_id, completion_id""".stripMargin,
+
+    // s21 — abandonment in closed form + the exact firing-horizon
+    // model: a view emits iff no purchase answers it within 2 h AND
+    // its ms-floored deadline clears the final watermark
+    // (floor-ms(max ts) − 10 min — the s5b watermark discipline; the
+    // µs→ms floor mirrors the processor's registerTimer math)
+    "s21_abandon_timer" ->
+      """WITH mx21 AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 600000 AS wm_ms
+        |  FROM events),
+        |v21 AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'view'),
+        |p21 AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS view_id
+        |FROM v21 v, mx21
+        |WHERE NOT EXISTS (
+        |    SELECT 1 FROM p21 p
+        |    WHERE p.user_id = v.user_id
+        |      AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 7200000000)
+        |  AND (v.tsu // 1000) + 7200000 <= mx21.wm_ms
+        |ORDER BY user_id, view_id""".stripMargin
   )
 }

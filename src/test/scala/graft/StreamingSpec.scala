@@ -1039,6 +1039,103 @@ class StreamingSpec extends AnyFunSuite {
       "restarted snapshot diverged from the batch table")
   }
 
+  test("S21: timer-fired abandonment equals the in-memory reference, " +
+       "and all three outcome classes are naturally exercised " +
+       "(answered, abandoned, horizon-suppressed)") {
+    val delayMs = 600000L // Replayer.WatermarkDelay
+    val winUs = graft.streaming.Streams.AbandonWindowUs
+    val ev = Tables.events(s, sf)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val wmMs = ev.map(_._3).max / 1000 - delayMs
+    val byUser = ev.groupBy(_._1)
+    var answered, suppressed = 0
+    val ref = byUser.toSeq.flatMap { case (u, rows) =>
+      val purchases = rows.filter(_._4 == "purchase").map(_._3)
+      rows.filter(_._4 == "view").flatMap { case (_, vid, vts, _) =>
+        val ans = purchases.exists(p => p >= vts && p <= vts + winUs)
+        val fired = vts / 1000 + winUs / 1000 <= wmMs
+        if (ans) { answered += 1; None }
+        else if (!fired) { suppressed += 1; None }
+        else Some((u, vid))
+      }
+    }.sorted
+    val out = SparkEntry.queries("s21_abandon_timer")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == ref, s"engine ${out.take(5)}... vs ref ${ref.take(5)}...")
+    assert(out.nonEmpty, "no abandoned views — test vacuous")
+    assert(answered > 0, "no answered view — the purchase negation is untested")
+    assert(suppressed > 0,
+      "no horizon-suppressed view — the watermark-tail model is untested")
+  }
+
+  test("S21: expired timers fire BEFORE input rows (the event-time-" +
+       "consistent order), a deadline equal to the watermark fires " +
+       "(inclusive boundary), and an answering purchase from the " +
+       "PRIOR batch — the only place an ordered stream can put it — " +
+       "suppresses the emission") {
+    import graft.streaming.{AbandonProcessor, FunnelEvent}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val winUs = 1000000L // 1 s window, 2 s watermark delay
+    // scenario: 0 = no purchase (control — must emit, and the deadline
+    // lands EXACTLY on the watermark, pinning the inclusive boundary);
+    // 1 = purchase rides the firing batch itself (an out-of-order-only
+    // construction: its ts ≤ deadline < deadline + delay, yet it
+    // arrives after the event that advanced the watermark) — timers-
+    // first means it CANNOT suppress; 2 = purchase in the prior batch,
+    // where an event-time-ordered stream always delivers it — must
+    // suppress.
+    def run(scenario: Int): Seq[(Long, Long)] = {
+      val mem = MemoryStream[(Long, Long, Long, String)]
+      val ev = mem.toDF().toDF("event_id", "tsu", "user_id", "event_type")
+        .withColumn("ts", expr("timestamp_micros(tsu)"))
+        .withWatermark("ts", "2 seconds")
+        .select(col("event_id"), col("tsu"), col("user_id"),
+          col("event_type")).as[FunnelEvent]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new AbandonProcessor(winUs),
+          TimeMode.EventTime(), OutputMode.Append())
+      val name = "s21_pin_" + java.util.UUID.randomUUID().toString.take(8)
+      val ckpt = Replayer.checkpoint()
+      val q = graft.core.ConfScope.withConf(s,
+          graft.streaming.Streams.RocksDbConf) {
+        out.toDF("user_id", "view_id").writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", ckpt).start()
+      }
+      try {
+        // batch 1: view@10s (deadline 11s); in-order scenario 2 also
+        // delivers the answering purchase@10.9s here
+        if (scenario == 2)
+          mem.addData((1L, 10000000L, 7L, "view"),
+                      (2L, 10900000L, 7L, "purchase"))
+        else mem.addData((1L, 10000000L, 7L, "view"))
+        q.processAllAvailable()
+        // batch 2: filler@13s → batch 3's watermark = 13−2 = 11s,
+        // EXACTLY the deadline
+        mem.addData((3L, 13000000L, 8L, "click"))
+        q.processAllAvailable()
+        // batch 3 (wm = 11s): the firing batch; scenario 1 slips the
+        // answering purchase@11.0s (== wm, not late-filtered) into it
+        if (scenario == 1) mem.addData((4L, 11000000L, 7L, "purchase"))
+        else mem.addData((4L, 14000000L, 8L, "click"))
+        q.processAllAvailable()
+        s.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      } finally { q.stop(); Replayer.dropCheckpoint(ckpt) }
+    }
+    assert(run(0) == Seq((7L, 1L)),
+      "control: deadline at exactly the watermark must fire (inclusive)")
+    assert(run(1) == Seq((7L, 1L)),
+      "timers-first violated: a same-batch (out-of-order) purchase " +
+      "suppressed a timer that expired at the batch's watermark")
+    assert(run(2).isEmpty,
+      "an in-order answering purchase (prior batch) failed to suppress")
+  }
+
   test("S4b: the temporal join's bands agree with an as-of join " +
        "against S18's OWN version stream, a version-straddling event " +
        "and a pre-first-version event both exist and carry the right " +
