@@ -371,6 +371,23 @@ object Streams {
         timestamp_micros(col("vt_us")).as("valid_to"))
       .orderBy(col("user_id"), col("valid_from"))
 
+  /** The S21 STREAMING frame before any sink (columns user_id,
+    * view_id) — shared with StreamingSpec's timer kill-and-restart
+    * test so the pipeline under restart IS the canonical one. */
+  private[graft] def s21Abandoned(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+      .withWatermark("ts", WatermarkDelay)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    ev.groupByKey(_.user_id)
+      .transformWithState(new AbandonProcessor(AbandonWindowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "view_id")
+  }
+
   /** The S18 STREAMING frame before any sink (columns user_id, band,
     * vf_us, vt_us) — shared with StreamingSpec's kill-and-restart test
     * so the pipeline under restart IS the canonical one. */
@@ -863,21 +880,9 @@ object Streams {
     // the trailing watermark-advance batch is what fires the last
     // deadlines. 100 TB: one user_id shuffle, state = open views per
     // user (rate × window), timers range-scanned per batch.
-    "s21_abandon_timer" -> ((s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.streaming.TimeMode
-      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
-        .withWatermark("ts", WatermarkDelay)
-        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
-                col("user_id"), col("event_type"))
-        .as[FunnelEvent]
-      val abandoned = ev.groupByKey(_.user_id)
-        .transformWithState(new AbandonProcessor(AbandonWindowUs),
-          TimeMode.EventTime(), OutputMode.Append())
-      runToMemory(s, abandoned.toDF("user_id", "view_id"), "append",
-                  RocksDbConf)
-        .orderBy(col("user_id"), col("view_id"))
-    }),
+    "s21_abandon_timer" -> ((s, d) =>
+      runToMemory(s, s21Abandoned(s, d), "append", RocksDbConf)
+        .orderBy(col("user_id"), col("view_id"))),
 
     // S18 — STREAMING SCD2 maintenance (the CDC-apply face of J16's
     // batch dimension build): per-user running purchase spend maps to

@@ -1136,6 +1136,45 @@ class StreamingSpec extends AnyFunSuite {
       "an in-order answering purchase (prior batch) failed to suppress")
   }
 
+  test("S21: registered timers SURVIVE a kill-and-restart — deadlines " +
+       "pending at the crash still fire after recovery and the " +
+       "emission multiset matches the uninterrupted run") {
+    import graft.streaming.Streams
+    val ckpt = Files.createTempDirectory("graft_s21_ckpt").toString
+    val out = Files.createTempDirectory("graft_s21_out").toString
+    def start(t: Trigger) = graft.core.ConfScope.withConf(s,
+        graft.streaming.Streams.RocksDbConf) {
+      Streams.s21Abandoned(s, sf)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(t).start()
+    }
+    // phase 1: absorb a strict prefix of the replay — views register
+    // timers whose deadlines lie beyond the kill point — then "crash"
+    val q1 = start(Trigger.ProcessingTime("100 milliseconds"))
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    val prefixBatches = q1.recentProgress.count(_.numInputRows > 0)
+    assert(prefixBatches >= 1 && prefixBatches < Replayer.NumFiles,
+      s"restart test needs a strict prefix, processed $prefixBatches " +
+      s"of ${Replayer.NumFiles} batches")
+    // phase 2: recover — pending timers must be restored with the
+    // state and fire as the watermark advances through the rest of
+    // the replay (and its trailing watermark-advance batch)
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination()
+    val fin = s.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ref = SparkEntry.queries("s21_abandon_timer")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fin.nonEmpty, "no abandonments emitted — test vacuous")
+    assert(fin == ref,
+      s"restarted run diverged: ${fin.length} rows vs reference " +
+      s"${ref.length} — pending timers were lost or double-fired")
+  }
+
   test("S4b: the temporal join's bands agree with an as-of join " +
        "against S18's OWN version stream, a version-straddling event " +
        "and a pre-first-version event both exist and carry the right " +
