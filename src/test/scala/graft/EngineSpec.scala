@@ -292,6 +292,19 @@ class EngineSpec extends AnyFunSuite {
     assert(touchedWithKeys == r.touchedFiles.toSet,
       s"over-rewrite: ${r.touchedFiles.toSet -- touchedWithKeys} " +
       "rewritten without containing any delta key")
+    // the touched-file probe's scan is column-pruned to the merge key
+    // alone — the 100 TB claim (the probe reads ONE int64 column of
+    // the base, never the payload): reconstruct the probe shape and
+    // pin its ReadSchema
+    val probe = SourcesSinks.snk9ReadSnapshot(s, r.v1Manifest)
+      .filter(isDeltaKey)
+      .select(col("_metadata.file_path")).distinct()
+    val rsch = "ReadSchema: ([^\\n]*)".r
+      .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+      .map(_.group(1)).getOrElse("?")
+    assert(rsch.contains("event_id") && !rsch.contains("value") &&
+           !rsch.contains("event_type") && !rsch.contains("user_id"),
+      s"touched-file probe is not pruned to the merge key: $rsch")
     // merged content equals the independent batch-merge reference
     val inserts = s.createDataFrame(SourcesSinks.Snk10InsertRows)
       .toDF("event_id", "user_id", "value", "event_type")
