@@ -335,9 +335,11 @@ object Llm {
       // every later aggregate(zip_with) query and making l3-vs-l3b-vs-
       // x5 timings order-dependent. newSession() shares the
       // SparkContext and cached data but owns its sessionState, so
-      // extraOptimizations scopes to exactly this query's plan.
-      val s2 = s.newSession()
-      graft.plans.DotProductRewrite.ensure(s2)
+      // extraOptimizations scopes to exactly this query's plan; the
+      // child is CACHED per context so repeat invocations (bench's
+      // p50-of-3) don't re-pay sessionState init. PlanSpec "X5
+      // isolation" pins that the parent session stays rewrite-free.
+      val s2 = x5Session(s)
       val e = Tables.embeddings(s2, d)
         .select(col("vec_id"), qz(col("embedding")).as("q"))
         .withColumn("nrm", qnorm(col("q")))
@@ -534,6 +536,19 @@ object Llm {
     centCache.computeIfAbsent(key,
       _ => trainCentroidsUncached(s, d, iters, split))
   }
+
+  /** X5's rule-scoped child session, one per SparkContext (the
+    * centCache idiom): owns the DotProductRewrite installation so the
+    * driver-supplied session is never mutated, reused across
+    * invocations so the bench's repeat runs skip sessionState init. */
+  private val x5SessionCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, SparkSession]()
+  private def x5Session(s: SparkSession): SparkSession =
+    x5SessionCache.computeIfAbsent(s.sparkContext, _ => {
+      val child = s.newSession()
+      graft.plans.DotProductRewrite.ensure(child)
+      child
+    })
 
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, String), Seq[(Int, Seq[Long])]]()

@@ -11,6 +11,22 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(name)(TestSpark.spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
 
+  test("X5 isolation: running x5_dot_rewrite leaves the shared session " +
+       "rewrite-free — no later aggregate(zip_with) query is silently " +
+       "swapped to graft_dot (the r15 advisor's sticky-rule hazard)") {
+    val s = TestSpark.spark
+    val x5 = SparkEntry.queries("x5_dot_rewrite")(s, TestSpark.Sf)
+    assert(x5.count() > 0)
+    assert(!s.experimental.extraOptimizations.exists(
+        _.toString.contains("DotProductRewrite")),
+      "the rewrite rule leaked into the shared session's extraOptimizations")
+    val decl = SparkEntry.queries("l3_cosine_topk")(s, TestSpark.Sf)
+    assert(!decl.queryExecution.executedPlan.toString.contains("graft_dot"),
+      "a declarative dot-product query on the shared session was " +
+      "silently rewritten after x5 ran")
+    assert(decl.count() > 0)
+  }
+
   test("CBO: ANALYZE TABLE column statistics flip the join build side " +
        "— a selectively-filtered table broadcasts only once the " +
        "cost-based filter estimate knows it is small") {
