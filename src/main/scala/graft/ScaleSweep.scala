@@ -286,15 +286,32 @@ object ScaleSweep {
     // code spelunking. l34 is the one DESIGNED superlinear at fixed K.
     val notes = Seq(
       "g2_triangles" ->
-        ("e ~ 0.82 at the first decade: the cost is WEDGE-volume-bound " +
-         "- sum C(d_out,2) under the degree orientation - and the " +
-         "co-order part graph densifies with scale (more orders per " +
-         "part), so wedges grow faster than edges; the orientation " +
-         "already caps the worst case at O(m^1.5) regardless of hub " +
-         "skew, and the per-corner attribution is explode over found " +
-         "triangles (output-sized). The dial at cluster scale is the " +
-         "same orientation with edge partitioning by src - no change " +
-         "of shape"),
+        ("SECOND decade adjudicated (r16): marginal 10x->30x e~1.6 is " +
+         "NOT the algorithm - the intermediate is measured LINEAR " +
+         "(DuckDB: edges x30.0, oriented wedges x30.0, 41.1M -> 1.23B " +
+         "- GenScale preserves the degree distribution, so the " +
+         "orientation bound holds). The cost is the fixed-32-partition " +
+         "local harness hitting memory pressure on the 1.23B-row wedge " +
+         "join: OOM at 8g, needed SPARK_DRIVER_MEM=64g, per-wedge cost " +
+         "87ns -> 167ns (spill/GC). At cluster scale partitions scale " +
+         "with data - rows/partition is the dial, not the join shape"),
+      "j8b_asof_forward" ->
+        ("30x runs SLOWER superlinearly (marginal e~1.6) - verified " +
+         "plan diff, the j8/j16 flip with the opposite sign: 10x = 2 " +
+         "BroadcastHashJoins, 30x = 2 SortMergeJoins (the struct-" +
+         "aggregated order-list side crossed the broadcast threshold) " +
+         "and the two sorts over those WIDE array rows dominate. " +
+         "Per-key lists are constant (orders/cust 10.0 at both scales " +
+         "- GenScale grows the key space), so the dial is raising the " +
+         "broadcast threshold while the key-space-sized build fits " +
+         "executor memory; past that the SMJ parallelizes over " +
+         "executors the way a 32-thread local JVM cannot"),
+      "l47_trigram_backoff" ->
+        ("marginal 10x->30x e~1.18 - the mild-superlinear fingerprint " +
+         "its l43 bigram core already showed (l43 marginal 1.08 at " +
+         "the second decade FALLING to 0.92 at the third - vocabulary " +
+         "saturation); expect the same rollover for the trigram vocab " +
+         "at 100x, watchlisted"),
       "j15_bucketed" ->
         ("e ~ 0.97 - LINEAR by construction and the right reading: " +
          "j15 prices the bucketed WRITE of both sides (10x data -> " +
