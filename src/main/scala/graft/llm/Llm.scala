@@ -540,15 +540,37 @@ object Llm {
   /** X5's rule-scoped child session, one per SparkContext (the
     * centCache idiom): owns the DotProductRewrite installation so the
     * driver-supplied session is never mutated, reused across
-    * invocations so the bench's repeat runs skip sessionState init. */
+    * invocations so the bench's repeat runs skip sessionState init.
+    *
+    * Conf staleness (advisor r16): `newSession()` snapshots the
+    * parent's SQLConf at creation, so a cached child would silently
+    * freeze any runtime conf the driver sets LATER (ConfScope-style) —
+    * x5 would then run under different ansi/partition settings than
+    * the l3/l3b queries it must hash-match. Every invocation therefore
+    * re-syncs the load-bearing runtime confs from the parent; the sync
+    * is a handful of driver-side map writes, not a sessionState
+    * rebuild, so the cache still pays init once. */
+  private val X5SyncedConfs = Seq(
+    "spark.sql.ansi.enabled", "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.autoBroadcastJoinThreshold")
   private val x5SessionCache = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.SparkContext, SparkSession]()
-  private def x5Session(s: SparkSession): SparkSession =
-    x5SessionCache.computeIfAbsent(s.sparkContext, _ => {
-      val child = s.newSession()
-      graft.plans.DotProductRewrite.ensure(child)
-      child
+  private def x5Session(s: SparkSession): SparkSession = {
+    val child = x5SessionCache.computeIfAbsent(s.sparkContext, _ => {
+      val c = s.newSession()
+      graft.plans.DotProductRewrite.ensure(c)
+      c
     })
+    X5SyncedConfs.foreach { k =>
+      s.conf.getOption(k) match {
+        case Some(v) if child.conf.getOption(k) != Some(v) =>
+          child.conf.set(k, v)
+        case _ => ()
+      }
+    }
+    child
+  }
 
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, String), Seq[(Int, Seq[Long])]]()

@@ -59,18 +59,10 @@ class AbandonProcessor(windowUs: Long)
 
   override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
                                timers: TimerValues): Iterator[(Long, Long)] = {
-    var pending = Option(st.get()).map(_.views.toList).getOrElse(Nil)
-    rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
-      e.event_type match {
-        case "view" =>
-          pending ::= ((e.tsu, e.event_id))
-          getHandle.registerTimer(e.tsu / 1000 + winMs)
-        case "purchase" =>
-          pending = pending.filterNot(v =>
-            v._1 <= e.tsu && e.tsu <= v._1 + windowUs)
-        case _ => ()
-      }
-    }
+    val pending0 = Option(st.get()).map(_.views.toList).getOrElse(Nil)
+    val (pending, deadlines) = AbandonProcessor.applyOrdered(windowUs,
+      pending0, rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    deadlines.foreach(getHandle.registerTimer)
     st.update(AbandonState(pending))
     Iterator.empty
   }
@@ -86,5 +78,34 @@ class AbandonProcessor(windowUs: Long)
     val (expired, keep) = prev.partition(v => v._1 / 1000 + winMs <= horizon)
     st.update(AbandonState(keep))
     expired.sortBy(v => (v._1, v._2)).map(v => (user, v._2)).iterator
+  }
+}
+
+object AbandonProcessor {
+  /** The ordered event fold shared with the out-of-order
+    * (watermark-reordering) variant: apply `events` — ALREADY in
+    * (tsu, event_id) order — to the open-view list; returns the new
+    * list and the ms deadlines (view_ts_ms + W_ms) the caller must
+    * register timers for (the in-order processor registers them
+    * verbatim; the reordering variant registers deadline+1 — its
+    * strict-sweep convention, see ReorderProcessors). */
+  def applyOrdered(windowUs: Long, pending0: List[(Long, Long)],
+                   events: Seq[FunnelEvent])
+      : (List[(Long, Long)], Seq[Long]) = {
+    val winMs = windowUs / 1000
+    var pending = pending0
+    val deadlines = scala.collection.mutable.ListBuffer[Long]()
+    events.foreach { e =>
+      e.event_type match {
+        case "view" =>
+          pending ::= ((e.tsu, e.event_id))
+          deadlines += e.tsu / 1000 + winMs
+        case "purchase" =>
+          pending = pending.filterNot(v =>
+            v._1 <= e.tsu && e.tsu <= v._1 + windowUs)
+        case _ => ()
+      }
+    }
+    (pending, deadlines.toSeq)
   }
 }

@@ -48,23 +48,38 @@ class SkipMatchProcessor(pattern: String,
     st = getHandle.getValueState[SkipMatchState](
       "skipmatch", Encoders.product[SkipMatchState], TTLConfig.NONE)
 
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: TimerValues): Iterator[(Long, Long)] = {
+    val n = pattern.length
+    val m = Option(st.get()).map(_.m.toArray)
+      .getOrElse(Array.fill(n - 1)(-1L))
+    val out = SkipMatchProcessor.stepAll(pattern, windowUs, m, user,
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    st.update(SkipMatchState(m.toSeq))
+    out.iterator
+  }
+}
+
+object SkipMatchProcessor {
   /** The W9/W9b explicit letter map — unknown types map to 'x', never
     * silently alias into the pattern (advisor r13). */
-  private def letterOf(t: String): Char = t match {
+  def letterOf(t: String): Char = t match {
     case "view" => 'v'
     case "click" => 'c'
     case "purchase" => 'p'
     case _ => 'x'
   }
 
-  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
-                               timers: TimerValues): Iterator[(Long, Long)] = {
+  /** The max-start DP advanced over `events` — ALREADY in
+    * (tsu, event_id) order — mutating `m` in place and returning the
+    * completions. Shared by the in-order processor and the
+    * out-of-order (watermark-reordering) variant. */
+  def stepAll(pattern: String, windowUs: Long, m: Array[Long], user: Long,
+              events: Seq[FunnelEvent]): Seq[(Long, Long)] = {
     val n = pattern.length
-    val m = Option(st.get()).map(_.m.toArray)
-      .getOrElse(Array.fill(n - 1)(-1L))
     val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
     val upd = new Array[Long](n - 1)
-    rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+    events.foreach { e =>
       val l = letterOf(e.event_type)
       val t = e.tsu
       // completion decided from the PRE-event state (the fold's acc)
@@ -81,7 +96,6 @@ class SkipMatchProcessor(pattern: String,
       }
       System.arraycopy(upd, 0, m, 0, n - 1)
     }
-    st.update(SkipMatchState(m.toSeq))
-    out.iterator
+    out.toSeq
   }
 }

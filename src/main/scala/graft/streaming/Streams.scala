@@ -171,6 +171,18 @@ object Streams {
     // trivial job per batch; an empty single-partition batch would
     // otherwise write one 0-row part file and pad the chain with it)
     if (batch.isEmpty) return
+    // replay idempotence WITHOUT a published-file rewrite (advisor r16):
+    // Spark part-file names embed a per-job UUID, so a mode=overwrite
+    // replay of an already-published id would DELETE the exact files the
+    // committed v$id manifest names and rewrite them under new names —
+    // a reader pinned to v$id in that window sees missing files. A
+    // manifest is only ever published after its data dir is fully
+    // written, so its existence proves the publish completed: skip the
+    // replay outright. Crashes BEFORE the manifest leave an unreferenced
+    // (possibly torn) data dir, which the overwrite below rebuilds —
+    // garbage, never corruption, the snk9/snk10 discipline.
+    if (java.nio.file.Files.exists(
+        root.resolve("manifests").resolve(s"v$id.list"))) return
     val dataDir = root.resolve("data").resolve(s"b$id")
     batch.select(col("event_id"), col("user_id"), col("value"),
         col("event_type"))

@@ -21,15 +21,19 @@ case class TemporalEvent(tsu: Long, event_id: Long, isPurchase: Boolean,
   * this operator provably consumes the same dimension S18 publishes).
   *
   * Version semantics: versions are [valid_from, valid_to) with
-  * valid_from = the transition purchase's ts (inclusive), so on a
-  * (ts) tie the dimension update applies BEFORE the fact probe — the
-  * transition purchase itself joins the band it opens. Within a batch
-  * rows sort by (tsu, dim-before-fact, event_id); across batches the
-  * clean replay is globally (ts, event_id)-ordered per key (the
-  * S8/S14/S18 contract, pinned in StreamingSpec) — and the shipped
-  * corpus has ZERO same-(user, ts) pairs, so the tie rule is
-  * belt-and-braces, not load-bearing. An event before its user's
-  * first purchase has no version in effect and emits band 'none'.
+  * valid_from = the transition purchase's ts (inclusive): the
+  * transition purchase itself joins the band it opens (its cents are
+  * applied BEFORE its own probe emits). Rows apply in strict
+  * (tsu, event_id) order — exactly the oracle's window total order, so
+  * a same-(user, ts) purchase/non-purchase pair resolves by event_id
+  * on both sides (advisor r16: a dim-before-fact tie rule here would
+  * give a lower-event_id non-purchase the post-purchase band while
+  * the oracle's window gives it the pre-purchase cum — safe on the
+  * shipped corpus, which has zero same-(user, ts) pairs, but wrong on
+  * any corpus with ties). Across batches the clean replay is globally
+  * (ts, event_id)-ordered per key (the S8/S14/S18 contract, pinned in
+  * StreamingSpec). An event before its user's first purchase has no
+  * version in effect and emits band 'none'.
   *
   * 100 TB: one user_id shuffle shared by both roles, state = ONE
   * Scd2State tuple per user (bands monotone — no version history
@@ -50,23 +54,39 @@ class TemporalJoinProcessor(midCents: Long, highCents: Long)
   override def handleInputRows(user: Long, rows: Iterator[TemporalEvent],
                                timers: TimerValues)
       : Iterator[(Long, Long, String)] = {
-    var cur = Option(st.get())
-    val out = scala.collection.mutable.ListBuffer[(Long, Long, String)]()
-    rows.toSeq
-      .sortBy(e => (e.tsu, if (e.isPurchase) 0 else 1, e.event_id))
-      .foreach { e =>
-        if (e.isPurchase) {
-          val cum = cur.map(_.cumCents).getOrElse(0L) + e.cents
-          val nb = Scd2Bands.bandOf(cum, midCents, highCents)
-          cur = cur match {
-            case Some(s0) if nb == s0.band => Some(s0.copy(cumCents = cum))
-            case _                         => Some(Scd2State(nb, e.tsu, cum))
-          }
-        }
-        out += ((user, e.event_id, cur.map(_.band).getOrElse("none")))
-      }
+    val (cur, out) = TemporalJoinProcessor.applyOrdered(
+      midCents, highCents, Option(st.get()), user,
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
     cur.foreach(st.update)
     out.iterator
+  }
+}
+
+object TemporalJoinProcessor {
+  /** The ordered fold shared by the in-order processor and the
+    * out-of-order (watermark-reordering) variant, and unit-testable
+    * without a streaming harness: apply `events` — ALREADY in
+    * (tsu, event_id) order — to the dimension state, returning the new
+    * state and the emitted (user, event_id, band) rows. A purchase's
+    * cents apply before its own probe emits (inclusive valid_from). */
+  def applyOrdered(midCents: Long, highCents: Long,
+                   cur0: Option[Scd2State], user: Long,
+                   events: Seq[TemporalEvent])
+      : (Option[Scd2State], Seq[(Long, Long, String)]) = {
+    var cur = cur0
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, String)]()
+    events.foreach { e =>
+      if (e.isPurchase) {
+        val cum = cur.map(_.cumCents).getOrElse(0L) + e.cents
+        val nb = Scd2Bands.bandOf(cum, midCents, highCents)
+        cur = cur match {
+          case Some(s0) if nb == s0.band => Some(s0.copy(cumCents = cum))
+          case _                         => Some(Scd2State(nb, e.tsu, cum))
+        }
+      }
+      out += ((user, e.event_id, cur.map(_.band).getOrElse("none")))
+    }
+    (cur, out.toSeq)
   }
 }
 
