@@ -525,7 +525,8 @@ object SourcesSinks {
                                         v1Files: Seq[String],
                                         touchedFiles: Seq[String],
                                         carriedFiles: Seq[String],
-                                        newFiles: Seq[String])
+                                        newFiles: Seq[String],
+                                        candidateFiles: Seq[String])
 
   /** SNK10 root (own staging dir — snk9's versions stay untouched). */
   private[graft] def snk10Root(dir: String): java.nio.file.Path =
@@ -542,6 +543,39 @@ object SourcesSinks {
   private[graft] val Snk10InsertRows: Seq[(Long, Long, Double, String)] =
     (0 until 5).map(i => (10000000L + i, 9000L + i, i + 0.5, "insert"))
 
+  /** Per-file (min,max) merge-key stats sidecar, written next to the
+    * manifest at publish time (lines `path\tmin\tmax`, atomic rename —
+    * the manifest discipline). This is the Iceberg/Delta per-file
+    * column-stats core: the writer already knows the key layout (the
+    * range sort produced it); persisting it lets a later MERGE prune
+    * candidate files MANIFEST-SIDE, opening zero data files that
+    * cannot contain a delta key. */
+  private[graft] def writeKeyStats(root: java.nio.file.Path, version: Int,
+                                   stats: Seq[(String, Long, Long)])
+      : String = {
+    val mdir = root.resolve("manifests")
+    java.nio.file.Files.createDirectories(mdir)
+    val tmp = mdir.resolve(s"v$version.stats.tmp")
+    java.nio.file.Files.writeString(tmp,
+      stats.map(t => s"${t._1}\t${t._2}\t${t._3}").mkString("\n"))
+    val fin = mdir.resolve(s"v$version.stats")
+    java.nio.file.Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    fin.toString
+  }
+
+  private[graft] def readKeyStats(path: String): Seq[(String, Long, Long)] =
+    java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      .split("\n").toSeq.filter(_.nonEmpty).map { ln =>
+        val Array(p, mn, mx) = ln.split("\t")
+        (p, mn.toLong, mx.toLong)
+      }
+
+  /** Does [a, b] contain a multiple of k? (positives, floor division) */
+  private[graft] def hasMultiple(a: Long, b: Long, k: Long): Boolean =
+    a <= b && b / k >= (a + k - 1) / k
+
   /** SNK10 — row-level MERGE as a COPY-ON-WRITE version publish (the
     * Iceberg/Delta MERGE INTO reduced to its manifest core, completing
     * SNK9's protocol with mutation): apply a keyed delta
@@ -550,19 +584,26 @@ object SourcesSinks {
     * carried into version v+1's manifest verbatim, and readers pinned
     * to v see nothing until the v+1 manifest's atomic rename.
     *
-    * Touched-file identification: v1 is written RANGE-CLUSTERED on the
-    * merge key (repartitionByRange + sortWithinPartitions — the SNK7
-    * layout), so a keyed delta's file footprint is as small as its key
-    * range is tight; the probe itself is a column-pruned scan of
-    * (event_id, _metadata.file_path) semi-joined with the broadcast
-    * delta keys. 100 TB: the probe's scan reads ONE int64 column — but
-    * the production dial is to persist per-file (min,max) key stats in
-    * the manifest at write time (they are computed here writer-side
-    * anyway by the sort) and prune file candidates manifest-side,
-    * touching zero data files that cannot contain a delta key; the
-    * rewrite stage is then strictly proportional to the touched file
-    * set, never to table size. Delta keys broadcast (delta ≪ table,
-    * the MERGE premise); the rewrite reads only touched files.
+    * Touched-file identification, two stages (r17 — the manifest-side
+    * pruning the r16 scaladoc promised as the production dial):
+    * 1. MANIFEST-side candidate pruning: v1 is RANGE-CLUSTERED on the
+    *    merge key (repartitionByRange + sortWithinPartitions — the SNK7
+    *    layout) and publishes per-file (min,max) key stats alongside
+    *    its manifest ([[writeKeyStats]]). The delta's key predicate
+    *    (mod-97/mod-101 multiples in the recent top key quarter) is
+    *    evaluated against each file's [min,max] by driver arithmetic —
+    *    a file whose range cannot contain a delta key is carried
+    *    without being OPENED. maxId too comes from the stats (max of
+    *    file maxima), so candidacy costs zero data-file reads.
+    * 2. Exact probe over CANDIDATES only: key ranges may have gaps, so
+    *    the stats check is a superset; a column-pruned scan of
+    *    (event_id, _metadata.file_path) restricted to candidate files
+    *    refines it to the exactly-touched set. 100 TB: stage 1 is
+    *    manifest-cardinality work on the driver; stage 2 reads ONE
+    *    int64 column of only the candidate files — the merge never
+    *    scales with table size, only with the delta's key-range
+    *    footprint. Delta keys broadcast (delta ≪ table, the MERGE
+    *    premise); the rewrite reads only touched files.
     *
     * Consistency: new files land under data/v2 (immutable, version-
     * addressed), the v2 manifest = carried v1 files + v2 files, and
@@ -570,8 +611,10 @@ object SourcesSinks {
     * mid-merge leaves v1 intact and v2 unreferenced (garbage, not
     * corruption). EngineSpec "SNK10" pins v1-unchanged, the
     * exactly-touched-files property (every rewritten file contains a
-    * delta key, every carried file contains none), and merged content
-    * against an independent batch reference. */
+    * delta key, every carried file contains none), candidate pruning
+    * (touched ⊆ candidates, every candidate overlaps the delta key
+    * range, every non-candidate provably contains no delta key), and
+    * merged content against an independent batch reference. */
   private[graft] def snk10Run(s: SparkSession, dir: String): Snk10Result = {
     val root = snk10Root(dir)
     val ev = Tables.events(s, dir)
@@ -584,36 +627,58 @@ object SourcesSinks {
       .readString(java.nio.file.Paths.get(v1m))
       .split("\n").toSeq.filter(_.nonEmpty)
     val base = snk9ReadSnapshot(s, v1m)
+    // writer-side stats publication: one column-pruned pass over the
+    // just-written files (in production this folds into the write
+    // task's own footer stats — the data is already range-sorted)
+    val stats = base
+      .groupBy(col("_metadata.file_path").as("fp"))
+      .agg(min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+      .collect()
+      .map(r => (new java.net.URI(r.getString(0)).getPath,
+                 r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    writeKeyStats(root, 1, stats)
     // delta keys that MUTATE existing rows (updates ∪ deletes),
     // recent-skewed (top quarter of the key range — one exact-integer
     // comparison, no float quantile); inserts never touch a base file.
-    // maxId is a 1-row scalar collect (index-sized, not a data collect)
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    // maxId and candidacy both come from the manifest stats — no scan.
+    val maxId = stats.map(_._3).max
+    val recentLo = (3L * maxId + 3) / 4 // id*4 >= 3*maxId ⇔ id >= ⌈3·maxId/4⌉
+    val candidates = stats.filter { case (_, mn, mx) =>
+      val a = math.max(mn, recentLo)
+      hasMultiple(a, mx, 97L) || hasMultiple(a, mx, 101L)
+    }.map(_._1)
     val recent = col("event_id") * 4 >= lit(3L * maxId)
     val isUpdate = col("event_id") % 97 === 0 && recent
     val isDelete = col("event_id") % 101 === 0 && col("event_id") % 97 =!= 0 &&
       recent
-    // touched files: column-pruned probe, delta keys broadcast via the
-    // semi join's build side (file-count-sized result collect)
-    val touched = base
-      .filter(isUpdate || isDelete)
-      .select(col("_metadata.file_path").as("fp"))
-      .distinct().collect().map(_.getString(0))
-      .map(p => new java.net.URI(p).getPath).toSeq.sorted
+    // exact touched set: column-pruned probe over CANDIDATE files only
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else s.read.parquet(candidates: _*)
+        .filter(isUpdate || isDelete)
+        .select(col("_metadata.file_path").as("fp"))
+        .distinct().collect().map(_.getString(0))
+        .map(p => new java.net.URI(p).getPath).toSeq.sorted
     val touchedSet = touched.toSet
     val carried = v1Files.filterNot(touchedSet)
     // rewrite ONLY the touched files: delete, update, append inserts
-    val rewritten = s.read.parquet(touched: _*)
-      .filter(!isDelete)
-      .withColumn("value",
-        when(isUpdate, col("value") + 1000.0d).otherwise(col("value")))
-      .unionByName(s.createDataFrame(Snk10InsertRows)
-        .toDF("event_id", "user_id", "value", "event_type"))
+    // (an empty touched set — a corpus whose recent quarter has no
+    // mod-97/mod-101 key — degrades to an insert-only merge)
+    val inserts = s.createDataFrame(Snk10InsertRows)
+      .toDF("event_id", "user_id", "value", "event_type")
+    val rewritten =
+      if (touched.isEmpty) inserts
+      else s.read.parquet(touched: _*)
+        .filter(!isDelete)
+        .withColumn("value",
+          when(isUpdate, col("value") + 1000.0d).otherwise(col("value")))
+        .unionByName(inserts)
     val v2dir = root.resolve("data").resolve("v2")
     rewritten.write.mode("overwrite").parquet(v2dir.toString)
     val newFiles = listParquet(v2dir)
     val v2m = publishManifest(root, 2, carried ++ newFiles)
-    Snk10Result(v1m, v2m, v1Files, touched, carried, newFiles)
+    Snk10Result(v1m, v2m, v1Files, touched, carried, newFiles, candidates)
   }
 
   /** Resolve a snapshot through its manifest — the reader path: no

@@ -292,11 +292,47 @@ class EngineSpec extends AnyFunSuite {
     assert(touchedWithKeys == r.touchedFiles.toSet,
       s"over-rewrite: ${r.touchedFiles.toSet -- touchedWithKeys} " +
       "rewritten without containing any delta key")
+    // r17 manifest-side pruning pins: the exact touched set refines the
+    // stats-derived candidates (never the whole table)...
+    assert(r.touchedFiles.toSet.subsetOf(r.candidateFiles.toSet),
+      "a touched file was not a stats candidate — the pruning under-read")
+    assert(r.candidateFiles.toSet.subsetOf(r.v1Files.toSet))
+    // ...every candidate's persisted key range overlaps the delta's
+    // recent range (zero files outside the delta key range are opened)
+    val statsPath = java.nio.file.Paths.get(r.v1Manifest)
+      .getParent.resolve("v1.stats").toString
+    val stats = SourcesSinks.readKeyStats(statsPath)
+    assert(stats.map(_._1).toSet == r.v1Files.toSet,
+      "stats sidecar does not cover exactly v1's files")
+    val recentLo = (3L * maxId + 3) / 4
+    val byFile = stats.map(t => t._1 -> (t._2, t._3)).toMap
+    r.candidateFiles.foreach { f =>
+      assert(byFile(f)._2 >= recentLo,
+        s"candidate $f has max ${byFile(f)._2} below the recent range " +
+        s"start $recentLo — opened a file the delta cannot touch")
+    }
+    // ...the sidecar's (min,max) are the files' true key extremes...
+    val trueStats = s.read.parquet(r.v1Files: _*)
+      .groupBy(col("_metadata.file_path"))
+      .agg(org.apache.spark.sql.functions.min(col("event_id")),
+           org.apache.spark.sql.functions.max(col("event_id")))
+      .collect()
+      .map(x => new java.net.URI(x.getString(0)).getPath ->
+        (x.getLong(1), x.getLong(2))).toMap
+    assert(trueStats == byFile, "persisted key stats diverge from the files")
+    // ...and every NON-candidate provably contains no delta key (the
+    // arithmetic never under-prunes) — content-checked, not just range
+    val nonCandidates = r.v1Files.filterNot(r.candidateFiles.toSet)
+    assert(nonCandidates.nonEmpty, "every file is a candidate — the " +
+      "range-clustered layout should exclude the older three quarters")
+    assert(
+      s.read.parquet(nonCandidates: _*).filter(isDeltaKey).count() == 0L,
+      "a non-candidate file contains a delta key — stats pruning wrong")
     // the touched-file probe's scan is column-pruned to the merge key
     // alone — the 100 TB claim (the probe reads ONE int64 column of
-    // the base, never the payload): reconstruct the probe shape and
-    // pin its ReadSchema
-    val probe = SourcesSinks.snk9ReadSnapshot(s, r.v1Manifest)
+    // the CANDIDATES, never the payload): reconstruct the probe shape
+    // and pin its ReadSchema
+    val probe = s.read.parquet(r.candidateFiles: _*)
       .filter(isDeltaKey)
       .select(col("_metadata.file_path")).distinct()
     val rsch = "ReadSchema: ([^\\n]*)".r
