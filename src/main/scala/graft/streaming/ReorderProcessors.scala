@@ -1,0 +1,213 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** WATERMARK REORDER BUFFER — the Flink-parity out-of-order front end
+  * shared by the S20b/S4c/S21b hardened trio. The in-order processors
+  * (SkipMatch/TemporalJoin/Abandon) assume each key's events arrive in
+  * global (ts, event_id) order across micro-batches — true on the clean
+  * replay, false on any real stream. This base class restores that
+  * order under disorder bounded by the watermark delay, exactly the way
+  * Flink's CEP and temporal-join operators do it: per key, BUFFER every
+  * event until the watermark clears its event time, then release the
+  * cleared prefix in (ts, event_id) order into the wrapped fold.
+  *
+  * Release rule (and why it is safe): an event flushes when
+  * ts_ms < wm, with wm = the batch's event-time watermark
+  * (`TimerValues.getCurrentWatermarkInMs` — max event time of PRIOR
+  * batches minus the delay). Spark admits a row into batch b only if
+  * its ts clears the LAGGING filter watermark wm(b−1) (the one-batch
+  * commit lag, calibrated for S7), so every row that can still arrive
+  * at or after batch b carries ts ≥ wm(b−1); monotonicity then puts
+  * all future arrivals at ts ≥ wm(b) — strictly above everything the
+  * bound releases. Rows below even the CURRENT wm (admitted through
+  * the lag window; none exist on the `ooo` fixture, whose disorder is
+  * bounded at 23 h < the 24 h delay) are DROPPED and counted — Flink's
+  * late-row semantics — rather than applied out of order.
+  *
+  * Flush triggers: one event-time timer per event at ts_ms + 1 (fires
+  * at the first batch whose wm > ts_ms — the inclusive-at-equality
+  * timer contract pinned by the r16 probe), plus an opportunistic
+  * flush on every input batch. The per-event timer is what makes the
+  * release horizon EXACT: the emitted set is precisely
+  * {e : ts_ms(e) < final wm}, the closed form the oracles model —
+  * a per-batch max timer would leave tail events whose batch maximum
+  * never cleared. AvailableNow's trailing watermark-advance batch
+  * fires the last timers; `onWatermark` (the S21b sweep hook) runs
+  * after every flush in the SAME invocation, so work whose deadline
+  * the final watermark already passed cannot be stranded behind a
+  * timer registered in the past.
+  *
+  * State budget: the buffer holds, per key, the current batch's rows
+  * plus rows younger than the delay — rate × (trigger interval +
+  * delay), the standard Flink temporal-join bound; the high-water mark
+  * is exported through [[ReorderingProcessor.maxBuffered]] (a
+  * process-local diagnostic gauge — exact under local[*], per-executor
+  * maxima on a cluster) and pinned in StreamingSpec against the
+  * fixture's per-user volumes. Unlike the in-order trio's per-batch
+  * sort (bounded by what one micro-batch can hold), the buffer
+  * persists across batches in the state store — RocksDB, the declared
+  * backend — so a hyperactive key degrades to disk, not heap.
+  *
+  * 100 TB: one user_id shuffle (unchanged from the wrapped operators),
+  * per-event work O(log buffer) amortized for the sort at release,
+  * timers RocksDB-range-scanned per batch — O(fired), not
+  * O(registered). */
+abstract class ReorderingProcessor[I, O](ie: Encoder[I])
+    extends StatefulProcessor[Long, I, O] {
+
+  /** Event time (µs) and tie-break id of an event. */
+  protected def tsuOf(e: I): Long
+  protected def idOf(e: I): Long
+
+  /** Create the wrapped fold's state; called from init. */
+  protected def initCore(): Unit
+
+  /** Apply watermark-cleared events — ALREADY in (tsu, id) order — to
+    * the wrapped fold; eager (state updates happen before return). */
+  protected def applyOrdered(key: Long, events: Seq[I]): Seq[O]
+
+  /** Watermark-driven work independent of event arrival (the S21b
+    * sweep); runs after every flush with the same wm. */
+  protected def onWatermark(key: Long, wmMs: Long): Seq[O] = Seq.empty
+
+  @transient private var buf: ListState[I] = _
+
+  final override def init(outputMode: OutputMode,
+                          timeMode: TimeMode): Unit = {
+    buf = getHandle.getListState[I]("reorderBuf", ie, TTLConfig.NONE)
+    initCore()
+  }
+
+  /** Merge incoming rows into the buffer, release the cleared prefix
+    * in order, rewrite the kept suffix. */
+  private def flush(key: Long, wmMs: Long, incoming: Seq[I]): Seq[O] = {
+    val buffered: Seq[I] =
+      if (buf.exists()) buf.get().toSeq else Seq.empty
+    val all = buffered ++ incoming
+    val (ready, keep) = all.partition(e => tsuOf(e) / 1000 < wmMs)
+    if (ready.nonEmpty || incoming.nonEmpty) {
+      buf.clear()
+      keep.foreach(buf.appendValue)
+    }
+    ReorderingProcessor.note(keep.size)
+    if (ready.isEmpty) Seq.empty
+    else applyOrdered(key, ready.sortBy(e => (tsuOf(e), idOf(e))))
+  }
+
+  final override def handleInputRows(key: Long, rows: Iterator[I],
+                                     timers: TimerValues): Iterator[O] = {
+    val wm = timers.getCurrentWatermarkInMs()
+    // Flink late-row semantics: a row already below the operative
+    // watermark (admitted through Spark's one-batch filter lag) cannot
+    // be applied in order — drop and count, never reorder the past.
+    val (late, incoming) = rows.toSeq.partition(e => tsuOf(e) / 1000 < wm)
+    if (late.nonEmpty) ReorderingProcessor.lateDropped.addAndGet(late.size)
+    incoming.map(e => tsuOf(e) / 1000 + 1).distinct
+      .foreach(getHandle.registerTimer)
+    (flush(key, wm, incoming) ++ onWatermark(key, wm)).iterator
+  }
+
+  final override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                        info: ExpiredTimerInfo)
+      : Iterator[O] =
+    (flush(key, timers.getCurrentWatermarkInMs(), Seq.empty) ++
+      onWatermark(key, timers.getCurrentWatermarkInMs())).iterator
+}
+
+object ReorderingProcessor {
+  /** Buffer high-water mark (rows kept per key after a flush) and
+    * late-drop counter — process-local diagnostics for the
+    * StreamingSpec bounded-buffer and zero-drop pins; exact under
+    * local[*] (one JVM), per-executor on a cluster. Never read by the
+    * operators themselves. */
+  val maxBuffered = new java.util.concurrent.atomic.AtomicLong(0)
+  val lateDropped = new java.util.concurrent.atomic.AtomicLong(0)
+  def resetGauges(): Unit = { maxBuffered.set(0); lateDropped.set(0) }
+  private[streaming] def note(n: Int): Unit =
+    maxBuffered.getAndUpdate(m => math.max(m, n.toLong))
+}
+
+/** S20b — the skip-till-next-match DP behind the reorder buffer. */
+class ReorderedSkipMatch(pattern: String, windowUs: Long)
+    extends ReorderingProcessor[FunnelEvent, (Long, Long)](
+      Encoders.product[FunnelEvent]) {
+  require(pattern.length >= 2, s"pattern too short for a sequence: $pattern")
+  @transient private var st: ValueState[SkipMatchState] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[SkipMatchState](
+      "skipmatch", Encoders.product[SkipMatchState], TTLConfig.NONE)
+  override protected def tsuOf(e: FunnelEvent): Long = e.tsu
+  override protected def idOf(e: FunnelEvent): Long = e.event_id
+  override protected def applyOrdered(user: Long,
+                                      events: Seq[FunnelEvent])
+      : Seq[(Long, Long)] = {
+    val n = pattern.length
+    val m = Option(st.get()).map(_.m.toArray)
+      .getOrElse(Array.fill(n - 1)(-1L))
+    val out = SkipMatchProcessor.stepAll(pattern, windowUs, m, user, events)
+    st.update(SkipMatchState(m.toSeq))
+    out
+  }
+}
+
+/** S4c — the temporal dim join behind the reorder buffer. */
+class ReorderedTemporalJoin(midCents: Long, highCents: Long)
+    extends ReorderingProcessor[TemporalEvent, (Long, Long, String)](
+      Encoders.product[TemporalEvent]) {
+  @transient private var st: ValueState[Scd2State] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[Scd2State](
+      "scd2dim", Encoders.product[Scd2State], TTLConfig.NONE)
+  override protected def tsuOf(e: TemporalEvent): Long = e.tsu
+  override protected def idOf(e: TemporalEvent): Long = e.event_id
+  override protected def applyOrdered(user: Long,
+                                      events: Seq[TemporalEvent])
+      : Seq[(Long, Long, String)] = {
+    val (cur, out) = TemporalJoinProcessor.applyOrdered(
+      midCents, highCents, Option(st.get()), user, events)
+    cur.foreach(st.update)
+    out
+  }
+}
+
+/** S21b — timer-fired abandonment behind the reorder buffer. The sweep
+  * convention is STRICT (deadline < wm, deadline timers at
+  * deadline + 1) where the in-order S21 is inclusive: a suppressing
+  * purchase at ts_ms == deadline may still sit in the buffer when
+  * wm == deadline (the release bound is strict), so firing at equality
+  * could emit an answered view. Strictness shifts the stream-tail
+  * horizon by one ms-boundary case: a view emits iff unanswered AND
+  * deadline_ms < final wm — the s21b oracle models exactly that. */
+class ReorderedAbandon(windowUs: Long)
+    extends ReorderingProcessor[FunnelEvent, (Long, Long)](
+      Encoders.product[FunnelEvent]) {
+  @transient private var st: ValueState[AbandonState] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[AbandonState](
+      "abandon", Encoders.product[AbandonState], TTLConfig.NONE)
+  override protected def tsuOf(e: FunnelEvent): Long = e.tsu
+  override protected def idOf(e: FunnelEvent): Long = e.event_id
+  override protected def applyOrdered(user: Long,
+                                      events: Seq[FunnelEvent])
+      : Seq[(Long, Long)] = {
+    val pending0 = Option(st.get()).map(_.views.toList).getOrElse(Nil)
+    val (pending, deadlines) =
+      AbandonProcessor.applyOrdered(windowUs, pending0, events)
+    deadlines.distinct.foreach(d => getHandle.registerTimer(d + 1))
+    st.update(AbandonState(pending))
+    Seq.empty
+  }
+  override protected def onWatermark(user: Long,
+                                     wmMs: Long): Seq[(Long, Long)] = {
+    val winMs = windowUs / 1000
+    val prev = Option(st.get()).map(_.views.toList).getOrElse(Nil)
+    val (expired, keep) = prev.partition(v => v._1 / 1000 + winMs < wmMs)
+    if (expired.isEmpty) Seq.empty
+    else {
+      st.update(AbandonState(keep))
+      expired.sortBy(v => (v._1, v._2)).map(v => (user, v._2))
+    }
+  }
+}

@@ -27,6 +27,21 @@ import graft.core.Tables
   *           numRowsDroppedByWatermark stays 0 at one file).
   *  - dup:   rows with event_id % 101 == 0 are COPIED one file later —
   *           exercises streaming dedup.
+  *  - ooo:   rows with event_id % 2 == 0 whose ts falls in the final
+  *           23 HOURS of their file's time span are moved ONE file later
+  *           (capped at the last file) — the bounded-disorder fixture for
+  *           the watermark-reordering S20b/S4c/S21b trio, which declares
+  *           a 24 h delay ([[OooDelay]]). 23 < 24 keeps every displaced
+  *           row ABOVE the operative watermark at its arrival batch
+  *           (wm(b) ≤ arrived-max(≤ b−1) − 24 h < fmax(file b−1) − 23 h
+  *           < ts), so nothing is dropped by Spark's late filter and
+  *           nothing arrives below the reorder buffer's flush bound —
+  *           the replay is content-identical to clean, only disordered,
+  *           and event-time semantics make the results replay-order-
+  *           invariant (the StreamingSpec equality pin). The 10-minute
+  *           `late` variant cannot serve here: this corpus averages
+  *           minutes between events, so a sub-delay displacement window
+  *           of 10 min would move ~1 row per boundary (vacuous).
   *  - funnel: rows with event_id % 211 ∈ {0, 95, 190} are rewritten into
   *           synthetic view→click→purchase chains (chain g = event_id/211
   *           gets user FunnelUserBase+g, timestamps base + 2h·g + 10min·member)
@@ -40,6 +55,12 @@ import graft.core.Tables
 object Replayer {
   val NumFiles = 5
   val WatermarkDelay = "10 minutes"
+
+  /** Watermark delay of the out-of-order trio (S20b/S4c/S21b): the
+    * declared maximum disorder. Must stay STRICTLY above the `ooo`
+    * variant's 23 h displacement window (see the variant note). */
+  val OooDelay = "24 hours"
+  val OooDelayMs = 24L * 3600 * 1000
 
   /** Root for derived fixtures; keyed by sf dir so scales don't collide.
     * The version suffix invalidates fixtures derived by earlier builds
@@ -123,7 +144,7 @@ object Replayer {
 
   /** Ensure a fixture variant exists; returns its directory. */
   def ensure(s: SparkSession, sfDir: String, variant: String): String = synchronized {
-    require(Set("clean", "late", "dup", "dup10", "funnel")(variant),
+    require(Set("clean", "late", "dup", "dup10", "funnel", "ooo")(variant),
       s"unknown replay variant: $variant")
     val dir = variantDir(sfDir, variant, "events")
     val done = dir.resolve("_DONE")
@@ -137,6 +158,18 @@ object Replayer {
       val batched = variant match {
         case "clean" => ev.withColumn("b", batchExpr(n, late = false))
         case "late"  => ev.withColumn("b", batchExpr(n, late = true))
+        case "ooo" =>
+          // even-id rows in the last 23 h of their id-order file move one
+          // file later (capped): bounded disorder < the 24 h OooDelay
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b0"))
+          ev.withColumn("b0", batchExpr(n, late = false))
+            .withColumn("fmax", max(col("ts")).over(w))
+            .withColumn("b", least(
+              col("b0") + when(col("event_id") % 2 === 0 &&
+                col("ts") > col("fmax") - expr("INTERVAL 23 HOUR"), 1)
+                .otherwise(0),
+              lit(NumFiles - 1)))
+            .drop("b0", "fmax")
         case "dup" =>
           val base = ev.withColumn("b", batchExpr(n, late = false))
           val dups = ev.filter(col("event_id") % 101 === 0)

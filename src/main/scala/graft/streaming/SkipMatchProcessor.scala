@@ -36,7 +36,23 @@ case class SkipMatchState(m: Seq[Long])
   * one user_id shuffle into RocksDB state (the declared backend),
   * per-event work O(|pattern|), no per-key history buffered — this is
   * the CEP operator whose state budget survives unbounded keys without
-  * a session-window compose. */
+  * a session-window compose.
+  *
+  * Per-batch sort buffer (`rows.toSeq.sortBy` in handleInputRows):
+  * bounded by ONE key's volume in ONE micro-batch — transient heap,
+  * never state, freed at key end. Unlike W9/W9b's batch arrays (a
+  * whole partition's history, hence their 2^20 slice cap) this cannot
+  * exceed what a single trigger delivers for a single key: a
+  * hyperactive key is throttled upstream by the trigger's
+  * maxFilesPerTrigger/maxOffsetsPerTrigger admission, the knob a
+  * production deployment already sizes for executor heap. A key so hot
+  * that one batch's slice of it breaks heap needs upstream admission
+  * control, not an operator cap — a deterministic in-operator slice
+  * would silently change CEP semantics (dropped events = missed
+  * matches) where the batch variant's cap only truncates a REPORTED
+  * window. The reorder variant ([[ReorderedSkipMatch]]) additionally
+  * persists its buffer in RocksDB, so there disorder volume degrades
+  * to disk rather than heap. */
 class SkipMatchProcessor(pattern: String,
                          windowUs: Long)
     extends StatefulProcessor[Long, FunnelEvent, (Long, Long)] {

@@ -400,6 +400,70 @@ object Streams {
       .toDF("user_id", "view_id")
   }
 
+  /** The OOO trio runners (S20b/S4c/S21b), variant-parameterized so
+    * StreamingSpec can pin replay-order invariance: the same pipeline
+    * on "clean" and on "ooo" must produce identical rows — that is the
+    * event-time contract the reorder buffer restores. See
+    * [[ReorderingProcessor]] for the buffering design and its safety
+    * argument; the canonical queries run variant "ooo". */
+  private[graft] def s20bRun(s: SparkSession, d: String,
+                             variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, variant)
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    val completions = ev.groupByKey(_.user_id)
+      .transformWithState(
+        new ReorderedSkipMatch("vcp", graft.queries.Windows.SkipWindowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, completions.toDF("user_id", "completion_id"),
+                "append", RocksDbConf)
+      .orderBy(col("user_id"), col("completion_id"))
+  }
+
+  private[graft] def s4cRun(s: SparkSession, d: String,
+                            variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev = Replayer.stream(s, d, variant)
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+        (col("event_type") === "purchase").as("isPurchase"),
+        when(col("event_type") === "purchase",
+          round(col("value") * 100, 0).cast("long")).otherwise(0L)
+          .as("cents"),
+        col("user_id"))
+      .as[(Long, Long, Boolean, Long, Long)]
+    val joined = ev.groupByKey(_._5)
+      .mapValues(t => TemporalEvent(t._1, t._2, t._3, t._4))
+      .transformWithState(
+        new ReorderedTemporalJoin(midCents = 40000L, highCents = 100000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, joined.toDF("user_id", "event_id", "band"),
+                "append", RocksDbConf)
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private[graft] def s21bRun(s: SparkSession, d: String,
+                             variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, variant)
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    val abandoned = ev.groupByKey(_.user_id)
+      .transformWithState(new ReorderedAbandon(AbandonWindowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, abandoned.toDF("user_id", "view_id"),
+                "append", RocksDbConf)
+      .orderBy(col("user_id"), col("view_id"))
+  }
+
   /** The S18 STREAMING frame before any sink (columns user_id, band,
     * vf_us, vt_us) — shared with StreamingSpec's kill-and-restart test
     * so the pipeline under restart IS the canonical one. */
@@ -947,6 +1011,23 @@ object Streams {
                   "append", RocksDbConf ++ NoFinalBatch)
         .orderBy(col("user_id"), col("event_id"))
     }),
+
+    // S20b/S4c/S21b — the stateful trio behind the WATERMARK REORDER
+    // BUFFER (see ReorderingProcessor), run on the genuinely DISORDERED
+    // "ooo" replay (even-id rows displaced one file later, bounded at
+    // 23 h < the declared 24 h delay): per key, events buffer in
+    // RocksDB until the watermark clears their event time, then apply
+    // in (ts, event_id) order — Flink's out-of-order CEP/temporal-join
+    // front end. Event-time semantics make the result replay-order-
+    // invariant (StreamingSpec pins ooo ≡ clean); the oracle is the
+    // operator's closed form restricted to the final-watermark release
+    // horizon (ts_ms < floor-ms(max ts) − 24 h — the s5b watermark
+    // discipline; per-event release timers make that horizon exact).
+    // 100 TB: same one user_id shuffle as the in-order trio, buffer =
+    // rate × (trigger + delay) per key in RocksDB, timers O(fired).
+    "s20b_pattern_ooo" -> ((s, d) => s20bRun(s, d, "ooo")),
+    "s4c_temporal_ooo" -> ((s, d) => s4cRun(s, d, "ooo")),
+    "s21b_abandon_ooo" -> ((s, d) => s21bRun(s, d, "ooo")),
 
     // S6 — streaming dedup on a duplicate-injected replay; final rows
     // must equal the clean batch table.
@@ -2025,6 +2106,84 @@ object Streams {
         |    WHERE p.user_id = v.user_id
         |      AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 7200000000)
         |  AND (v.tsu // 1000) + 7200000 <= mx21.wm_ms
+        |ORDER BY user_id, view_id""".stripMargin,
+
+    // s20b — s20's closed form (replay-order-invariant by construction:
+    // the windows order by (ts, event_id), not arrival) restricted to
+    // the reorder buffer's release horizon: an event is released — and
+    // can emit — iff the final watermark (floor-ms(max ts) − 24 h)
+    // passed its event time; its DP prefix is the same events the
+    // in-order fold would have seen (all strictly earlier, so all
+    // released first).
+    "s20b_pattern_ooo" ->
+      """WITH e20 AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END AS l
+        |  FROM events),
+        |s1b AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'v' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        |  FROM e20),
+        |s2b AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'c' THEN m1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+        |  FROM s1b),
+        |wmo AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM events)
+        |SELECT user_id, event_id AS completion_id
+        |FROM s2b, wmo
+        |WHERE l = 'p' AND m2 IS NOT NULL AND m2 >= ts - INTERVAL 24 HOUR
+        |  AND (epoch_us(ts) // 1000) < wmo.wm_ms
+        |ORDER BY user_id, completion_id""".stripMargin,
+
+    // s4c — s4b's closed-form as-of join under the same 24 h release
+    // horizon: band rows only for events the final watermark released.
+    "s4c_temporal_ooo" ->
+      """WITH b4 AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(round(value * 100, 0) AS BIGINT) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum
+        |  FROM events),
+        |wmo AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CASE WHEN cum IS NULL THEN 'none'
+        |       WHEN cum < 40000 THEN 'low'
+        |       WHEN cum < 100000 THEN 'mid' ELSE 'high' END AS band
+        |FROM b4, wmo WHERE (epoch_us(ts) // 1000) < wmo.wm_ms
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    // s21b — s21's closed form with the 24 h delay's firing horizon and
+    // the reorder variant's STRICT boundary (deadline < wm: deadline
+    // timers register at deadline+1 because the release bound is
+    // strict — see ReorderedAbandon's scaladoc; s21 proper is <=).
+    "s21b_abandon_ooo" ->
+      """WITH mx21 AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM events),
+        |v21 AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'view'),
+        |p21 AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.event_id AS view_id
+        |FROM v21 v, mx21
+        |WHERE NOT EXISTS (
+        |    SELECT 1 FROM p21 p
+        |    WHERE p.user_id = v.user_id
+        |      AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 7200000000)
+        |  AND (v.tsu // 1000) + 7200000 < mx21.wm_ms
         |ORDER BY user_id, view_id""".stripMargin
   )
 }

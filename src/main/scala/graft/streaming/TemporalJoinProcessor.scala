@@ -37,11 +37,18 @@ case class TemporalEvent(tsu: Long, event_id: Long, isPurchase: Boolean,
   *
   * 100 TB: one user_id shuffle shared by both roles, state = ONE
   * Scd2State tuple per user (bands monotone — no version history
-  * retained), O(1) work per event. On an out-of-order stream the
-  * standard design buffers probes per key until the watermark clears
-  * their event time (buffer bounded by rate × delay — Flink's
-  * temporal-join operator exactly); on the ordered replay that buffer
-  * is degenerate and omitted. */
+  * retained), O(1) work per event. Out-of-order input is served by
+  * [[ReorderedTemporalJoin]] (S4c), which puts the watermark reorder
+  * buffer of [[ReorderingProcessor]] in front of the same fold —
+  * buffer bounded by rate × (trigger + delay), Flink's temporal-join
+  * operator exactly.
+  *
+  * Per-batch sort buffer (`rows.toSeq.sortBy`): one key's volume in
+  * one micro-batch of transient heap — bounded by the trigger's
+  * admission knobs, not by history (see SkipMatchProcessor's cap note;
+  * the same reasoning applies verbatim: an in-operator slice would
+  * silently change join results, and the hyperactive-key dial belongs
+  * to trigger admission, which production already sizes for heap). */
 class TemporalJoinProcessor(midCents: Long, highCents: Long)
     extends StatefulProcessor[Long, TemporalEvent, (Long, Long, String)] {
 

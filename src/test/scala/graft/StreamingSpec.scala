@@ -1317,6 +1317,80 @@ class StreamingSpec extends AnyFunSuite {
       s"state rows per batch = ${stateRows.toSeq} — expected constant 1")
   }
 
+  test("OOO trio: the reorder buffer makes S20b/S4c/S21b replay-order-" +
+       "invariant (disordered ooo replay ≡ ordered clean replay), the " +
+       "fixture genuinely disorders, nothing is late-dropped, and the " +
+       "buffer stays within the batch + delay-window bound") {
+    import graft.streaming.{ReorderingProcessor, Streams}
+    // the ooo fixture displaces rows across files but keeps the event
+    // set identical — disorder, not loss
+    def fileOf(dir: String): Map[Long, String] =
+      s.read.parquet(dir)
+        .select(col("event_id"), input_file_name().as("f"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getString(1).split("/").last).toMap
+    val fc = fileOf(Replayer.ensure(s, sf, "clean"))
+    val fo = fileOf(Replayer.ensure(s, sf, "ooo"))
+    assert(fc.keySet == fo.keySet, "ooo fixture changed the event set")
+    val displaced = fc.keys.count(k => fc(k) != fo(k))
+    assert(displaced > 0, "ooo fixture displaced nothing — test vacuous")
+    ReorderingProcessor.resetGauges()
+    val trio = Seq[(String, String => org.apache.spark.sql.DataFrame)](
+      ("s20b", v => Streams.s20bRun(s, sf, v)),
+      ("s4c", v => Streams.s4cRun(s, sf, v)),
+      ("s21b", v => Streams.s21bRun(s, sf, v)))
+    trio.foreach { case (name, run) =>
+      val ooo = run("ooo").collect().map(_.toSeq).toSeq
+      val clean = run("clean").collect().map(_.toSeq).toSeq
+      assert(ooo.nonEmpty, s"$name emitted nothing — vacuous")
+      assert(ooo == clean,
+        s"$name: disordered replay diverged from the ordered replay")
+    }
+    assert(ReorderingProcessor.lateDropped.get() == 0L,
+      "a row arrived below the operative watermark — the fixture's " +
+      "23 h displacement bound or the safety argument broke")
+    val hw = ReorderingProcessor.maxBuffered.get()
+    assert(hw > 0L, "the buffer never held a row — reordering vacuous")
+    // bound: one batch's per-key rows (wm lags a batch, so an arriving
+    // file buffers whole) + the prior span's trailing 24 h window
+    val ev = Tables.events(s, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = ev.length.toLong
+    val per = (n + Replayer.NumFiles - 1) / Replayer.NumFiles
+    val oooFileIdx = fo.map { case (id, f) => id -> f } // batchNN.parquet
+    val m1 = ev.groupBy(e => (e._1, oooFileIdx(e._3)))
+      .values.map(_.length).max
+    val dUs = Replayer.OooDelayMs * 1000L
+    val m2 = ev.groupBy(_._1).values.map { es =>
+      val ts = es.map(_._2).sorted
+      ts.map(t => ts.count(u => u > t - dUs && u <= t)).max
+    }.max
+    assert(hw <= (m1 + m2).toLong,
+      s"buffer high-water $hw exceeds the batch+delay bound ${m1 + m2}")
+  }
+
+  test("S4b: a same-(user, ts) tie resolves by event_id — the " +
+       "non-purchase with the LOWER id carries the pre-purchase band, " +
+       "the purchase itself the band it opens (advisor r16: correctness " +
+       "must not depend on the corpus having no ties)") {
+    import graft.streaming.{TemporalEvent, TemporalJoinProcessor}
+    val events = Seq(
+      TemporalEvent(1000L, 5L, isPurchase = false, 0L),
+      TemporalEvent(2000L, 7L, isPurchase = false, 0L), // tie, lower id
+      TemporalEvent(2000L, 8L, isPurchase = true, 50000L), // opens 'mid'
+      TemporalEvent(2000L, 9L, isPurchase = false, 0L), // tie, higher id
+      TemporalEvent(3000L, 10L, isPurchase = true, 60000L)) // cum → 'high'
+    val (st, out) = TemporalJoinProcessor.applyOrdered(
+      40000L, 100000L, None, 42L,
+      events.sortBy(e => (e.tsu, e.event_id)))
+    assert(out == Seq((42L, 5L, "none"), (42L, 7L, "none"),
+      (42L, 8L, "mid"), (42L, 9L, "mid"), (42L, 10L, "high")),
+      s"tie order wrong: $out")
+    assert(st.map(_.band) == Some("high"))
+  }
+
   test("S19: a zero-file micro-batch publishes no manifest and the " +
        "chain bridges the gap (advisor r15 — batch 0 must not crash, " +
        "a later empty batch must not publish a duplicate)") {
