@@ -226,7 +226,11 @@ object ScaleSweep {
       "l46_passage_decon", "g2_triangles",
       // r14: the l8e production dial rides every decade the pair
       // listing does, so the two rows stay comparable
-      "l8f_image_dedup")
+      "l8f_image_dedup",
+      // r17 (verdict task 5): l47's 10×→30× marginal exponent (≈1.18)
+      // carries the same vocabulary-saturation fingerprint l43 showed
+      // before rolling over — the 100× decade decides
+      "l47_trigram_backoff")
     val measured = scala.collection.mutable.Map[String, scala.collection.mutable.Map[String, (Double, Double)]]()
     def record(q: String, ratio: Double, sSec: Double, bSec: Double): Unit =
       measured.getOrElseUpdate(q, scala.collection.mutable.Map.empty)
@@ -253,6 +257,24 @@ object ScaleSweep {
         System.err.println(f"[scale] $big l40 fresh-train p50=$t%.3f")
         record("l40_bpe_train_fresh", ratio,
           extraSmall("l40_bpe_train_fresh"), t)
+      }
+      // r17 (verdict task 5): g2 with shuffle partitions ∝ data — the
+      // rows/partition dial the r16 adjudication blamed for the 30×
+      // marginal e≈1.6 (a 1.23B-row wedge join spilling through the
+      // fixed-32-partition local harness). Constant rows/partition
+      // (32 at 1× → 32·ratio at ratio×) is exactly what a cluster
+      // provides; small_sec stays the canonical 32-partition run so
+      // the exponent prices "N× data at N× partitions".
+      if (qs.contains("g2_triangles")) {
+        val parts = math.max(32, math.round(32 * ratio).toInt)
+        val child = spark.newSession()
+        child.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val t = Harness.timed3(
+          SparkEntry.queries("g2_triangles")(child, big))(1)
+        System.err.println(
+          f"[scale] $big g2 scaledparts=$parts p50=$t%.3f")
+        record("g2_triangles_scaledparts", ratio,
+          tSmall("g2_triangles"), t)
       }
     }
 

@@ -208,6 +208,47 @@ object Streams {
     SourcesSinks.publishManifest(root, id, prev ++ files)
   }
 
+  /** S23's rule schedule — the control stream's committed log: the
+    * flag threshold is 50.0 from batch 0 and 150.0 from batch 2 (the
+    * pinned mid-replay change; both thresholds flag a substantial,
+    * distinct slice of the 0.03–327 value range). Shared with
+    * StreamingSpec so the pin and the operator read one schedule. */
+  private[graft] val S23Rules = Seq((0, 50.0), (2, 150.0))
+
+  private[graft] def s23WriteRules(s: SparkSession, dir: String): Unit =
+    s.createDataFrame(S23Rules).toDF("effective_batch", "threshold")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  /** Latest rule version ≤ this batch id — the per-batch
+    * "re-broadcast": a 1-row driver read of KB-sized control data. */
+  private[graft] def s23RuleFor(s: SparkSession, rulesDir: String,
+                                id: Long): Double =
+    s.read.parquet(rulesDir)
+      .filter(col("effective_batch") <= id)
+      .orderBy(col("effective_batch").desc)
+      .head().getDouble(1)
+
+  /** S23's per-batch body: resolve the current rule, flag events above
+    * its threshold, aggregate, write batch-id-named (idempotent
+    * replay — same id, same bytes, same path). */
+  private[graft] def s23ApplyRules(rulesDir: String,
+                                   outRoot: java.nio.file.Path)
+                                  (batch: DataFrame, id: Long): Unit = {
+    val thr = s23RuleFor(batch.sparkSession, rulesDir, id)
+    batch.filter(col("value") > thr)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100, 0).cast("long")).as("sc"))
+      .write.mode("overwrite").parquet(outRoot.resolve(s"b$id").toString)
+  }
+
+  private[graft] def s23BatchDirs(outRoot: java.nio.file.Path): Seq[String] = {
+    val kids = java.nio.file.Files.list(outRoot)
+    try kids.iterator().asScala.map(_.toString)
+      .filter(_.split("/").last.startsWith("b")).toSeq.sorted
+    finally kids.close()
+  }
+
   /** Highest-batch-id committed snapshot under `root`. */
   private[graft] def latestSnapshot(root: java.nio.file.Path): String = {
     val kids = java.nio.file.Files.list(root)
@@ -1028,6 +1069,80 @@ object Streams {
     "s20b_pattern_ooo" -> ((s, d) => s20bRun(s, d, "ooo")),
     "s4c_temporal_ooo" -> ((s, d) => s4cRun(s, d, "ooo")),
     "s21b_abandon_ooo" -> ((s, d) => s21bRun(s, d, "ooo")),
+
+    // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
+    // aggregate fed by a changelog (upsert/delete ops derived
+    // deterministically from events — delete iff event_id % 5 == 0),
+    // state = each key's CURRENT value, deletes RETRACT it; every
+    // applied op emits a delta row and sum(delta) per group telescopes
+    // to the sum of live values — retraction riding ordinary
+    // append-mode aggregation. See CdcProcessor; delete-on-absent is a
+    // no-op (n_changes counts effective ops only). 100 TB: one key
+    // shuffle, 1 state row per LIVE key (the only operator whose state
+    // shrinks), group deltas map-side combine.
+    "s22_cdc_aggregate" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ops = Replayer.stream(s, d, "clean")
+        .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          (col("event_id") % 5 =!= 0).as("isUpsert"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("user_id"))
+        .as[(Long, Long, Boolean, Long, Long)]
+      val changes = ops.groupByKey(_._5)
+        .mapValues(t => CdcOp(t._1, t._2, t._3, t._4))
+        .transformWithState(new CdcProcessor(),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, changes.toDF("user_id", "seq_id", "delta"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .groupBy((col("user_id") % 10).as("grp"))
+        .agg(sum(col("delta")).as("net_cents"),
+             count(lit(1)).as("n_changes"))
+        .orderBy(col("grp"))
+    }),
+
+    // S23 — BROADCAST-STATE DYNAMIC RULES (Flink's
+    // KeyedBroadcastProcessFunction idiom — a control stream
+    // re-parameterizing the main stream mid-flight): a versioned rules
+    // log (the control stream's committed contents: effective_batch →
+    // flag threshold) re-parameterizes the event stream WITHOUT a
+    // restart. Spark's batch-boundary equivalent of Flink's broadcast
+    // state: each micro-batch re-resolves the latest rule version ≤ its
+    // batch id (a 1-row, index-sized driver read — the "re-broadcast")
+    // and applies it as a broadcast literal in the filter; rule changes
+    // take effect exactly at a batch boundary — the same
+    // eventual-consistency contract Flink's broadcast state gives
+    // (no cross-stream ordering guarantee, rules apply from arrival).
+    // Per-batch results land in batch-id-named dirs (the SNK4
+    // idempotent-replay discipline). The oracle replays the rule
+    // schedule against the deterministic file assignment (batchExpr).
+    // StreamingSpec "S23" pins the per-batch effect boundary. 100 TB:
+    // rules are KB-sized control data; the event stream never
+    // re-shuffles — the rule rides the closure as a literal.
+    "s23_dynamic_rules" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        graft.queries.SourcesSinks.stagingDir("s23rules", d))
+      val rulesDir = root.resolve("rules")
+      s23WriteRules(s, rulesDir.toString)
+      val outRoot = root.resolve("out")
+      Replayer.deleteTree(outRoot) // fresh run: no stale batch outputs
+      val ckpt = Replayer.checkpoint()
+      try {
+        ConfScope.withConf(s, Map(
+          "spark.sql.shuffle.partitions" -> streamPartitions) ++
+          NoFinalBatch) {
+          val q = Replayer.stream(s, d, "clean").writeStream
+            .foreachBatch(s23ApplyRules(rulesDir.toString, outRoot) _)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      } finally Replayer.dropCheckpoint(ckpt)
+      s.read.parquet(s23BatchDirs(outRoot): _*)
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_flagged"), sum(col("sc")).as("sum_cents"))
+        .orderBy(col("event_type"))
+    }),
 
     // S6 — streaming dedup on a duplicate-injected replay; final rows
     // must equal the clean batch table.
@@ -2184,6 +2299,60 @@ object Streams {
         |    WHERE p.user_id = v.user_id
         |      AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 7200000000)
         |  AND (v.tsu // 1000) + 7200000 < mx21.wm_ms
-        |ORDER BY user_id, view_id""".stripMargin
+        |ORDER BY user_id, view_id""".stripMargin,
+
+    // s22 — the changelog replayed in closed form: per key the final
+    // value is the LAST op's cents if that op is an upsert (a trailing
+    // delete leaves the key dead — contributes 0), and per-user deltas
+    // telescope, so net per group = Σ final live values. Effective-op
+    // counts: upserts always; a delete only when the key was live,
+    // i.e. its immediately preceding op (any kind) was an upsert —
+    // lag(op) — because upsert ⇒ live and delete ⇒ dead regardless of
+    // whether that delete itself was a no-op.
+    "s22_cdc_aggregate" ->
+      """WITH ch AS (
+        |  SELECT user_id, event_id, ts,
+        |    (event_id % 5 <> 0) AS isup,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, isup, cents,
+        |    lag(isup) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS prevup,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ch),
+        |fin AS (
+        |  SELECT user_id % 10 AS grp,
+        |    sum(CASE WHEN rn = 1 AND isup THEN cents ELSE 0 END) AS net
+        |  FROM o GROUP BY 1),
+        |chg AS (
+        |  SELECT user_id % 10 AS grp,
+        |    count(*) FILTER (WHERE isup OR coalesce(prevup, false)) AS nch
+        |  FROM o GROUP BY 1)
+        |SELECT f.grp, CAST(f.net AS BIGINT) AS net_cents,
+        |  CAST(c.nch AS BIGINT) AS n_changes
+        |FROM fin f JOIN chg c ON f.grp = c.grp
+        |ORDER BY f.grp""".stripMargin,
+
+    // s23 — the rule schedule replayed against the deterministic file
+    // assignment (Replayer.batchExpr): an event is flagged under the
+    // rule in force AT ITS BATCH — 50.0 for batches 0–1, 150.0 from
+    // batch 2 (Streams.S23Rules).
+    "s23_dynamic_rules" ->
+      """WITH b23 AS (
+        |  SELECT event_type, value,
+        |    least(CAST(floor(event_id / b.bsz) AS INT), 4) AS b
+        |  FROM events
+        |  CROSS JOIN (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS bsz
+        |              FROM events) b),
+        |fl AS (
+        |  SELECT event_type, value FROM b23
+        |  WHERE value > (CASE WHEN b >= 2 THEN 150.0 ELSE 50.0 END))
+        |SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_flagged,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM fl GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

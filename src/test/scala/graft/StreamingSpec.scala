@@ -1391,6 +1391,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.map(_.band) == Some("high"))
   }
 
+  test("S22: the CDC fold retracts — delete-then-reinsert, no-op delete " +
+       "on an absent key, delta telescoping — and the corpus exercises " +
+       "both retraction and reinsertion end-to-end") {
+    import graft.streaming.{CdcOp, CdcProcessor}
+    val ops = Seq(
+      CdcOp(1000L, 1L, isUpsert = true, 500L), // insert: +500
+      CdcOp(2000L, 2L, isUpsert = true, 300L), // update: −200
+      CdcOp(3000L, 5L, isUpsert = false, 0L), // delete: retract −300
+      CdcOp(4000L, 10L, isUpsert = false, 0L), // no-op delete: no emission
+      CdcOp(5000L, 11L, isUpsert = true, 700L)) // reinsert from dead: +700
+    val (cur, out) = CdcProcessor.applyOps(None, 9L, ops)
+    assert(out == Seq((9L, 1L, 500L), (9L, 2L, -200L), (9L, 5L, -300L),
+      (9L, 11L, 700L)), s"fold emitted $out")
+    assert(cur == Some(700L))
+    assert(out.map(_._3).sum == 700L,
+      "deltas must telescope to the final live value")
+    // trailing effective delete leaves the key dead and nets to zero
+    val (cur2, out2) = CdcProcessor.applyOps(None, 9L, Seq(
+      CdcOp(1L, 1L, isUpsert = true, 42L),
+      CdcOp(2L, 2L, isUpsert = false, 0L)))
+    assert(cur2.isEmpty && out2.map(_._3).sum == 0L)
+    // corpus non-vacuity: some key is effectively deleted then reinserted
+    val rows = Tables.events(s, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val reinserted = rows.groupBy(_._1).values.exists { es =>
+      val ups = es.sortBy(e => (e._2, e._3)).map(_._3 % 5 != 0)
+      ups.zip(ups.drop(1)).zipWithIndex.exists { case ((up, del), i) =>
+        up && !del && ups.drop(i + 2).contains(true) }
+    }
+    assert(reinserted,
+      "no delete-then-reinsert key in the corpus — retraction vacuous")
+    // end-to-end: effective deletes really subtract (Σ n_changes above
+    // the upsert count proves deletes landed; they can only lower net)
+    val res = SparkEntry.queries("s22_cdc_aggregate")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    val nUpserts = rows.count(_._3 % 5 != 0).toLong
+    assert(res.map(_._3).sum > nUpserts,
+      "no effective delete reached the aggregate — retraction vacuous")
+  }
+
+  test("S23: the dynamic-rule change takes effect exactly at its batch " +
+       "boundary — every per-batch output matches that batch's own " +
+       "threshold, and the change is observable at batch 2") {
+    import graft.streaming.Streams
+    val out = SparkEntry.queries("s23_dynamic_rules")(s, sf).collect()
+    assert(out.nonEmpty)
+    val root = java.nio.file.Paths.get(
+      graft.queries.SourcesSinks.stagingDir("s23rules", sf)).resolve("out")
+    val dirs = Streams.s23BatchDirs(root)
+    assert(dirs.size == Replayer.NumFiles,
+      s"expected one output dir per batch, got $dirs")
+    val cleanDir = Replayer.ensure(s, sf, "clean")
+    (0 until Replayer.NumFiles).foreach { i =>
+      val thr = if (i >= 2) 150.0 else 50.0
+      val f = java.nio.file.Paths.get(cleanDir, f"batch$i%02d.parquet")
+      val exp = s.read.parquet(f.toString)
+        .filter(col("value") > thr).count()
+      val got = s.read.parquet(root.resolve(s"b$i").toString)
+        .agg(sum(col("n"))).head()
+      val gotN = if (got.isNullAt(0)) 0L else got.getLong(0)
+      assert(gotN == exp,
+        s"batch $i flagged $gotN rows, expected $exp under threshold $thr")
+    }
+    // non-vacuous boundary: batch 2 under the superseded rule differs
+    val f2 = java.nio.file.Paths.get(cleanDir, "batch02.parquet").toString
+    assert(s.read.parquet(f2).filter(col("value") > 50.0).count() !=
+           s.read.parquet(f2).filter(col("value") > 150.0).count(),
+      "batch 2 flags identically under both rules — boundary unobservable")
+  }
+
   test("S19: a zero-file micro-batch publishes no manifest and the " +
        "chain bridges the gap (advisor r15 — batch 0 must not crash, " +
        "a later empty batch must not publish a duplicate)") {
