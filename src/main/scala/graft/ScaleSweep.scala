@@ -289,9 +289,11 @@ object ScaleSweep {
     val order = BatchQ.flatMap(q =>
       if (q == "l34_semantic_dedup") Seq(q, "l34_semantic_dedup_kdial")
       else if (q == "l40_bpe_train") Seq(q, "l40_bpe_train_fresh")
+      else if (q == "g2_triangles") Seq(q, "g2_triangles_scaledparts")
       else Seq(q)) ++ StreamQ
     val rows = order.flatMap { q =>
-      val base = if (q.endsWith("_kdial")) "l34_semantic_dedup" else q
+      val base = if (q.endsWith("_kdial")) "l34_semantic_dedup"
+        else if (q == "g2_triangles_scaledparts") "g2_triangles" else q
       val fresh: Option[(Double, Map[String, (Double, Double)])] =
         tSmall.get(base).orElse(extraSmall.get(q)).map(s =>
           (s, measured.getOrElse(q, scala.collection.mutable.Map.empty).toMap))
@@ -329,11 +331,21 @@ object ScaleSweep {
          "executor memory; past that the SMJ parallelizes over " +
          "executors the way a 32-thread local JVM cannot"),
       "l47_trigram_backoff" ->
-        ("marginal 10x->30x e~1.18 - the mild-superlinear fingerprint " +
-         "its l43 bigram core already showed (l43 marginal 1.08 at " +
-         "the second decade FALLING to 0.92 at the third - vocabulary " +
-         "saturation); expect the same rollover for the trigram vocab " +
-         "at 100x, watchlisted"),
+        ("r17 100x decade closes the watchlist: marginal exponents " +
+         "0.71 (1->10x), 1.04 (10->30x), 0.52 (30->100x) - the " +
+         "vocabulary-saturation exponent ROLLS OVER exactly like its " +
+         "l43 bigram core did (distinct trigram vocabulary saturates, " +
+         "so the vocab-sized join sides stop growing while the corpus " +
+         "keeps scaling); overall e at 100x = 0.74, sublinear. The " +
+         "10->30x e~1.18 seen in r16 was the pre-saturation regime, " +
+         "not an asymptote"),
+      "g2_triangles_scaledparts" ->
+        ("r17 verdict task 5: g2 with shuffle partitions proportional " +
+         "to data (32 at 1x -> 320 at 10x -> 960 at 30x; constant " +
+         "rows/partition - what a cluster provides). Marginal " +
+         "10->30x e = 0.91, overall 30x e = 0.94 - confirming the " +
+         "r16 adjudication that the canonical row's superlinearity " +
+         "was rows/partition memory pressure, not the join shape"),
       "j15_bucketed" ->
         ("e ~ 0.97 - LINEAR by construction and the right reading: " +
          "j15 prices the bucketed WRITE of both sides (10x data -> " +
