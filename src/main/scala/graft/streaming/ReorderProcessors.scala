@@ -26,18 +26,26 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * bounded at 23 h < the 24 h delay) are DROPPED and counted — Flink's
   * late-row semantics — rather than applied out of order.
   *
-  * Flush triggers: one event-time timer per event at ts_ms + 1 (fires
-  * at the first batch whose wm > ts_ms — the inclusive-at-equality
-  * timer contract pinned by the r16 probe), plus an opportunistic
-  * flush on every input batch. The per-event timer is what makes the
-  * release horizon EXACT: the emitted set is precisely
-  * {e : ts_ms(e) < final wm}, the closed form the oracles model —
-  * a per-batch max timer would leave tail events whose batch maximum
-  * never cleared. AvailableNow's trailing watermark-advance batch
-  * fires the last timers; `onWatermark` (the S21b sweep hook) runs
-  * after every flush in the SAME invocation, so work whose deadline
-  * the final watermark already passed cannot be stranded behind a
-  * timer registered in the past.
+  * Flush triggers: a single WALKING timer per key at
+  * (min buffered ts_ms) + 1 — it fires at the first batch whose
+  * wm > min ts (the inclusive-at-equality timer contract pinned by
+  * the r16 probe), the flush releases everything below that batch's
+  * wm (always at least the minimum event, so progress is strict), and
+  * the timer re-arms at the new minimum + 1. Plus an opportunistic
+  * flush on every input batch. The walking timer keeps the release
+  * horizon EXACT by induction — the emitted set is precisely
+  * {e : ts_ms(e) < final wm}, the closed form the oracles model: a
+  * stranded event would need the chain to stop while its ts is below
+  * the final watermark, but the chain only stops when the remaining
+  * minimum's ts ≥ the last wm. Timer-store traffic is
+  * O(keys × batches), not O(events) — a naive per-event timer costs a
+  * RocksDB timer write AND a fired-timer invocation per event (the
+  * first cut measured ~40% slower at sf0.1 on exactly that).
+  * AvailableNow's trailing watermark-advance batch fires the last
+  * chain step; `onWatermark` (the S21b sweep hook) runs after every
+  * flush in the SAME invocation, so work whose deadline the final
+  * watermark already passed cannot be stranded behind a timer
+  * registered in the past.
   *
   * State budget: the buffer holds, per key, the current batch's rows
   * plus rows younger than the delay — rate × (trigger interval +
@@ -54,7 +62,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * per-event work O(log buffer) amortized for the sort at release,
   * timers RocksDB-range-scanned per batch — O(fired), not
   * O(registered). */
-abstract class ReorderingProcessor[I, O](ie: Encoder[I])
+abstract class ReorderingProcessor[I, O](ie: Encoder[I])(
+    implicit ct: scala.reflect.ClassTag[I])
     extends StatefulProcessor[Long, I, O] {
 
   /** Event time (µs) and tie-break id of an event. */
@@ -73,10 +82,20 @@ abstract class ReorderingProcessor[I, O](ie: Encoder[I])
   protected def onWatermark(key: Long, wmMs: Long): Seq[O] = Seq.empty
 
   @transient private var buf: ListState[I] = _
+  // same-(key, wm) short-circuit for timer storms: within a batch the
+  // watermark is constant and expired timers fire BEFORE input rows, so
+  // after one flush+sweep at (key, wm) every further fired timer for
+  // the same key is a provable no-op — skip it without touching the
+  // state store. Transient per-partition memo (one entry), rebuilt
+  // free after restart; input handling never consults it.
+  @transient private var lastTimerKey: Long = _
+  @transient private var lastTimerWm: Long = _
+  @transient private var lastTimerSet: Boolean = false
 
   final override def init(outputMode: OutputMode,
                           timeMode: TimeMode): Unit = {
     buf = getHandle.getListState[I]("reorderBuf", ie, TTLConfig.NONE)
+    lastTimerSet = false
     initCore()
   }
 
@@ -88,8 +107,12 @@ abstract class ReorderingProcessor[I, O](ie: Encoder[I])
     val all = buffered ++ incoming
     val (ready, keep) = all.partition(e => tsuOf(e) / 1000 < wmMs)
     if (ready.nonEmpty || incoming.nonEmpty) {
-      buf.clear()
-      keep.foreach(buf.appendValue)
+      // one bulk put (or clear) per rewrite, not a row-at-a-time append
+      if (keep.isEmpty) buf.clear() else buf.put(keep.toArray)
+      // re-arm the walking release timer at the new minimum (+1: fires
+      // once the watermark strictly clears it)
+      if (keep.nonEmpty)
+        getHandle.registerTimer(keep.iterator.map(tsuOf).min / 1000 + 1)
     }
     ReorderingProcessor.note(keep.size)
     if (ready.isEmpty) Seq.empty
@@ -104,16 +127,18 @@ abstract class ReorderingProcessor[I, O](ie: Encoder[I])
     // be applied in order — drop and count, never reorder the past.
     val (late, incoming) = rows.toSeq.partition(e => tsuOf(e) / 1000 < wm)
     if (late.nonEmpty) ReorderingProcessor.lateDropped.addAndGet(late.size)
-    incoming.map(e => tsuOf(e) / 1000 + 1).distinct
-      .foreach(getHandle.registerTimer)
     (flush(key, wm, incoming) ++ onWatermark(key, wm)).iterator
   }
 
   final override def handleExpiredTimer(key: Long, timers: TimerValues,
                                         info: ExpiredTimerInfo)
-      : Iterator[O] =
-    (flush(key, timers.getCurrentWatermarkInMs(), Seq.empty) ++
-      onWatermark(key, timers.getCurrentWatermarkInMs())).iterator
+      : Iterator[O] = {
+    val wm = timers.getCurrentWatermarkInMs()
+    if (lastTimerSet && lastTimerKey == key && lastTimerWm == wm)
+      return Iterator.empty // flushed+swept at this (key, wm) already
+    lastTimerKey = key; lastTimerWm = wm; lastTimerSet = true
+    (flush(key, wm, Seq.empty) ++ onWatermark(key, wm)).iterator
+  }
 }
 
 object ReorderingProcessor {
