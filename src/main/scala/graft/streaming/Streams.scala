@@ -488,8 +488,11 @@ object Streams {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  private[graft] def s21bRun(s: SparkSession, d: String,
-                             variant: String): DataFrame = {
+  /** The S21b STREAMING frame before any sink — shared with
+    * StreamingSpec's reorder-buffer kill-and-restart test so the
+    * pipeline under restart IS the canonical one. */
+  private[graft] def s21bAbandoned(s: SparkSession, d: String,
+                                   variant: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, variant)
@@ -497,13 +500,16 @@ object Streams {
       .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
               col("user_id"), col("event_type"))
       .as[FunnelEvent]
-    val abandoned = ev.groupByKey(_.user_id)
+    ev.groupByKey(_.user_id)
       .transformWithState(new ReorderedAbandon(AbandonWindowUs),
         TimeMode.EventTime(), OutputMode.Append())
-    runToMemory(s, abandoned.toDF("user_id", "view_id"),
-                "append", RocksDbConf)
-      .orderBy(col("user_id"), col("view_id"))
+      .toDF("user_id", "view_id")
   }
+
+  private[graft] def s21bRun(s: SparkSession, d: String,
+                             variant: String): DataFrame =
+    runToMemory(s, s21bAbandoned(s, d, variant), "append", RocksDbConf)
+      .orderBy(col("user_id"), col("view_id"))
 
   /** The S18 STREAMING frame before any sink (columns user_id, band,
     * vf_us, vt_us) — shared with StreamingSpec's kill-and-restart test

@@ -1371,6 +1371,47 @@ class StreamingSpec extends AnyFunSuite {
       s"buffer high-water $hw exceeds the batch+delay bound ${m1 + m2}")
   }
 
+  test("S21b: the reorder buffer SURVIVES a kill-and-restart — buffered " +
+       "events, walking release timers and deadline timers pending at " +
+       "the crash are restored from the checkpoint and the emission " +
+       "multiset matches the uninterrupted disordered run") {
+    import graft.streaming.Streams
+    val ckpt = Files.createTempDirectory("graft_s21b_ckpt").toString
+    val out = Files.createTempDirectory("graft_s21b_out").toString
+    def start(t: Trigger) = graft.core.ConfScope.withConf(s,
+        graft.streaming.Streams.RocksDbConf) {
+      Streams.s21bAbandoned(s, sf, "ooo")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(t).start()
+    }
+    // phase 1: absorb a strict prefix of the disordered replay — the
+    // buffer holds displaced rows and the walking timer is armed past
+    // the kill point — then "crash"
+    val q1 = start(Trigger.ProcessingTime("100 milliseconds"))
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    val prefixBatches = q1.recentProgress.count(_.numInputRows > 0)
+    assert(prefixBatches >= 1 && prefixBatches < Replayer.NumFiles,
+      s"restart test needs a strict prefix, processed $prefixBatches " +
+      s"of ${Replayer.NumFiles} batches")
+    // phase 2: recover — the RocksDB-checkpointed reorder buffer and
+    // both timer families must resume exactly (the transient
+    // same-(key,wm) memo rebuilds empty, by design)
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination()
+    val fin = s.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val ref = SparkEntry.queries("s21b_abandon_ooo")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fin.nonEmpty, "no abandonments emitted — test vacuous")
+    assert(fin == ref,
+      s"restarted run diverged: ${fin.length} rows vs reference " +
+      s"${ref.length} — buffer or timers lost/double-fired on recovery")
+  }
+
   test("S4b: a same-(user, ts) tie resolves by event_id — the " +
        "non-purchase with the LOWER id carries the pre-purchase band, " +
        "the purchase itself the band it opens (advisor r16: correctness " +
