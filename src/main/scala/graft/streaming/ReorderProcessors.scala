@@ -197,6 +197,34 @@ class ReorderedTemporalJoin(midCents: Long, highCents: Long)
   }
 }
 
+/** S18b — SCD2 dimension maintenance behind the reorder buffer: S18's
+  * maintainer (see [[Scd2Processor]]) hardened for a DISORDERED
+  * purchase stream — the realistic CDC-ingest case, where the version
+  * train must still come out in event-time order or downstream as-of
+  * joins read torn history. The wrapped fold is
+  * [[Scd2Processor.applyOrdered]] (single-sourced with the in-order
+  * S18, so the two cannot drift); state = ONE Scd2State tuple per user
+  * on top of the shared buffer. A version emits when its CLOSING
+  * purchase is released, so the emitted set is exactly S18's closed
+  * form restricted to the release horizon — the s18b oracle. */
+class ReorderedScd2(midCents: Long, highCents: Long)
+    extends ReorderingProcessor[Scd2Event, (Long, String, Long, Long)](
+      Encoders.product[Scd2Event]) {
+  @transient private var st: ValueState[Scd2State] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[Scd2State](
+      "scd2", Encoders.product[Scd2State], TTLConfig.NONE)
+  override protected def tsuOf(e: Scd2Event): Long = e.tsu
+  override protected def idOf(e: Scd2Event): Long = e.event_id
+  override protected def applyOrdered(user: Long, events: Seq[Scd2Event])
+      : Seq[(Long, String, Long, Long)] = {
+    val (cur, out) = Scd2Processor.applyOrdered(
+      midCents, highCents, Option(st.get()), user, events)
+    cur.foreach(st.update)
+    out
+  }
+}
+
 /** S21b — timer-fired abandonment behind the reorder buffer. The sweep
   * convention is STRICT (deadline < wm, deadline timers at
   * deadline + 1) where the in-order S21 is inclusive: a suppressing

@@ -43,11 +43,27 @@ class Scd2Processor(midCents: Long, highCents: Long)
   override def handleInputRows(user: Long, rows: Iterator[Scd2Event],
                                timers: TimerValues)
       : Iterator[(Long, String, Long, Long)] = {
-    var cur = Option(st.get())
+    val (cur, out) = Scd2Processor.applyOrdered(midCents, highCents,
+      Option(st.get()), user, rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    cur.foreach(st.update)
+    out.iterator
+  }
+}
+
+object Scd2Processor {
+  /** The ordered fold shared with the out-of-order (watermark-
+    * reordering) S18b variant: apply `purchases` — ALREADY in
+    * (tsu, event_id) order — to the dimension state; returns the new
+    * state and the closed version rows (user, band, vf_us, vt_us). */
+  def applyOrdered(midCents: Long, highCents: Long,
+                   cur0: Option[Scd2State], user: Long,
+                   purchases: Seq[Scd2Event])
+      : (Option[Scd2State], Seq[(Long, String, Long, Long)]) = {
+    var cur = cur0
     val out = scala.collection.mutable.ListBuffer[(Long, String, Long, Long)]()
-    rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+    purchases.foreach { e =>
       val cum = cur.map(_.cumCents).getOrElse(0L) + e.cents
-      val nb = bandOf(cum)
+      val nb = Scd2Bands.bandOf(cum, midCents, highCents)
       cur match {
         case None =>
           cur = Some(Scd2State(nb, e.tsu, cum))
@@ -58,7 +74,6 @@ class Scd2Processor(midCents: Long, highCents: Long)
           cur = Some(s0.copy(cumCents = cum))
       }
     }
-    cur.foreach(st.update)
-    out.iterator
+    (cur, out.toSeq)
   }
 }

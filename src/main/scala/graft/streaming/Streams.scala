@@ -532,6 +532,41 @@ object Streams {
       .toDF("user_id", "band", "vf_us", "vt_us")
   }
 
+  /** The S18b STREAMING frame (user_id, band, vf_us, vt_us) — S18's
+    * SCD2 maintainer behind the watermark reorder buffer (see
+    * [[ReorderedScd2]]), variant-parameterized so StreamingSpec can pin
+    * replay-order invariance. The watermark node sits AFTER the
+    * purchase filter, so only purchases flow through the buffer and the
+    * release horizon is floor-ms(max PURCHASE ts) − 24 h — the s18b
+    * oracle's wmo; filtering before the shuffle is also the 100 TB
+    * shape (non-purchases never leave the scan stage). */
+  private[graft] def s18bVersions(s: SparkSession, d: String,
+                                  variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev = Replayer.stream(s, d, variant)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("user_id"))
+      .as[(Long, Long, Long, Long)]
+    ev.groupByKey(_._4)
+      .mapValues(t => Scd2Event(t._1, t._2, t._3))
+      .transformWithState(
+        new ReorderedScd2(midCents = 40000L, highCents = 100000L),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "band", "vf_us", "vt_us")
+  }
+
+  private[graft] def s18bRun(s: SparkSession, d: String,
+                             variant: String): DataFrame =
+    runToMemory(s, s18bVersions(s, d, variant), "append", RocksDbConf)
+      .select(col("user_id"), col("band"),
+        timestamp_micros(col("vf_us")).as("valid_from"),
+        timestamp_micros(col("vt_us")).as("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"))
+
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =
     sharedCore(s, d, "interval_full_clean") {
       val src = Replayer.stream(s, d, "clean")
@@ -1075,6 +1110,17 @@ object Streams {
     "s20b_pattern_ooo" -> ((s, d) => s20bRun(s, d, "ooo")),
     "s4c_temporal_ooo" -> ((s, d) => s4cRun(s, d, "ooo")),
     "s21b_abandon_ooo" -> ((s, d) => s21bRun(s, d, "ooo")),
+
+    // S18b — S18's SCD2 maintainer behind the SAME reorder buffer: the
+    // dimension's version train built from a disordered purchase
+    // stream (the realistic CDC-ingest case). The fold is single-
+    // sourced with S18 (Scd2Processor.applyOrdered), the buffer with
+    // the trio (ReorderingProcessor); a version emits when its CLOSING
+    // purchase is released, so the oracle is s18's cum→band→change→
+    // lead chain restricted to purchases under the release horizon —
+    // here floor-ms(max PURCHASE ts) − 24 h, because the watermark
+    // node sits after the purchase filter (see s18bVersions).
+    "s18b_scd2_ooo" -> ((s, d) => s18bRun(s, d, "ooo")),
 
     // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
     // aggregate fed by a changelog (upsert/delete ops derived
@@ -2306,6 +2352,50 @@ object Streams {
         |      AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 7200000000)
         |  AND (v.tsu // 1000) + 7200000 < mx21.wm_ms
         |ORDER BY user_id, view_id""".stripMargin,
+
+    // s18b — s18's closed form restricted to the reorder buffer's
+    // release horizon: only purchases whose event time the final
+    // watermark cleared participate (both as cum contributors and as
+    // version closers — the released set is a per-user (ts, event_id)
+    // prefix, so lead() inside it is the correct closer). wmo is over
+    // PURCHASES because the engine's watermark node sits after the
+    // purchase filter.
+    "s18b_scd2_ooo" ->
+      """WITH pu18b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |wmo AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM pu18b),
+        |rel18b AS (
+        |  SELECT user_id, ts, event_id, cents FROM pu18b, wmo
+        |  WHERE (epoch_us(ts) // 1000) < wm_ms),
+        |cs18b AS (
+        |  SELECT user_id, ts, event_id,
+        |    sum(cents) OVER (PARTITION BY user_id
+        |                     ORDER BY ts, event_id) AS cum
+        |  FROM rel18b),
+        |bd18b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN cum < 40000 THEN 'low'
+        |         WHEN cum < 100000 THEN 'mid' ELSE 'high' END AS band
+        |  FROM cs18b),
+        |ch18b AS (
+        |  SELECT user_id, ts, event_id, band,
+        |    lag(band) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS pb
+        |  FROM bd18b),
+        |vs18b AS (
+        |  SELECT user_id, band, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS valid_to
+        |  FROM ch18b WHERE pb IS NULL OR band <> pb)
+        |SELECT user_id, band,
+        |  CAST(valid_from AS TIMESTAMP) AS valid_from,
+        |  CAST(valid_to AS TIMESTAMP) AS valid_to
+        |FROM vs18b WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from""".stripMargin,
 
     // s22 — the changelog replayed in closed form: per key the final
     // value is the LAST op's cents if that op is an upsert (a trailing

@@ -1317,8 +1317,9 @@ class StreamingSpec extends AnyFunSuite {
       s"state rows per batch = ${stateRows.toSeq} — expected constant 1")
   }
 
-  test("OOO trio: the reorder buffer makes S20b/S4c/S21b replay-order-" +
-       "invariant (disordered ooo replay ≡ ordered clean replay), the " +
+  test("OOO quartet: the reorder buffer makes S20b/S4c/S21b/S18b " +
+       "replay-order-invariant (disordered ooo replay ≡ ordered clean " +
+       "replay), the " +
        "fixture genuinely disorders, nothing is late-dropped, and the " +
        "buffer stays within the batch + delay-window bound") {
     import graft.streaming.{ReorderingProcessor, Streams}
@@ -1335,11 +1336,12 @@ class StreamingSpec extends AnyFunSuite {
     val displaced = fc.keys.count(k => fc(k) != fo(k))
     assert(displaced > 0, "ooo fixture displaced nothing — test vacuous")
     ReorderingProcessor.resetGauges()
-    val trio = Seq[(String, String => org.apache.spark.sql.DataFrame)](
+    val quartet = Seq[(String, String => org.apache.spark.sql.DataFrame)](
       ("s20b", v => Streams.s20bRun(s, sf, v)),
       ("s4c", v => Streams.s4cRun(s, sf, v)),
-      ("s21b", v => Streams.s21bRun(s, sf, v)))
-    trio.foreach { case (name, run) =>
+      ("s21b", v => Streams.s21bRun(s, sf, v)),
+      ("s18b", v => Streams.s18bRun(s, sf, v)))
+    quartet.foreach { case (name, run) =>
       val ooo = run("ooo").collect().map(_.toSeq).toSeq
       val clean = run("clean").collect().map(_.toSeq).toSeq
       assert(ooo.nonEmpty, s"$name emitted nothing — vacuous")
