@@ -109,7 +109,16 @@ object ScaleSweep {
     // CEP state), s4b's one-tuple temporal-join state, s21's
     // timer-per-view + pending-list budget (rate × window — the one
     // whose state and timer volume grow with scale)
-    "s20_stream_pattern", "s4b_temporal_join", "s21_abandon_timer")
+    "s20_stream_pattern", "s4b_temporal_join", "s21_abandon_timer",
+    // r17: the watermark reorder buffer priced at scale — s21b stacks
+    // the buffer on the timer-heaviest fold (buffer rewrite + walking
+    // release timer + deadline timers), s18b buffers only the purchase
+    // substream (the filtered-watermark shape), s22b buffers EVERY
+    // event and emits per op (the output-bound variant). The buffer
+    // adds one ListState rewrite per key per batch; state high-water =
+    // rate × (trigger + delay) per key — the exponent prices exactly
+    // that extra RocksDB traffic on top of the wrapped folds' rows.
+    "s21b_abandon_ooo", "s18b_scd2_ooo", "s22b_cdc_ooo")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
@@ -372,6 +381,15 @@ object ScaleSweep {
          "sub-linear first decade is the replay's per-batch fixed cost " +
          "amortizing, and linear is the asymptote (the timer sweep is " +
          "range-scanned per batch, O(fired) not O(registered))"),
+      "ooo_reorder_buffer" ->
+        ("s21b/s18b/s22b price the watermark reorder buffer at scale " +
+         "on the disordered ooo replay: the buffer adds one RocksDB " +
+         "ListState rewrite per key per batch plus a walking release " +
+         "timer (O(keys x batches) timer traffic, not O(events)); " +
+         "buffered volume is rate x (trigger + delay) per key, so the " +
+         "expected shape is the wrapped fold's exponent plus a " +
+         "near-constant buffer overhead - s22b is the output-bound " +
+         "one (a delta row per op, like s4b's per-event emission)"),
       "s20_and_s4b" ->
         ("s20 e ~ 0.15 (O(pattern) state, per-event work constant - " +
          "the s5-family fixed-cost shape); s4b e ~ 0.46 (one Scd2State " +

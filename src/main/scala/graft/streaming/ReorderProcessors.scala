@@ -225,6 +225,37 @@ class ReorderedScd2(midCents: Long, highCents: Long)
   }
 }
 
+/** S22b — the CDC/retraction consumer behind the reorder buffer: the
+  * changelog is the MOST order-sensitive input in the engine (an
+  * upsert/delete pair applied backwards leaves the key alive instead
+  * of dead — not just a reordered output, a wrong final state), and a
+  * real Debezium-style feed arrives disordered across partitions. The
+  * wrapped fold is [[CdcProcessor.applyOps]] (single-sourced with the
+  * in-order S22); state = the key's current value, cleared on delete,
+  * on top of the shared buffer. Deltas emit when their op is released,
+  * so the emitted set telescopes over exactly the released per-key
+  * (ts, event_id) prefix — the s22b oracle's horizon restriction. */
+class ReorderedCdc
+    extends ReorderingProcessor[CdcOp, (Long, Long, Long)](
+      Encoders.product[CdcOp]) {
+  @transient private var st: ValueState[Long] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[Long](
+      "cur", Encoders.scalaLong, TTLConfig.NONE)
+  override protected def tsuOf(e: CdcOp): Long = e.tsu
+  override protected def idOf(e: CdcOp): Long = e.event_id
+  override protected def applyOrdered(user: Long, ops: Seq[CdcOp])
+      : Seq[(Long, Long, Long)] = {
+    val cur0 = if (st.exists()) Some(st.get()) else None
+    val (cur, out) = CdcProcessor.applyOps(cur0, user, ops)
+    cur match {
+      case Some(v) => st.update(v)
+      case None    => st.clear()
+    }
+    out
+  }
+}
+
 /** S21b — timer-fired abandonment behind the reorder buffer. The sweep
   * convention is STRICT (deadline < wm, deadline timers at
   * deadline + 1) where the in-order S21 is inclusive: a suppressing

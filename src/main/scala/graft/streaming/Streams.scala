@@ -567,6 +567,34 @@ object Streams {
         timestamp_micros(col("vt_us")).as("valid_to"))
       .orderBy(col("user_id"), col("valid_from"))
 
+  /** The S22b runner — S22's CDC/retraction consumer behind the
+    * watermark reorder buffer (see [[ReorderedCdc]]), variant-
+    * parameterized for the replay-order-invariance pin. Every event is
+    * an op, so the watermark rides the full stream and the release
+    * horizon is the trio's floor-ms(max ts) − 24 h. */
+  private[graft] def s22bRun(s: SparkSession, d: String,
+                             variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ops = Replayer.stream(s, d, variant)
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+        (col("event_id") % 5 =!= 0).as("isUpsert"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("user_id"))
+      .as[(Long, Long, Boolean, Long, Long)]
+    val changes = ops.groupByKey(_._5)
+      .mapValues(t => CdcOp(t._1, t._2, t._3, t._4))
+      .transformWithState(new ReorderedCdc(),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, changes.toDF("user_id", "seq_id", "delta"),
+                "append", RocksDbConf)
+      .groupBy((col("user_id") % 10).as("grp"))
+      .agg(sum(col("delta")).as("net_cents"),
+           count(lit(1)).as("n_changes"))
+      .orderBy(col("grp"))
+  }
+
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =
     sharedCore(s, d, "interval_full_clean") {
       val src = Replayer.stream(s, d, "clean")
@@ -1121,6 +1149,16 @@ object Streams {
     // here floor-ms(max PURCHASE ts) − 24 h, because the watermark
     // node sits after the purchase filter (see s18bVersions).
     "s18b_scd2_ooo" -> ((s, d) => s18bRun(s, d, "ooo")),
+
+    // S22b — S22's CDC/retraction consumer behind the reorder buffer:
+    // the changelog is the most order-sensitive input in the engine
+    // (upsert/delete applied backwards = wrong FINAL STATE, not just
+    // reordered output), and real CDC feeds arrive disordered. Fold
+    // single-sourced with S22 (CdcProcessor.applyOps), buffer with the
+    // quartet; oracle = s22's closed form restricted to ops under the
+    // release horizon (a per-user (ts, event_id) prefix, so last-op
+    // and lag(op) inside the restriction match the engine's fold).
+    "s22b_cdc_ooo" -> ((s, d) => s22bRun(s, d, "ooo")),
 
     // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
     // aggregate fed by a changelog (upsert/delete ops derived
@@ -2429,6 +2467,40 @@ object Streams {
         |SELECT f.grp, CAST(f.net AS BIGINT) AS net_cents,
         |  CAST(c.nch AS BIGINT) AS n_changes
         |FROM fin f JOIN chg c ON f.grp = c.grp
+        |ORDER BY f.grp""".stripMargin,
+
+    // s22b — s22's closed form restricted to the release horizon: the
+    // released set is a per-user (ts, event_id) prefix (the cut is on
+    // ts itself), so lag/last-op computed over ALL ops and then
+    // filtered to released rows equal the restricted computation — a
+    // released row's predecessor is always released.
+    "s22b_cdc_ooo" ->
+      """WITH wmo AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM events),
+        |chb AS (
+        |  SELECT user_id, event_id, ts,
+        |    (event_id % 5 <> 0) AS isup,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events, wmo WHERE (epoch_us(ts) // 1000) < wm_ms),
+        |ob AS (
+        |  SELECT user_id, isup, cents,
+        |    lag(isup) OVER (PARTITION BY user_id
+        |                    ORDER BY ts, event_id) AS prevup,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM chb),
+        |finb AS (
+        |  SELECT user_id % 10 AS grp,
+        |    sum(CASE WHEN rn = 1 AND isup THEN cents ELSE 0 END) AS net
+        |  FROM ob GROUP BY 1),
+        |chgb AS (
+        |  SELECT user_id % 10 AS grp,
+        |    count(*) FILTER (WHERE isup OR coalesce(prevup, false)) AS nch
+        |  FROM ob GROUP BY 1)
+        |SELECT f.grp, CAST(f.net AS BIGINT) AS net_cents,
+        |  CAST(c.nch AS BIGINT) AS n_changes
+        |FROM finb f JOIN chgb c ON f.grp = c.grp
         |ORDER BY f.grp""".stripMargin,
 
     // s23 — the rule schedule replayed against the deterministic file

@@ -1317,7 +1317,7 @@ class StreamingSpec extends AnyFunSuite {
       s"state rows per batch = ${stateRows.toSeq} — expected constant 1")
   }
 
-  test("OOO quartet: the reorder buffer makes S20b/S4c/S21b/S18b " +
+  test("OOO quintet: the reorder buffer makes S20b/S4c/S21b/S18b/S22b " +
        "replay-order-invariant (disordered ooo replay ≡ ordered clean " +
        "replay), the " +
        "fixture genuinely disorders, nothing is late-dropped, and the " +
@@ -1336,12 +1336,13 @@ class StreamingSpec extends AnyFunSuite {
     val displaced = fc.keys.count(k => fc(k) != fo(k))
     assert(displaced > 0, "ooo fixture displaced nothing — test vacuous")
     ReorderingProcessor.resetGauges()
-    val quartet = Seq[(String, String => org.apache.spark.sql.DataFrame)](
+    val quintet = Seq[(String, String => org.apache.spark.sql.DataFrame)](
       ("s20b", v => Streams.s20bRun(s, sf, v)),
       ("s4c", v => Streams.s4cRun(s, sf, v)),
       ("s21b", v => Streams.s21bRun(s, sf, v)),
-      ("s18b", v => Streams.s18bRun(s, sf, v)))
-    quartet.foreach { case (name, run) =>
+      ("s18b", v => Streams.s18bRun(s, sf, v)),
+      ("s22b", v => Streams.s22bRun(s, sf, v)))
+    quintet.foreach { case (name, run) =>
       val ooo = run("ooo").collect().map(_.toSeq).toSeq
       val clean = run("clean").collect().map(_.toSeq).toSeq
       assert(ooo.nonEmpty, s"$name emitted nothing — vacuous")
