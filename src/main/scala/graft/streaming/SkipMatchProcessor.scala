@@ -76,6 +76,74 @@ class SkipMatchProcessor(pattern: String,
   }
 }
 
+/** Per-key state for S20c: the letters and event times (µs) of the
+  * last two events seen, in (ts, event_id) order — "x" = none yet.
+  * O(1) per key, even smaller than S20's O(|pattern|) DP. */
+case class StrictState(l1: String, t1: Long, l2: String, t2: Long)
+
+/** S20c — STREAMING STRICT-CONTIGUITY CEP (Flink CEP's `next()`,
+  * MATCH_RECOGNIZE without exclusions): the pattern's events must be
+  * IMMEDIATELY consecutive in the key's (ts, event_id) event order —
+  * the contiguity mode S20's skip-till-next-match (`followedBy`)
+  * cannot express, closing the Flink contiguity axis (S21/S14 cover
+  * `notFollowedBy`). A purchase completes iff the key's previous event
+  * was a click AND the one before was a view, with the view within
+  * `windowUs` (`within`). An intervening event of ANY type breaks the
+  * match — that is the semantic difference from S20, unit-pinned in
+  * StreamingSpec on the exact sequence v,x,c,p (S20 matches, S20c
+  * does not).
+  *
+  * Runs on the funnel-injected replay (the S8b fixture): the natural
+  * corpus has ZERO strictly-consecutive v,c,p triples at the gate
+  * scales (checked in DuckDB — browse/click noise always intervenes;
+  * 4 / 47 chains match at sf0.001 / sf0.01 under the rewrite), which
+  * is itself the realistic read on strict contiguity. The injected
+  * chains' member spacing straddles batch files, so the last-two
+  * window is genuinely carried across micro-batches.
+  *
+  * State: TWO (letter, tsu) pairs per key — constant, the smallest
+  * CEP state in the S-series. 100 TB: one user_id shuffle, O(1) per
+  * event, no history buffered; same per-batch sort-buffer contract as
+  * [[SkipMatchProcessor]] (one key's volume in one micro-batch). */
+class StrictMatchProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, (Long, Long)] {
+
+  @transient private var st: ValueState[StrictState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[StrictState](
+      "strictmatch", Encoders.product[StrictState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: TimerValues): Iterator[(Long, Long)] = {
+    val st0 = Option(st.get())
+      .getOrElse(StrictState("x", -1L, "x", -1L))
+    val (st1, out) = StrictMatchProcessor.stepAll(windowUs, st0, user,
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    st.update(st1)
+    out.iterator
+  }
+}
+
+object StrictMatchProcessor {
+  /** The strict fold advanced over `events` — ALREADY in
+    * (tsu, event_id) order: emit on v→c→p with no gap, then shift the
+    * last-two window. Unit-testable without a streaming harness. */
+  def stepAll(windowUs: Long, st0: StrictState, user: Long,
+              events: Seq[FunnelEvent]): (StrictState, Seq[(Long, Long)]) = {
+    var st = st0
+    val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+    events.foreach { e =>
+      val l = SkipMatchProcessor.letterOf(e.event_type).toString
+      if (l == "p" && st.l1 == "c" && st.l2 == "v" &&
+          e.tsu - st.t2 <= windowUs)
+        out += ((user, e.event_id))
+      st = StrictState(l, e.tsu, st.l1, st.t1)
+    }
+    (st, out.toSeq)
+  }
+}
+
 object SkipMatchProcessor {
   /** The W9/W9b explicit letter map — unknown types map to 'x', never
     * silently alias into the pattern (advisor r13). */

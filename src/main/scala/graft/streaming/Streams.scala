@@ -1053,6 +1053,31 @@ object Streams {
         .orderBy(col("user_id"), col("completion_id"))
     }),
 
+    // S20c — STRICT-CONTIGUITY CEP (Flink CEP's next(); see
+    // StrictMatchProcessor): the v→c→p events must be IMMEDIATELY
+    // consecutive in the key's (ts, event_id) order — the contiguity
+    // mode S20's followedBy cannot express. Runs on the funnel-
+    // injected replay (the natural corpus has zero strict triples at
+    // the gate scales — noise always intervenes); the oracle replays
+    // the arithmetic rewrite (the s8b CTE) then checks lag(l,1)='c',
+    // lag(l,2)='v' within the window. State = last two (letter, tsu)
+    // pairs per key — the smallest CEP state in the S-series.
+    "s20c_strict_pattern" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "funnel")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val completions = ev.groupByKey(_.user_id)
+        .transformWithState(
+          new StrictMatchProcessor(3600L * 1000000L),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, completions.toDF("user_id", "completion_id"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("completion_id"))
+    }),
+
     // S21 — TIMEOUT-emission absence CEP on EVENT-TIME TIMERS (Flink's
     // notFollowedBy…within with its true onTimer firing; the first
     // operator exercising the transformWithState timer API): a view
@@ -2312,6 +2337,43 @@ object Streams {
         |      AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 7200000000)
         |  AND (v.tsu // 1000) + 7200000 <= mx21.wm_ms
         |ORDER BY user_id, view_id""".stripMargin,
+
+    // s20c — strict contiguity in closed form over the funnel-variant
+    // rewrite (the s8b CTE, reproduced row-for-row): a purchase
+    // completes iff its two IMMEDIATE predecessors in the user's
+    // (ts, event_id) order are click then view — lag(l,1)/lag(l,2) —
+    // with the view inside the 1 h window.
+    "s20c_strict_pattern" ->
+      s"""WITH rtc AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 211 IN (0, 95, 190)
+        |      THEN TIMESTAMP '2024-03-01 00:00:00'
+        |           + ((event_id // 211) * 7200
+        |              + ((event_id % 211) // 95) * 600) * INTERVAL 1 SECOND
+        |      ELSE ts END AS ts,
+        |    CASE WHEN event_id % 211 IN (0, 95, 190)
+        |      THEN ${Replayer.FunnelUserBase} + event_id // 211 ELSE user_id END AS user_id,
+        |    CASE WHEN event_id % 211 = 0 THEN 'view'
+        |         WHEN event_id % 211 = 95 THEN 'click'
+        |         WHEN event_id % 211 = 190 THEN 'purchase'
+        |         ELSE event_type END AS event_type
+        |  FROM events),
+        |e20c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END AS l
+        |  FROM rtc),
+        |g20c AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    lag(l, 1) OVER w AS l1, lag(l, 2) OVER w AS l2,
+        |    lag(ts, 2) OVER w AS ts2
+        |  FROM e20c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id AS completion_id
+        |FROM g20c
+        |WHERE l = 'p' AND l1 = 'c' AND l2 = 'v'
+        |  AND ts <= ts2 + INTERVAL 1 HOUR
+        |ORDER BY user_id, completion_id""".stripMargin,
 
     // s20b — s20's closed form (replay-order-invariant by construction:
     // the windows order by (ts, event_id), not arrival) restricted to

@@ -1317,6 +1317,59 @@ class StreamingSpec extends AnyFunSuite {
       s"state rows per batch = ${stateRows.toSeq} — expected constant 1")
   }
 
+  test("S20c: strict contiguity — an intervening event breaks the match " +
+       "skip-till-next-match allows (the Flink next-vs-followedBy axis), " +
+       "the window rejects, the fold is batch-chunking-invariant, and " +
+       "the canonical funnel-replay run is non-vacuous") {
+    import graft.streaming.{FunnelEvent, SkipMatchProcessor,
+      StrictMatchProcessor, StrictState}
+    val winUs = 3600L * 1000000L
+    val min = 60L * 1000000L
+    def ev(i: Int, t: String) = FunnelEvent(i.toLong, min * i, 7L, t)
+    val empty = StrictState("x", -1L, "x", -1L)
+    // the axis pin: v, x(intervening click-bait 'other'), c, p
+    val broken = Seq(ev(0, "view"), ev(1, "other"), ev(2, "click"),
+      ev(3, "purchase"))
+    assert(StrictMatchProcessor.stepAll(winUs, empty, 7L, broken)._2.isEmpty,
+      "strict matched through an intervening event")
+    val m = Array.fill(2)(-1L)
+    assert(SkipMatchProcessor.stepAll("vcp", winUs, m, 7L, broken)
+      .nonEmpty, "skip-till-next-match should match across the gap")
+    // consecutive triple matches; a repeated middle letter does not
+    // (l2 must be the view itself — Flink next() semantics)
+    val clean3 = Seq(ev(0, "view"), ev(1, "click"), ev(2, "purchase"))
+    assert(StrictMatchProcessor.stepAll(winUs, empty, 7L, clean3)._2 ==
+      Seq((7L, 2L)))
+    val doubled = Seq(ev(0, "view"), ev(1, "click"), ev(2, "click"),
+      ev(3, "purchase"))
+    assert(StrictMatchProcessor.stepAll(winUs, empty, 7L, doubled)._2.isEmpty,
+      "strict matched with a repeated middle letter")
+    // window: v at t=0, c/p beyond 1 h from the view
+    val slow = Seq(FunnelEvent(0L, 0L, 7L, "view"),
+      FunnelEvent(1L, winUs - min, 7L, "click"),
+      FunnelEvent(2L, winUs + min, 7L, "purchase"))
+    assert(StrictMatchProcessor.stepAll(winUs, empty, 7L, slow)._2.isEmpty,
+      "strict matched outside the window")
+    // chunking invariance: folding event-by-event threading state must
+    // equal the single-batch fold (the cross-micro-batch contract)
+    val all = broken ++ clean3.map(e => e.copy(event_id = e.event_id + 10,
+      tsu = e.tsu + min * 10))
+    val oneShot = StrictMatchProcessor.stepAll(winUs, empty, 7L, all)
+    val threaded = all.foldLeft((empty, Seq.empty[(Long, Long)])) {
+      case ((st0, acc), e) =>
+        val (st1, out) = StrictMatchProcessor.stepAll(winUs, st0, 7L, Seq(e))
+        (st1, acc ++ out)
+    }
+    assert(threaded == oneShot, "fold is not chunking-invariant")
+    // the canonical run finds the injected chains (4 at sf0.001)
+    val canonical = SparkEntry.queries("s20c_strict_pattern")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(canonical.nonEmpty, "funnel replay produced no strict matches")
+    assert(canonical.forall(_._1 >= Replayer.FunnelUserBase),
+      "a natural user matched strictly — the vacuity premise changed; " +
+      "re-check the oracle-side non-vacuity note")
+  }
+
   test("OOO quintet: the reorder buffer makes S20b/S4c/S21b/S18b/S22b " +
        "replay-order-invariant (disordered ooo replay ≡ ordered clean " +
        "replay), the " +
