@@ -32,12 +32,29 @@ class FunnelProcessor(windowUs: Long = 3600L * 1000000L)
   override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
                                timers: TimerValues): Iterator[(Long, Long)] = {
     val prev = Option(st.get()).getOrElse(FunnelState(Nil, Nil))
+    val (next, out) = FunnelProcessor.applyOrdered(windowUs, prev, user,
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    st.update(next)
+    out.iterator
+  }
+}
+
+object FunnelProcessor {
+  /** The funnel fold shared with the out-of-order (watermark-
+    * reordering) S8d variant: apply `events` — ALREADY in
+    * (tsu, event_id) order — to the trailing-window state; returns the
+    * pruned state and the (user, purchase_id) conversions. Pruning
+    * against the chunk's max ts is semantics-preserving at any chunk
+    * boundary: a pruned view/pair sits more than a window below every
+    * later event and so could never satisfy the conversion predicate. */
+  def applyOrdered(windowUs: Long, prev: FunnelState, user: Long,
+                   events: Seq[FunnelEvent])
+      : (FunnelState, Seq[(Long, Long)]) = {
     var views = prev.views.toList
     var pairs = prev.pairs.toList
     val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
-    val winUs = windowUs
     var maxTs = 0L
-    rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+    events.foreach { e =>
       maxTs = math.max(maxTs, e.tsu)
       e.event_type match {
         case "view" => views ::= e.tsu
@@ -45,14 +62,13 @@ class FunnelProcessor(windowUs: Long = 3600L * 1000000L)
           val v = views.filter(_ <= e.tsu)
           if (v.nonEmpty) pairs ::= (e.tsu, v.max)
         case "purchase" =>
-          if (pairs.exists { case (c, v) => c <= e.tsu && v >= e.tsu - winUs })
+          if (pairs.exists { case (c, v) => c <= e.tsu && v >= e.tsu - windowUs })
             out += ((user, e.event_id))
         case _ => ()
       }
     }
-    views = views.filter(_ >= maxTs - winUs)
-    pairs = pairs.filter(_._2 >= maxTs - winUs)
-    st.update(FunnelState(views, pairs))
-    out.iterator
+    views = views.filter(_ >= maxTs - windowUs)
+    pairs = pairs.filter(_._2 >= maxTs - windowUs)
+    (FunnelState(views, pairs), out.toSeq)
   }
 }

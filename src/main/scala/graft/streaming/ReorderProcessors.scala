@@ -225,6 +225,37 @@ class ReorderedScd2(midCents: Long, highCents: Long)
   }
 }
 
+/** S8d — the flagship funnel behind the reorder buffer: the 24-hour
+  * (s8c) form, which converts NATURALLY at every shipped sf, so the
+  * disordered plain `ooo` replay is non-vacuous without the funnel
+  * injection (whose synthetic chain timestamps sit past the natural
+  * range and would catapult the watermark over the whole corpus —
+  * the reason the injected variant cannot be composed with `ooo`).
+  * The wrapped fold is [[FunnelProcessor.applyOrdered]] (single-
+  * sourced with the in-order S8/S8b/S8c); every event a conversion
+  * depends on is strictly earlier than its purchase, so the purchase's
+  * release point sees exactly the in-order prefix — the oracle is
+  * s8c's nested-EXISTS restricted to purchases under the release
+  * horizon. */
+class ReorderedFunnel(windowUs: Long)
+    extends ReorderingProcessor[FunnelEvent, (Long, Long)](
+      Encoders.product[FunnelEvent]) {
+  @transient private var st: ValueState[FunnelState] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[FunnelState](
+      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+  override protected def tsuOf(e: FunnelEvent): Long = e.tsu
+  override protected def idOf(e: FunnelEvent): Long = e.event_id
+  override protected def applyOrdered(user: Long, events: Seq[FunnelEvent])
+      : Seq[(Long, Long)] = {
+    val prev = Option(st.get()).getOrElse(FunnelState(Nil, Nil))
+    val (next, out) = FunnelProcessor.applyOrdered(
+      windowUs, prev, user, events)
+    st.update(next)
+    out
+  }
+}
+
 /** S22b — the CDC/retraction consumer behind the reorder buffer: the
   * changelog is the MOST order-sensitive input in the engine (an
   * upsert/delete pair applied backwards leaves the key alive instead

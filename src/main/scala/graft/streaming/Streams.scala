@@ -595,6 +595,28 @@ object Streams {
       .orderBy(col("grp"))
   }
 
+  /** The S8d runner — the 24 h (s8c) funnel behind the watermark
+    * reorder buffer (see [[ReorderedFunnel]]), variant-parameterized
+    * for the replay-order-invariance pin. */
+  private[graft] def s8dRun(s: SparkSession, d: String,
+                            variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, variant)
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    val conversions = ev.groupByKey(_.user_id)
+      .transformWithState(new ReorderedFunnel(24L * 3600L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, conversions.toDF("user_id", "purchase_id"),
+                "append", RocksDbConf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("user_id"))
+  }
+
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =
     sharedCore(s, d, "interval_full_clean") {
       val src = Replayer.stream(s, d, "clean")
@@ -1184,6 +1206,17 @@ object Streams {
     // release horizon (a per-user (ts, event_id) prefix, so last-op
     // and lag(op) inside the restriction match the engine's fold).
     "s22b_cdc_ooo" -> ((s, d) => s22bRun(s, d, "ooo")),
+
+    // S8d — the flagship funnel behind the reorder buffer: the 24 h
+    // (s8c) form, which converts NATURALLY at every sf, so the plain
+    // disordered ooo replay is non-vacuous (the injected chains' 2024-03
+    // timestamps sit past the natural range and would catapult the
+    // watermark over the corpus — funnel+ooo cannot compose). Fold
+    // single-sourced with S8 (FunnelProcessor.applyOrdered); oracle =
+    // s8c's nested-EXISTS restricted to purchases the final watermark
+    // released (everything a conversion depends on is strictly earlier,
+    // so the purchase's release point sees the full in-order prefix).
+    "s8d_funnel_ooo" -> ((s, d) => s8dRun(s, d, "ooo")),
 
     // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
     // aggregate fed by a changelog (upsert/delete ops derived
@@ -2530,6 +2563,30 @@ object Streams {
         |  CAST(c.nch AS BIGINT) AS n_changes
         |FROM fin f JOIN chg c ON f.grp = c.grp
         |ORDER BY f.grp""".stripMargin,
+
+    // s8d — s8c's 24 h nested-EXISTS funnel restricted to purchases
+    // under the release horizon (clicks/views gate nothing: they are
+    // strictly earlier than their purchase and so always released
+    // first).
+    "s8d_funnel_ooo" ->
+      """WITH wmo AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM events),
+        |p8d AS (
+        |  SELECT e.* FROM events e, wmo
+        |  WHERE e.event_type = 'purchase'
+        |    AND (epoch_us(e.ts) // 1000) < wm_ms)
+        |SELECT p.user_id, count(*) AS n_conversions
+        |FROM p8d p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND c.ts <= p.ts
+        |    AND EXISTS (
+        |      SELECT 1 FROM events v
+        |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 24 HOUR))
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
 
     // s22b — s22's closed form restricted to the release horizon: the
     // released set is a per-user (ts, event_id) prefix (the cut is on

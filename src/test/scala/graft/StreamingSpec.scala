@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
@@ -264,11 +264,31 @@ class StreamingSpec extends AnyFunSuite {
     val schema = s.read.parquet(dir).schema
     val ckpt = Files.createTempDirectory("graft_snk2_ckpt").toString
     val out = Files.createTempDirectory("graft_snk2_out").toString
+    // phase 1's source dir holds only 2 of the 5 replay files, so the
+    // strict-prefix premise holds BY CONSTRUCTION no matter how many
+    // trigger firings land before the kill (racing stop() against the
+    // fast trigger was the flake mode the restart tests exhibited);
+    // this test keeps the parquet FORMAT sink on purpose — its
+    // _spark_metadata-log exactly-once across the restart is the thing
+    // under test (the stateful restarts pin the foreachBatch face)
+    val srcDir = Files.createTempDirectory("graft_snk2_src")
+    val parts = {
+      val ls = Files.list(Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally ls.close()
+    }
+    assert(parts.size == Replayer.NumFiles, s"expected 5 files: $parts")
+    def stage(ps: Seq[java.nio.file.Path]): Unit = ps.foreach(p =>
+      Files.copy(p, srcDir.resolve(p.getFileName.toString)))
+    stage(parts.take(2))
     def stream() = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
       .select(col("event_id"), col("event_type"))
 
-    // phase 1: process a strict prefix of the files, then "crash"
+    // phase 1: process the staged prefix, then "crash" mid-stream
     val q1 = stream().writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
@@ -280,7 +300,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(partial > 0 && partial < 1000,
       s"restart test needs a strict prefix, got $partial rows")
 
-    // phase 2: restart from the same checkpoint, drain the rest
+    // phase 2: the rest of the files land, restart from the same
+    // checkpoint, drain
+    stage(parts.drop(2))
     val q2 = stream().writeStream.format("parquet")
       .option("path", out).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
@@ -941,26 +963,34 @@ class StreamingSpec extends AnyFunSuite {
     // the RocksDB provider conf must be in effect AT QUERY START (the
     // conf snapshot happens there), so withConf wraps start(), not
     // just the writer construction
-    def start(t: Trigger) = graft.core.ConfScope.withConf(s,
-        graft.streaming.Streams.RocksDbConf) {
-      Streams.s18Versions(s, sf, midCents = 40000L, highCents = 100000L)
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .trigger(t).start()
+    def start(t: Trigger, poisonFrom: Long) =
+      graft.core.ConfScope.withConf(s,
+          graft.streaming.Streams.RocksDbConf) {
+        Streams.s18Versions(s, sf, midCents = 40000L, highCents = 100000L)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (id >= poisonFrom) throw new RuntimeException("injected crash")
+            df.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(t).start()
+      }
+    // phase 1: commit a strict prefix of the replay, then CRASH
+    // mid-stream on batch 2 (deterministic — racing stop() against the
+    // fast trigger flaked under full-suite load; the poisoned batch
+    // writes nothing, so the replayed batch lands exactly once)
+    val q1 = start(Trigger.ProcessingTime("100 milliseconds"), 2L)
+    try { q1.awaitTermination(); fail("poison batch never fired") }
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(String.valueOf(e.getMessage).contains("injected crash") ||
+          Option(e.getCause).exists(c =>
+            String.valueOf(c.getMessage).contains("injected crash")),
+          s"query died of the wrong cause: $e")
     }
-    // phase 1: commit a strict prefix of the replay, then "crash"
-    val q1 = start(Trigger.ProcessingTime("100 milliseconds"))
-    val deadline = System.nanoTime() + 60L * 1000000000L
-    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
-           System.nanoTime() < deadline) Thread.sleep(50)
-    q1.stop()
-    val prefixBatches = q1.recentProgress.count(_.numInputRows > 0)
-    assert(prefixBatches >= 1 && prefixBatches < Replayer.NumFiles,
-      s"restart test needs a strict prefix, processed $prefixBatches " +
-      s"of ${Replayer.NumFiles} batches")
     // phase 2: restart from the same checkpoint (state restores to the
     // last committed batch; the in-flight batch replays), drain
-    val q2 = start(Trigger.AvailableNow())
+    val q2 = start(Trigger.AvailableNow(), Long.MaxValue)
     q2.awaitTermination()
     // exactly-once: the restarted train equals the uninterrupted run's
     // version multiset — a double-emitted or lost closed version breaks
@@ -994,21 +1024,35 @@ class StreamingSpec extends AnyFunSuite {
             .map(p => p.getFileName.toString -> Files.readString(p)).toMap
         } finally ls.close()
       }
+    // phase 1: publish a strict prefix, then CRASH mid-stream — a
+    // poison foreachBatch that throws on batch 2, DETERMINISTIC where
+    // racing stop() against a fast 100 ms trigger is not (under full-
+    // suite machine load the trigger can publish all 5 files before a
+    // polled stop() lands, voiding the strict-prefix premise — the
+    // observed flake). The failed batch never publishes, so exactly
+    // {v0, v1} exist at the crash; batch 2 replays at restart.
+    val q1 = Replayer.stream(s, sf, "clean").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id >= 2L) throw new RuntimeException("injected crash")
+        Streams.s19PublishBatch(root)(df, id)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try { q1.awaitTermination(); fail("poison batch never fired") }
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(String.valueOf(e.getMessage).contains("injected crash") ||
+          Option(e.getCause).exists(c =>
+            String.valueOf(c.getMessage).contains("injected crash")),
+          s"query died of the wrong cause: $e")
+    }
+    val published = manifests
+    assert(published.keySet == Set("v0.list", "v1.list"),
+      s"crash point drifted — expected exactly {v0, v1}, got " +
+      s"${published.keySet}")
     def stream() = Replayer.stream(s, sf, "clean").writeStream
       .foreachBatch(Streams.s19PublishBatch(root) _)
       .option("checkpointLocation", ckpt)
-    // phase 1: publish a strict prefix, then "crash"
-    val q1 = stream().trigger(Trigger.ProcessingTime("100 milliseconds"))
-      .start()
-    val deadline = System.nanoTime() + 60L * 1000000000L
-    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
-           System.nanoTime() < deadline) Thread.sleep(50)
-    q1.stop()
-    val published = manifests
-    assert(published.nonEmpty &&
-           published.size < Replayer.NumFiles,
-      s"restart test needs a strict manifest prefix, got " +
-      s"${published.keySet}")
     // phase 2: restart; the in-flight batch replays (same id → same
     // dir rewrite → same manifest content), later batches extend
     val q2 = stream().trigger(Trigger.AvailableNow()).start()
@@ -1142,28 +1186,35 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.Streams
     val ckpt = Files.createTempDirectory("graft_s21_ckpt").toString
     val out = Files.createTempDirectory("graft_s21_out").toString
-    def start(t: Trigger) = graft.core.ConfScope.withConf(s,
-        graft.streaming.Streams.RocksDbConf) {
-      Streams.s21Abandoned(s, sf)
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .trigger(t).start()
-    }
+    def start(t: Trigger, poisonFrom: Long) =
+      graft.core.ConfScope.withConf(s,
+          graft.streaming.Streams.RocksDbConf) {
+        Streams.s21Abandoned(s, sf)
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (id >= poisonFrom) throw new RuntimeException("injected crash")
+            df.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(t).start()
+      }
     // phase 1: absorb a strict prefix of the replay — views register
-    // timers whose deadlines lie beyond the kill point — then "crash"
-    val q1 = start(Trigger.ProcessingTime("100 milliseconds"))
-    val deadline = System.nanoTime() + 60L * 1000000000L
-    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
-           System.nanoTime() < deadline) Thread.sleep(50)
-    q1.stop()
-    val prefixBatches = q1.recentProgress.count(_.numInputRows > 0)
-    assert(prefixBatches >= 1 && prefixBatches < Replayer.NumFiles,
-      s"restart test needs a strict prefix, processed $prefixBatches " +
-      s"of ${Replayer.NumFiles} batches")
+    // timers whose deadlines lie beyond the kill point — then CRASH
+    // mid-stream on batch 2 (deterministic, not a stop() race; the
+    // poisoned batch writes nothing, so the replay lands exactly once)
+    val q1 = start(Trigger.ProcessingTime("100 milliseconds"), 2L)
+    try { q1.awaitTermination(); fail("poison batch never fired") }
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(String.valueOf(e.getMessage).contains("injected crash") ||
+          Option(e.getCause).exists(c =>
+            String.valueOf(c.getMessage).contains("injected crash")),
+          s"query died of the wrong cause: $e")
+    }
     // phase 2: recover — pending timers must be restored with the
     // state and fire as the watermark advances through the rest of
     // the replay (and its trailing watermark-advance batch)
-    val q2 = start(Trigger.AvailableNow())
+    val q2 = start(Trigger.AvailableNow(), Long.MaxValue)
     q2.awaitTermination()
     val fin = s.read.parquet(out)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -1370,9 +1421,9 @@ class StreamingSpec extends AnyFunSuite {
       "re-check the oracle-side non-vacuity note")
   }
 
-  test("OOO quintet: the reorder buffer makes S20b/S4c/S21b/S18b/S22b " +
-       "replay-order-invariant (disordered ooo replay ≡ ordered clean " +
-       "replay), the " +
+  test("OOO sextet: the reorder buffer makes S20b/S4c/S21b/S18b/S22b/" +
+       "S8d replay-order-invariant (disordered ooo replay ≡ ordered " +
+       "clean replay), the " +
        "fixture genuinely disorders, nothing is late-dropped, and the " +
        "buffer stays within the batch + delay-window bound") {
     import graft.streaming.{ReorderingProcessor, Streams}
@@ -1389,13 +1440,14 @@ class StreamingSpec extends AnyFunSuite {
     val displaced = fc.keys.count(k => fc(k) != fo(k))
     assert(displaced > 0, "ooo fixture displaced nothing — test vacuous")
     ReorderingProcessor.resetGauges()
-    val quintet = Seq[(String, String => org.apache.spark.sql.DataFrame)](
+    val sextet = Seq[(String, String => org.apache.spark.sql.DataFrame)](
       ("s20b", v => Streams.s20bRun(s, sf, v)),
       ("s4c", v => Streams.s4cRun(s, sf, v)),
       ("s21b", v => Streams.s21bRun(s, sf, v)),
       ("s18b", v => Streams.s18bRun(s, sf, v)),
-      ("s22b", v => Streams.s22bRun(s, sf, v)))
-    quintet.foreach { case (name, run) =>
+      ("s22b", v => Streams.s22bRun(s, sf, v)),
+      ("s8d", v => Streams.s8dRun(s, sf, v)))
+    sextet.foreach { case (name, run) =>
       val ooo = run("ooo").collect().map(_.toSeq).toSeq
       val clean = run("clean").collect().map(_.toSeq).toSeq
       assert(ooo.nonEmpty, s"$name emitted nothing — vacuous")
@@ -1434,29 +1486,40 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.Streams
     val ckpt = Files.createTempDirectory("graft_s21b_ckpt").toString
     val out = Files.createTempDirectory("graft_s21b_out").toString
-    def start(t: Trigger) = graft.core.ConfScope.withConf(s,
-        graft.streaming.Streams.RocksDbConf) {
-      Streams.s21bAbandoned(s, sf, "ooo")
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .trigger(t).start()
-    }
+    // both phases sink via the SAME foreachBatch append (a format
+    // "parquet" sink would leave a _spark_metadata log that hides
+    // phase-1 files from the final read); a poisoned batch writes
+    // nothing, so the replayed batch lands exactly once
+    def start(t: Trigger, poisonFrom: Long) =
+      graft.core.ConfScope.withConf(s,
+          graft.streaming.Streams.RocksDbConf) {
+        Streams.s21bAbandoned(s, sf, "ooo")
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (id >= poisonFrom) throw new RuntimeException("injected crash")
+            df.write.mode("append").parquet(out)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(t).start()
+      }
     // phase 1: absorb a strict prefix of the disordered replay — the
     // buffer holds displaced rows and the walking timer is armed past
-    // the kill point — then "crash"
-    val q1 = start(Trigger.ProcessingTime("100 milliseconds"))
-    val deadline = System.nanoTime() + 60L * 1000000000L
-    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
-           System.nanoTime() < deadline) Thread.sleep(50)
-    q1.stop()
-    val prefixBatches = q1.recentProgress.count(_.numInputRows > 0)
-    assert(prefixBatches >= 1 && prefixBatches < Replayer.NumFiles,
-      s"restart test needs a strict prefix, processed $prefixBatches " +
-      s"of ${Replayer.NumFiles} batches")
+    // the kill point — then CRASH mid-stream on batch 2 (deterministic,
+    // unlike racing stop() against a fast trigger under suite load —
+    // the flake mode the S19 restart test exhibited)
+    val q1 = start(Trigger.ProcessingTime("100 milliseconds"), 2L)
+    try { q1.awaitTermination(); fail("poison batch never fired") }
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(String.valueOf(e.getMessage).contains("injected crash") ||
+          Option(e.getCause).exists(c =>
+            String.valueOf(c.getMessage).contains("injected crash")),
+          s"query died of the wrong cause: $e")
+    }
     // phase 2: recover — the RocksDB-checkpointed reorder buffer and
     // both timer families must resume exactly (the transient
-    // same-(key,wm) memo rebuilds empty, by design)
-    val q2 = start(Trigger.AvailableNow())
+    // same-(key,wm) memo rebuilds empty, by design); batch 2 replays
+    val q2 = start(Trigger.AvailableNow(), Long.MaxValue)
     q2.awaitTermination()
     val fin = s.read.parquet(out)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
