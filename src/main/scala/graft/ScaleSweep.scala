@@ -118,7 +118,11 @@ object ScaleSweep {
     // adds one ListState rewrite per key per batch; state high-water =
     // rate × (trigger + delay) per key — the exponent prices exactly
     // that extra RocksDB traffic on top of the wrapped folds' rows.
-    "s21b_abandon_ooo", "s18b_scd2_ooo", "s22b_cdc_ooo")
+    "s21b_abandon_ooo", "s18b_scd2_ooo", "s22b_cdc_ooo",
+    // s8d stacks the buffer on the trailing-window funnel state (the
+    // only reordered fold whose per-key state grows with rate × window
+    // on its own) — the exponent prices buffer + window-list together
+    "s8d_funnel_ooo")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
