@@ -441,7 +441,8 @@ object Streams {
       .toDF("user_id", "view_id")
   }
 
-  /** The OOO trio runners (S20b/S4c/S21b), variant-parameterized so
+  /** The OOO runners (S20b/S4c/S21b here; S18b/S22b/S8d below follow
+    * the same shape), variant-parameterized so
     * StreamingSpec can pin replay-order invariance: the same pipeline
     * on "clean" and on "ooo" must produce identical rows — that is the
     * event-time contract the reorder buffer restores. See
