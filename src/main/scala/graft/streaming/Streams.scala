@@ -220,13 +220,21 @@ object Streams {
       .coalesce(1).write.mode("overwrite").parquet(dir)
 
   /** Latest rule version ≤ this batch id — the per-batch
-    * "re-broadcast": a 1-row driver read of KB-sized control data. */
+    * "re-broadcast": a 1-row driver read of KB-sized control data. A
+    * schedule with no rule at or before `id` is a configuration error
+    * (the log must carry a base rule), named loudly rather than leaked
+    * as a bare NoSuchElementException (advisor r17). */
   private[graft] def s23RuleFor(s: SparkSession, rulesDir: String,
-                                id: Long): Double =
-    s.read.parquet(rulesDir)
+                                id: Long): Double = {
+    val rows = s.read.parquet(rulesDir)
       .filter(col("effective_batch") <= id)
       .orderBy(col("effective_batch").desc)
-      .head().getDouble(1)
+      .head(1)
+    require(rows.nonEmpty,
+      s"rules log at $rulesDir has no rule effective at batch $id — " +
+        "the schedule must include a base (effective_batch 0) entry")
+    rows(0).getDouble(1)
+  }
 
   /** S23's per-batch body: resolve the current rule, flag events above
     * its threshold, aggregate, write batch-id-named (idempotent
@@ -1180,7 +1188,9 @@ object Streams {
     // invariant (StreamingSpec pins ooo ≡ clean); the oracle is the
     // operator's closed form restricted to the final-watermark release
     // horizon (ts_ms < floor-ms(max ts) − 24 h — the s5b watermark
-    // discipline; per-event release timers make that horizon exact).
+    // discipline; the walking release timer chain (re-armed at the new
+    // buffer minimum + 1 after every flush) keeps that horizon exact by
+    // induction — see ReorderingProcessor's scaladoc).
     // 100 TB: same one user_id shuffle as the in-order trio, buffer =
     // rate × (trigger + delay) per key in RocksDB, timers O(fired).
     "s20b_pattern_ooo" -> ((s, d) => s20bRun(s, d, "ooo")),
@@ -2158,6 +2168,18 @@ object Streams {
         |FROM agg a CROSS JOIN fw
         |WHERE a.win_start + INTERVAL 1 HOUR < fw.w
         |ORDER BY a.win_start, a.event_type""".stripMargin,
+    // TIE CONVENTION for the whole s8 family (s8/s8b/s8c/s8d; advisor
+    // r17): these oracles compare on ts alone (c.ts <= p.ts,
+    // v.ts <= c.ts), while the engine's fold applies events in strict
+    // (ts, event_id) order — a click sharing a timestamp with its
+    // purchase but carrying a HIGHER event_id would count for the
+    // oracle yet be unseen by the fold at the purchase. The two agree
+    // because the corpus has ZERO same-(user_id, ts) event pairs at
+    // every shipped sf — asserted loudly in StreamingSpec
+    // "events (user_id, ts) pairs are tie-free" so a regenerated
+    // corpus that violates it fails the spec, not the hash. (The s24
+    // oracle, written later, uses explicit (ts, event_id) row
+    // comparisons instead — the tie-exact form.)
     "s8_funnel" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase')
         |SELECT p.user_id, count(*) AS n_conversions

@@ -127,6 +127,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == nd, s"event_id not unique: $n rows, $nd distinct")
   }
 
+  test("events (user_id, ts) pairs are tie-free — the precondition the " +
+       "s8-family oracles' ts-only comparisons lean on") {
+    // The s8/s8b/s8c/s8d oracles compare c.ts <= p.ts / v.ts <= c.ts
+    // while the engine folds in strict (ts, event_id) order: a click
+    // sharing (user_id, ts) with its purchase but carrying a higher
+    // event_id would count for the oracle yet be unseen by the fold.
+    // Zero same-(user_id, ts) pairs makes the two definitions equal;
+    // assert it loudly so a regenerated corpus that violates it fails
+    // here instead of as an opaque hash mismatch (advisor r17).
+    val ev = Tables.events(s, sf)
+    val ties = ev.groupBy(col("user_id"), col("ts"))
+      .count().filter(col("count") > 1).count()
+    assert(ties == 0, s"$ties same-(user_id, ts) event pairs exist — " +
+      "the s8-family oracles' ts-only tie convention no longer holds")
+  }
+
   test("SNK4: a checkpoint restart resumes the merge from the " +
        "committed v(id-1) snapshot") {
     import graft.streaming.Streams
