@@ -81,6 +81,16 @@ abstract class ReorderingProcessor[I, O](ie: Encoder[I])(
     * sweep); runs after every flush with the same wm. */
   protected def onWatermark(key: Long, wmMs: Long): Seq[O] = Seq.empty
 
+  /** LATE-DATA SIDE OUTPUT (Flink's `sideOutputLateData` tag): called
+    * with the rows the drop branch is about to discard — admitted by
+    * Spark's lagging input filter but already below this batch's
+    * operative watermark, sorted in (tsu, id) order. Default = emit
+    * nothing (the pre-S24 behavior: drop and count); S24 overrides it
+    * to emit tagged rows alongside the main fold so late data lands in
+    * an auditable channel instead of vanishing into a gauge. Never
+    * called with an empty seq. */
+  protected def onLate(key: Long, events: Seq[I]): Seq[O] = Seq.empty
+
   @transient private var buf: ListState[I] = _
   // same-(key, wm) short-circuit for timer storms: within a batch the
   // watermark is constant and expired timers fire BEFORE input rows, so
@@ -124,10 +134,16 @@ abstract class ReorderingProcessor[I, O](ie: Encoder[I])(
     val wm = timers.getCurrentWatermarkInMs()
     // Flink late-row semantics: a row already below the operative
     // watermark (admitted through Spark's one-batch filter lag) cannot
-    // be applied in order — drop and count, never reorder the past.
+    // be applied in order — drop and count (and hand to the side-output
+    // hook), never reorder the past.
     val (late, incoming) = rows.toSeq.partition(e => tsuOf(e) / 1000 < wm)
-    if (late.nonEmpty) ReorderingProcessor.lateDropped.addAndGet(late.size)
-    (flush(key, wm, incoming) ++ onWatermark(key, wm)).iterator
+    val lateOut =
+      if (late.isEmpty) Seq.empty
+      else {
+        ReorderingProcessor.lateDropped.addAndGet(late.size)
+        onLate(key, late.sortBy(e => (tsuOf(e), idOf(e))))
+      }
+    (lateOut ++ flush(key, wm, incoming) ++ onWatermark(key, wm)).iterator
   }
 
   final override def handleExpiredTimer(key: Long, timers: TimerValues,
@@ -285,6 +301,50 @@ class ReorderedCdc
     }
     out
   }
+}
+
+/** S24 — the S8d funnel with a LATE-DATA SIDE OUTPUT (Flink's
+  * `sideOutputLateData` + `getSideOutput` pair, re-expressed as a
+  * tagged union on the one output stream Spark's TWS provides): rows
+  * the reorder buffer's drop branch discards emit as
+  * (user, event_id, 'late') alongside the fold's
+  * (user, purchase_id, 'conv') conversions, so late data lands in an
+  * auditable channel instead of vanishing into a gauge. Runs on the
+  * `ooolate` replay, whose % 23 == 5 beyond-delay subset makes the
+  * branch fire deterministically (see the Replayer variant note — the
+  * r17 verdict's "untested branch": the plain ooo fixture's disorder
+  * is bounded BELOW the delay by design, so until S24 the drop path
+  * had no positive test).
+  *
+  * Semantics the oracle models in closed form: a row is late iff its
+  * ts_ms is below the operative watermark of its arrival batch
+  * (floor-ms(max ts arrived in PRIOR batches) − 24 h — computable
+  * because the fixture's file assignment is deterministic); late rows
+  * are EXCLUDED from the fold, so conversions are s8c's 24 h funnel
+  * over the SURVIVING rows, restricted to purchases under the final
+  * release horizon. The s24 oracle uses exact (ts, event_id) row
+  * comparisons (the tie-exact form), not the s8 family's ts-only
+  * convention. */
+class ReorderedFunnelLate(windowUs: Long)
+    extends ReorderingProcessor[FunnelEvent, (Long, Long, String)](
+      Encoders.product[FunnelEvent]) {
+  @transient private var st: ValueState[FunnelState] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[FunnelState](
+      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+  override protected def tsuOf(e: FunnelEvent): Long = e.tsu
+  override protected def idOf(e: FunnelEvent): Long = e.event_id
+  override protected def applyOrdered(user: Long, events: Seq[FunnelEvent])
+      : Seq[(Long, Long, String)] = {
+    val prev = Option(st.get()).getOrElse(FunnelState(Nil, Nil))
+    val (next, out) = FunnelProcessor.applyOrdered(
+      windowUs, prev, user, events)
+    st.update(next)
+    out.map { case (u, pid) => (u, pid, "conv") }
+  }
+  override protected def onLate(user: Long, events: Seq[FunnelEvent])
+      : Seq[(Long, Long, String)] =
+    events.map(e => (user, e.event_id, "late"))
 }
 
 /** S21b — timer-fired abandonment behind the reorder buffer. The sweep

@@ -42,6 +42,22 @@ import graft.core.Tables
   *           `late` variant cannot serve here: this corpus averages
   *           minutes between events, so a sub-delay displacement window
   *           of 10 min would move ~1 row per boundary (vacuous).
+  *  - ooolate: the `ooo` rule PLUS a deterministic BEYOND-DELAY subset:
+  *           rows with event_id % 23 == 5 that are OLDER than
+  *           fmax(file) − 24 h also move one file later. At their
+  *           arrival batch b+1 the operative watermark is
+  *           floor-ms(max ts arrived ≤ b) − 24 h ≥ (their own file's
+  *           surviving max) − 24 h > their ts, so the reorder buffer
+  *           must take its LATE-DROP branch — the fixture that makes
+  *           the side-output path (S24) positively testable. They still
+  *           clear Spark's LAGGING input filter (at arrival batch b+1
+  *           it uses batches ≤ b−1, all strictly BEFORE their own file
+  *           b: ts ≥ fmin(b) ≥ fmax(b−1) ≥ that filter basis
+  *           ≫ basis − 24 h), so every displaced row reaches the
+  *           processor — none vanish silently upstream. Boundary rows
+  *           in the (surviving-max, fmax] − 24 h sliver land ABOVE the
+  *           watermark and are merely buffered — harmless, and the
+  *           oracle applies the exact per-row predicate either way.
   *  - funnel: rows with event_id % 211 ∈ {0, 95, 190} are rewritten into
   *           synthetic view→click→purchase chains (chain g = event_id/211
   *           gets user FunnelUserBase+g, timestamps base + 2h·g + 10min·member)
@@ -144,7 +160,8 @@ object Replayer {
 
   /** Ensure a fixture variant exists; returns its directory. */
   def ensure(s: SparkSession, sfDir: String, variant: String): String = synchronized {
-    require(Set("clean", "late", "dup", "dup10", "funnel", "ooo")(variant),
+    require(Set("clean", "late", "dup", "dup10", "funnel", "ooo",
+        "ooolate")(variant),
       s"unknown replay variant: $variant")
     val dir = variantDir(sfDir, variant, "events")
     val done = dir.resolve("_DONE")
@@ -167,6 +184,23 @@ object Replayer {
             .withColumn("b", least(
               col("b0") + when(col("event_id") % 2 === 0 &&
                 col("ts") > col("fmax") - expr("INTERVAL 23 HOUR"), 1)
+                .otherwise(0),
+              lit(NumFiles - 1)))
+            .drop("b0", "fmax")
+        case "ooolate" =>
+          // the ooo rule PLUS the beyond-delay subset (see the variant
+          // note): % 23 == 5 rows older than fmax − 24 h also move one
+          // file later — guaranteed below the operative watermark at
+          // arrival, so the reorder buffer's late-drop branch fires
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("b0"))
+          ev.withColumn("b0", batchExpr(n, late = false))
+            .withColumn("fmax", max(col("ts")).over(w))
+            .withColumn("b", least(
+              col("b0") + when(
+                (col("event_id") % 2 === 0 &&
+                  col("ts") > col("fmax") - expr("INTERVAL 23 HOUR")) ||
+                (col("event_id") % 23 === 5 &&
+                  col("ts") <= col("fmax") - expr("INTERVAL 24 HOUR")), 1)
                 .otherwise(0),
               lit(NumFiles - 1)))
             .drop("b0", "fmax")

@@ -626,6 +626,31 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** The S24 runner — the 24 h funnel with the LATE-DATA SIDE OUTPUT
+    * (see [[ReorderedFunnelLate]]), variant-parameterized: the
+    * canonical query runs "ooolate" (its beyond-delay % 23 subset makes
+    * the drop branch fire deterministically); StreamingSpec also runs
+    * "ooo", where the late channel must be EMPTY and the conv rows must
+    * equal s8d's conversion set — the side output never perturbs the
+    * main fold. */
+  private[graft] def s24Run(s: SparkSession, d: String,
+                            variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, variant)
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    val tagged = ev.groupByKey(_.user_id)
+      .transformWithState(
+        new ReorderedFunnelLate(24L * 3600L * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, tagged.toDF("user_id", "ref_id", "kind"),
+                "append", RocksDbConf)
+      .orderBy(col("kind"), col("user_id"), col("ref_id"))
+  }
+
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =
     sharedCore(s, d, "interval_full_clean") {
       val src = Replayer.stream(s, d, "clean")
@@ -1217,6 +1242,25 @@ object Streams {
     // release horizon (a per-user (ts, event_id) prefix, so last-op
     // and lag(op) inside the restriction match the engine's fold).
     "s22b_cdc_ooo" -> ((s, d) => s22bRun(s, d, "ooo")),
+
+    // S24 — LATE-DATA SIDE OUTPUT (Flink's sideOutputLateData tag):
+    // the S8d funnel on the `ooolate` replay, whose % 23 == 5
+    // beyond-delay subset arrives BELOW the operative watermark by
+    // construction — the reorder buffer's drop branch (untested until
+    // this round: the plain ooo fixture bounds disorder under the
+    // delay BY DESIGN) fires deterministically and emits each dropped
+    // row as (user_id, event_id, 'late') alongside the fold's 'conv'
+    // rows, so late data lands in an auditable channel instead of
+    // vanishing into a gauge. The oracle computes the drop set in
+    // closed form (the deterministic file assignment gives the full
+    // per-batch watermark trajectory — the S7 discipline) and the
+    // conversions as the 24 h funnel over the SURVIVING rows under the
+    // final release horizon, with exact (ts, event_id) row comparisons
+    // (tie-exact, unlike the s8 family's documented ts-only
+    // convention). StreamingSpec pins: late channel == closed-form
+    // drop set, lateDropped gauge == |late|, main ≡ fold over
+    // clean-minus-drops, and the side output is inert on plain ooo.
+    "s24_late_sideoutput" -> ((s, d) => s24Run(s, d, "ooolate")),
 
     // S8d — the flagship funnel behind the reorder buffer: the 24 h
     // (s8c) form, which converts NATURALLY at every sf, so the plain
@@ -2644,6 +2688,69 @@ object Streams {
         |  CAST(c.nch AS BIGINT) AS n_changes
         |FROM finb f JOIN chgb c ON f.grp = c.grp
         |ORDER BY f.grp""".stripMargin,
+
+    // s24 — the late-drop set and the surviving-row funnel in closed
+    // form. The fixture's file assignment is deterministic, so the
+    // whole per-batch watermark trajectory is computable: g24 replays
+    // the ooolate displacement rule row-for-row, m24 is the running
+    // max arrival ts by batch, and a row is LATE iff its ts_ms is
+    // below floor-ms(m(b−1)) − 24 h at its arrival batch b — exactly
+    // the reorder buffer's drop predicate (the operative watermark is
+    // built from PRIOR batches). Conversions are the 24 h funnel over
+    // the surviving rows restricted to the final release horizon,
+    // with exact (ts, event_id) lexicographic comparisons — the
+    // engine's fold order, no tie convention needed.
+    "s24_late_sideoutput" ->
+      """WITH nn AS (
+        |  SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS bsz FROM events),
+        |a24 AS (
+        |  SELECT e.*, least(CAST(floor(e.event_id / nn.bsz) AS INT), 4)
+        |    AS b0
+        |  FROM events e CROSS JOIN nn),
+        |f24 AS (SELECT b0, max(ts) AS fmax FROM a24 GROUP BY b0),
+        |g24 AS (
+        |  SELECT a.*, least(a.b0 + CASE WHEN
+        |      (a.event_id % 2 = 0 AND a.ts > f.fmax - INTERVAL 23 HOUR)
+        |      OR (a.event_id % 23 = 5 AND a.ts <= f.fmax - INTERVAL 24 HOUR)
+        |    THEN 1 ELSE 0 END, 4) AS b
+        |  FROM a24 a JOIN f24 f USING (b0)),
+        |m24 AS (
+        |  SELECT b, max(mx) OVER (ORDER BY b) AS mb
+        |  FROM (SELECT b, max(ts) AS mx FROM g24 GROUP BY b)),
+        |w24 AS (
+        |  SELECT b,
+        |    (epoch_us(lag(mb) OVER (ORDER BY b)) // 1000) - 86400000
+        |      AS wm_ms
+        |  FROM m24),
+        |lt24 AS (
+        |  SELECT g.user_id, g.event_id
+        |  FROM g24 g JOIN w24 w USING (b)
+        |  WHERE w.wm_ms IS NOT NULL
+        |    AND (epoch_us(g.ts) // 1000) < w.wm_ms),
+        |sv24 AS (
+        |  SELECT * FROM g24
+        |  WHERE event_id NOT IN (SELECT event_id FROM lt24)),
+        |fw24 AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM events),
+        |cv24 AS (
+        |  SELECT p.user_id, p.event_id
+        |  FROM sv24 p CROSS JOIN fw24
+        |  WHERE p.event_type = 'purchase'
+        |    AND (epoch_us(p.ts) // 1000) < fw24.wm_ms
+        |    AND EXISTS (
+        |      SELECT 1 FROM sv24 c
+        |      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |        AND (c.ts, c.event_id) < (p.ts, p.event_id)
+        |        AND EXISTS (
+        |          SELECT 1 FROM sv24 v
+        |          WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |            AND (v.ts, v.event_id) < (c.ts, c.event_id)
+        |            AND v.ts >= p.ts - INTERVAL 24 HOUR)))
+        |SELECT user_id, event_id AS ref_id, 'conv' AS kind FROM cv24
+        |UNION ALL
+        |SELECT user_id, event_id AS ref_id, 'late' AS kind FROM lt24
+        |ORDER BY kind, user_id, ref_id""".stripMargin,
 
     // s23 — the rule schedule replayed against the deterministic file
     // assignment (Replayer.batchExpr): an event is flagged under the

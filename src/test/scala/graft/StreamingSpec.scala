@@ -1495,6 +1495,84 @@ class StreamingSpec extends AnyFunSuite {
       s"buffer high-water $hw exceeds the batch+delay bound ${m1 + m2}")
   }
 
+  test("S24: the ooolate replay fires the late-drop branch — the side " +
+       "output equals the closed-form drop set, the gauge matches, the " +
+       "main fold equals the funnel over clean-minus-drops, and the " +
+       "channel is inert on plain ooo") {
+    import graft.streaming.{FunnelEvent, FunnelProcessor, FunnelState,
+      ReorderingProcessor, Streams}
+    val evs = Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .collect()
+      .map(r => FunnelEvent(r.getLong(0), r.getLong(2), r.getLong(1),
+        r.getString(3)))
+    // replay the ooolate displacement + watermark trajectory in closed
+    // form (the s24 oracle's g24/m24/w24 chain, driver-side)
+    val n = evs.length.toLong
+    val bsz = (n + Replayer.NumFiles - 1) / Replayer.NumFiles
+    def b0(id: Long): Int =
+      math.min(id / bsz, (Replayer.NumFiles - 1).toLong).toInt
+    val fmax = evs.groupBy(e => b0(e.event_id))
+      .view.mapValues(_.map(_.tsu).max).toMap
+    val h23 = 23L * 3600 * 1000000L
+    val h24 = 24L * 3600 * 1000000L
+    def assigned(e: FunnelEvent): Int = {
+      val b = b0(e.event_id)
+      val move = (e.event_id % 2 == 0 && e.tsu > fmax(b) - h23) ||
+        (e.event_id % 23 == 5 && e.tsu <= fmax(b) - h24)
+      math.min(b + (if (move) 1 else 0), Replayer.NumFiles - 1)
+    }
+    val byB = evs.groupBy(assigned)
+    val mb = (0 until Replayer.NumFiles).map(b =>
+      (0 to b).flatMap(byB.get).flatten.map(_.tsu).max)
+    def wm(b: Int): Long =
+      if (b == 0) Long.MinValue else mb(b - 1) / 1000 - 86400000L
+    val late = evs.filter(e => e.tsu / 1000 < wm(assigned(e)))
+      .map(e => (e.user_id, e.event_id)).toSet
+    assert(late.nonEmpty,
+      "fixture produced no beyond-delay rows — the drop branch is " +
+      "untested (vacuous)")
+    val surviving = evs.filterNot(e => late((e.user_id, e.event_id)))
+    val finalWm = evs.map(_.tsu).max / 1000 - 86400000L
+    val expectedConv = surviving.groupBy(_.user_id).toSeq.flatMap {
+      case (u, es) =>
+        val sorted = es.sortBy(e => (e.tsu, e.event_id)).toSeq
+        val (_, out) =
+          FunnelProcessor.applyOrdered(h24, FunnelState(Nil, Nil), u, sorted)
+        val released =
+          es.filter(e => e.tsu / 1000 < finalWm).map(_.event_id).toSet
+        out.filter { case (_, pid) => released(pid) }
+    }.toSet
+    ReorderingProcessor.resetGauges()
+    val rows = Streams.s24Run(s, sf, "ooolate").collect()
+    val gotLate = rows.filter(_.getString(2) == "late")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotConv = rows.filter(_.getString(2) == "conv")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotLate.size + gotConv.size == rows.length,
+      "duplicate or unknown-tag rows in the s24 output")
+    assert(gotLate == late,
+      s"late side output diverged from the closed-form drop set: " +
+      s"engine ${gotLate.size} rows, model ${late.size}")
+    assert(ReorderingProcessor.lateDropped.get() == late.size.toLong,
+      "lateDropped gauge disagrees with the emitted late channel")
+    assert(gotConv == expectedConv,
+      "main fold diverged from the funnel over clean-minus-drops")
+    // plain ooo (disorder bounded under the delay): the side output is
+    // inert and the conversions equal s8d's — the tag adds a channel,
+    // never perturbs the fold
+    val oooRows = Streams.s24Run(s, sf, "ooo").collect()
+    assert(!oooRows.exists(_.getString(2) == "late"),
+      "late rows emitted on the bounded-disorder ooo replay")
+    val convCounts = oooRows.filter(_.getString(2) == "conv")
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val s8d = Streams.s8dRun(s, sf, "ooo").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(convCounts == s8d,
+      "s24's conv channel diverged from s8d on the same replay")
+  }
+
   test("S21b: the reorder buffer SURVIVES a kill-and-restart — buffered " +
        "events, walking release timers and deadline timers pending at " +
        "the crash are restored from the checkpoint and the emission " +
