@@ -81,6 +81,99 @@ class AbandonProcessor(windowUs: Long)
   }
 }
 
+/** Per-user S21c state: open views with their partial-match payload —
+  * (view_tsu, view_id, n_clicks, max_click_id; −1 = none yet). */
+case class PartialState(views: Seq[(Long, Long, Long, Long)])
+
+/** S21c — TIMED-OUT PARTIAL MATCHES (Flink CEP's
+  * `timedOutPartialMatches` side output): where S21 emits only the bare
+  * (user, view_id) absence fact, this processor emits the PARTIAL
+  * SEQUENCE the pattern had accumulated when its window expired — the
+  * view plus the clicks seen before timeout (count and max id), i.e.
+  * "view → click → ¬purchase within 2 h" with the prefix payload. Timer
+  * mechanics, suppression rule and firing horizon are EXACTLY S21's
+  * (see AbandonProcessor's scaladoc for the pinned timers-first /
+  * same-batch-impossibility argument — it covers the click payload too:
+  * any click with tsu ≤ deadline precedes the watermark-driving event
+  * in stream order and so lands in a strictly earlier batch than the
+  * firing); StreamingSpec pins that the (user, view_id) projection of
+  * this operator's output equals S21's output row-for-row.
+  *
+  * A click joins every open view whose window covers it (tsu ≤ view +
+  * W; tsu ≥ view holds by application order). An answering purchase
+  * discards the partial match — Flink reports it as a COMPLETED match
+  * elsewhere, not a timeout. State = open views × payload (two extra
+  * longs over S21's), same rate × W budget.
+  *
+  * 100 TB: one user_id shuffle, state bounded by rate × W per user,
+  * timers RocksDB-range-scanned per batch — O(fired). */
+class PartialTimeoutProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, (Long, Long, Long, Long)] {
+
+  @transient private var st: ValueState[PartialState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[PartialState](
+      "partial", Encoders.product[PartialState], TTLConfig.NONE)
+
+  private def winMs = windowUs / 1000
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: TimerValues)
+      : Iterator[(Long, Long, Long, Long)] = {
+    val pending0 = Option(st.get()).map(_.views.toList).getOrElse(Nil)
+    val (pending, deadlines) = PartialTimeoutProcessor.applyOrdered(
+      windowUs, pending0, rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    deadlines.foreach(getHandle.registerTimer)
+    st.update(PartialState(pending))
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo)
+      : Iterator[(Long, Long, Long, Long)] = {
+    val horizon = info.getExpiryTimeInMs
+    val prev = Option(st.get()).map(_.views.toList).getOrElse(Nil)
+    val (expired, keep) = prev.partition(v => v._1 / 1000 + winMs <= horizon)
+    st.update(PartialState(keep))
+    expired.sortBy(v => (v._1, v._2))
+      .map(v => (user, v._2, v._3, v._4)).iterator
+  }
+}
+
+object PartialTimeoutProcessor {
+  /** The ordered fold, unit-testable without a streaming harness: apply
+    * `events` — ALREADY in (tsu, event_id) order — to the open-view
+    * payload list; returns the new list and the ms deadlines to
+    * register. Clicks update every open view whose window covers them;
+    * an answering purchase removes the view (completed, not timed out). */
+  def applyOrdered(windowUs: Long,
+                   pending0: List[(Long, Long, Long, Long)],
+                   events: Seq[FunnelEvent])
+      : (List[(Long, Long, Long, Long)], Seq[Long]) = {
+    val winMs = windowUs / 1000
+    var pending = pending0
+    val deadlines = scala.collection.mutable.ListBuffer[Long]()
+    events.foreach { e =>
+      e.event_type match {
+        case "view" =>
+          pending ::= ((e.tsu, e.event_id, 0L, -1L))
+          deadlines += e.tsu / 1000 + winMs
+        case "click" =>
+          pending = pending.map(v =>
+            if (e.tsu <= v._1 + windowUs)
+              (v._1, v._2, v._3 + 1, math.max(v._4, e.event_id))
+            else v)
+        case "purchase" =>
+          pending = pending.filterNot(v =>
+            v._1 <= e.tsu && e.tsu <= v._1 + windowUs)
+        case _ => ()
+      }
+    }
+    (pending, deadlines.toSeq)
+  }
+}
+
 object AbandonProcessor {
   /** The ordered event fold shared with the out-of-order
     * (watermark-reordering) variant: apply `events` — ALREADY in

@@ -449,6 +449,24 @@ object Streams {
       .toDF("user_id", "view_id")
   }
 
+  /** The S21c STREAMING frame (user_id, view_id, n_clicks,
+    * max_click_id) — S21's timer machinery extended with the
+    * partial-match payload (see [[PartialTimeoutProcessor]]); shared
+    * with StreamingSpec's S21-projection pin. */
+  private[graft] def s21cPartials(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+      .withWatermark("ts", WatermarkDelay)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    ev.groupByKey(_.user_id)
+      .transformWithState(new PartialTimeoutProcessor(AbandonWindowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "view_id", "n_clicks", "max_click_id")
+  }
+
   /** The OOO runners (S20b/S4c/S21b here; S18b/S22b/S8d below follow
     * the same shape), variant-parameterized so
     * StreamingSpec can pin replay-order invariance: the same pipeline
@@ -1149,6 +1167,22 @@ object Streams {
     // user (rate × window), timers range-scanned per batch.
     "s21_abandon_timer" -> ((s, d) =>
       runToMemory(s, s21Abandoned(s, d), "append", RocksDbConf)
+        .orderBy(col("user_id"), col("view_id"))),
+
+    // S21c — TIMED-OUT PARTIAL MATCHES (Flink CEP's
+    // timedOutPartialMatches side output): S21 reports only THAT a
+    // view was abandoned; this operator reports WHAT the pattern had
+    // matched when its 2 h window expired — the view plus the clicks
+    // seen before timeout (count + max id, −1 when none). Same
+    // event-time timers, same suppression rule, same firing horizon
+    // (the S21 oracle's ms-floored deadline ≤ final-wm model);
+    // StreamingSpec pins that the (user, view) projection equals S21's
+    // output exactly and unit-pins the payload fold. NoFinalBatch NOT
+    // set — the trailing watermark advance fires the last deadlines.
+    // 100 TB: one user_id shuffle, state = open views × payload
+    // (rate × window), timers O(fired) per batch.
+    "s21c_partial_timeout" -> ((s, d) =>
+      runToMemory(s, s21cPartials(s, d), "append", RocksDbConf)
         .orderBy(col("user_id"), col("view_id"))),
 
     // S18 — STREAMING SCD2 maintenance (the CDC-apply face of J16's
@@ -2437,6 +2471,43 @@ object Streams {
         |      AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 7200000000)
         |  AND (v.tsu // 1000) + 7200000 <= mx21.wm_ms
         |ORDER BY user_id, view_id""".stripMargin,
+
+    // s21c — the s21 horizon model extended with the partial payload:
+    // per timed-out view, the clicks the engine saw before expiry are
+    // exactly those lexicographically after the view (the fold's
+    // application order, exact — no tie convention needed) within its
+    // 2 h window; LEFT JOIN + coalesce(−1) models the no-clicks case.
+    "s21c_partial_timeout" ->
+      """WITH mx21c AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 600000 AS wm_ms
+        |  FROM events),
+        |v21c AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'view'),
+        |p21c AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'purchase'),
+        |c21c AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS tsu
+        |  FROM events WHERE event_type = 'click'),
+        |ab21c AS (
+        |  SELECT v.user_id, v.event_id AS view_id, v.ts AS vts,
+        |    v.event_id AS vid, v.tsu
+        |  FROM v21c v, mx21c
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM p21c p
+        |      WHERE p.user_id = v.user_id
+        |        AND p.tsu >= v.tsu AND p.tsu <= v.tsu + 7200000000)
+        |    AND (v.tsu // 1000) + 7200000 <= mx21c.wm_ms)
+        |SELECT a.user_id, a.view_id,
+        |  CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+        |  coalesce(max(c.event_id), -1) AS max_click_id
+        |FROM ab21c a LEFT JOIN c21c c
+        |  ON c.user_id = a.user_id
+        | AND (c.ts, c.event_id) > (a.vts, a.vid)
+        | AND c.tsu <= a.tsu + 7200000000
+        |GROUP BY a.user_id, a.view_id
+        |ORDER BY a.user_id, a.view_id""".stripMargin,
 
     // s20c — strict contiguity in closed form over the funnel-variant
     // rewrite (the s8b CTE, reproduced row-for-row): a purchase

@@ -1242,6 +1242,43 @@ class StreamingSpec extends AnyFunSuite {
       s"${ref.length} — pending timers were lost or double-fired")
   }
 
+  test("S21c: the partial-match fold counts in-window clicks, ignores " +
+       "out-of-window ones, and drops answered views — and the engine's " +
+       "(user, view) projection equals S21's output exactly") {
+    import graft.streaming.{FunnelEvent, PartialTimeoutProcessor, Streams}
+    val W = 2L * 3600L * 1000000L // 2 h in µs
+    def e(id: Long, tsu: Long, typ: String) = FunnelEvent(id, tsu, 7L, typ)
+    // view v1 at t=0 with in-window clicks at +10m/+20m; view v2 at +1h
+    // answered by a purchase at +2h30m (inside v2's [1h, 3h] window,
+    // outside v1's [0, 2h] — v1 stays open); a click at +3h falls
+    // outside v1's window and must not count
+    val min = 60L * 1000000L
+    val (pending, deadlines) = PartialTimeoutProcessor.applyOrdered(
+      W, Nil, Seq(
+        e(1, 0, "view"),
+        e(2, 10 * min, "click"),
+        e(3, 20 * min, "click"),
+        e(4, 60 * min, "view"),
+        e(5, 150 * min, "purchase"), // answers v2 only (v1 window ends 120m)
+        e(6, 180 * min, "click")     // outside v1's window — not counted
+      ))
+    assert(deadlines == Seq(0L / 1000 + W / 1000, 60 * min / 1000 + W / 1000))
+    assert(pending == List((0L, 1L, 2L, 3L)),
+      s"expected v1 open with 2 clicks (max id 3), v2 answered; got $pending")
+    // engine vs S21: same timers, same horizon — the projection must be
+    // row-identical; the payload face is gated by the s21c oracle hash
+    val partials = Streams.queries("s21c_partial_timeout")(s, sf).collect()
+    val proj = partials.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val s21 = Streams.queries("s21_abandon_timer")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(proj == s21,
+      "s21c's (user, view) projection diverged from s21's output")
+    // and the payload is non-vacuous at this sf: some partial carries
+    // at least one click (−1 sentinel otherwise)
+    assert(partials.exists(_.getLong(2) > 0),
+      "no timed-out partial carries a click — payload face vacuous")
+  }
+
   test("S4b: the temporal join's bands agree with an as-of join " +
        "against S18's OWN version stream, a version-straddling event " +
        "and a pre-first-version event both exist and carry the right " +
