@@ -19,15 +19,22 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * form that converts NATURALLY at every shipped sf (14 purchases at
   * sf0.001, 143 at sf0.01) — state stays bounded by the per-user
   * trailing window either way.
-  */
-class FunnelProcessor(windowUs: Long = 3600L * 1000000L)
+  *
+  * `ttl` (S25): a real processing-time state TTL — Spark evicts a
+  * user's FunnelState once it goes unwritten for the duration (TTL
+  * requires TimeMode.ProcessingTime; the s8-family queries pass NONE
+  * and keep TimeMode.None). Production use: bound state on unbounded
+  * key spaces where the watermark cannot (a user who never returns
+  * holds trailing-window state forever without it). */
+class FunnelProcessor(windowUs: Long = 3600L * 1000000L,
+                      ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[Long, FunnelEvent, (Long, Long)] {
 
   @transient private var st: ValueState[FunnelState] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     st = getHandle.getValueState[FunnelState](
-      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+      "funnel", Encoders.product[FunnelState], ttl)
 
   override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
                                timers: TimerValues): Iterator[(Long, Long)] = {

@@ -669,6 +669,66 @@ object Streams {
       .orderBy(col("kind"), col("user_id"), col("ref_id"))
   }
 
+  /** S25's TTL and inter-batch pacing gap (ms). Determinism argument:
+    * TTL expiry is evaluated against per-batch timestamps, and every
+    * state write of batch b happens before the runner's end-of-batch
+    * sleep, so the gap from batch b's last write to batch b+1's first
+    * read is ≥ S25GapMs > S25TtlMs — cross-batch state is ALWAYS
+    * expired; within one batch a key's state is read and written in a
+    * single handleInputRows invocation against one batch timestamp —
+    * never expired. Either direction holds under either clock
+    * convention (batch timestamp or write-time wall clock), so the
+    * result is exactly "state never survives a batch boundary" — a
+    * deterministic, hash-gateable restriction of the funnel. */
+  private[graft] val S25TtlMs = 1000L
+  private[graft] val S25GapMs = 2500L
+
+  /** S25 body — the s8b funnel with a REAL state TTL (see the
+    * FunnelProcessor ttl param; TimeMode.ProcessingTime as TTL
+    * requires), paced so every batch boundary exceeds the TTL. Returns
+    * (result, query) — the spec reads the query's TTL-eviction metrics,
+    * the canonical entry takes the table (the s13Run shape). */
+  private[graft] def s25Run(s: SparkSession, d: String)
+      : (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "funnel")
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+              col("user_id"), col("event_type"))
+      .as[FunnelEvent]
+    val conv = ev.groupByKey(_.user_id)
+      .transformWithState(
+        new FunnelProcessor(HourUs,
+          org.apache.spark.sql.streaming.TTLConfig(
+            java.time.Duration.ofMillis(S25TtlMs))),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF("user_id", "purchase_id")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = Replayer.checkpoint()
+    val q = try {
+      ConfScope.withConf(s, Map(
+        "spark.sql.shuffle.partitions" -> streamPartitions) ++
+        RocksDbConf ++ NoFinalBatch) {
+        val q = conv.writeStream
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            batch.collect().foreach(r =>
+              buf.add((r.getLong(0), r.getLong(1))))
+            // pace the NEXT batch past the TTL; skip after the last file
+            if (id < Replayer.NumFiles - 1) Thread.sleep(S25GapMs)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(); q
+      }
+    } finally Replayer.dropCheckpoint(ckpt)
+    import scala.jdk.CollectionConverters._
+    val rows = buf.asScala.toSeq
+    (s.createDataFrame(rows).toDF("user_id", "purchase_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("user_id")), q)
+  }
+
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =
     sharedCore(s, d, "interval_full_clean") {
       val src = Replayer.stream(s, d, "clean")
@@ -1306,6 +1366,27 @@ object Streams {
     // released (everything a conversion depends on is strictly earlier,
     // so the purchase's release point sees the full in-order prefix).
     "s8d_funnel_ooo" -> ((s, d) => s8dRun(s, d, "ooo")),
+
+    // S25 — STATE TTL (Flink's StateTtlConfig face): the s8b funnel run
+    // with a REAL TTLConfig instead of NONE — per-user state Spark
+    // evicts after the declared idle period, the production bound for
+    // unbounded key spaces the watermark cannot protect (a user who
+    // never returns otherwise holds trailing-window state forever).
+    // Determinism under a wall-clock feature (see s25Run): the replay
+    // is PACED so every batch boundary exceeds the TTL while
+    // within-batch state never expires — so the semantics are exactly
+    // "state never crosses a micro-batch boundary", a closed form the
+    // oracle replays per (user, batch-file). Eviction is
+    // RESULT-AFFECTING and therefore hash-gated: the funnel variant's
+    // injected chains mostly straddle file boundaries (member spacing
+    // 95 ids vs file size ~n/5), and a straddling chain must NOT
+    // convert — an unexpired carry-over would restore s8b's count and
+    // break the hash. StreamingSpec additionally pins
+    // numValuesRemovedDueToTTLExpiry > 0 (rows physically removed) and
+    // s25 ⊊ s8b. 100 TB: TTL state costs one secondary-index write per
+    // update and an expired-range scan per batch — O(updates), the
+    // RocksDB-native idle-state bound.
+    "s25_ttl_funnel" -> ((s, d) => s25Run(s, d)._1),
 
     // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
     // aggregate fed by a changelog (upsert/delete ops derived
@@ -2332,6 +2413,47 @@ object Streams {
         |    AND EXISTS (
         |      SELECT 1 FROM rt v
         |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 1 HOUR))
+        |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    // s25 — the TTL-paced funnel in closed form: state never crosses a
+    // batch boundary (see the query comment), so a purchase converts
+    // iff its click and view live in the SAME batch file — the s8b
+    // funnel with every EXISTS restricted to the purchase's b. Same
+    // ts-only tie convention as the s8 family (documented above;
+    // injected chain members are 10 minutes apart, never tied).
+    "s25_ttl_funnel" ->
+      s"""WITH rt25 AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 211 IN (0, 95, 190)
+        |      THEN TIMESTAMP '2024-03-01 00:00:00'
+        |           + ((event_id // 211) * 7200
+        |              + ((event_id % 211) // 95) * 600) * INTERVAL 1 SECOND
+        |      ELSE ts END AS ts,
+        |    CASE WHEN event_id % 211 IN (0, 95, 190)
+        |      THEN ${Replayer.FunnelUserBase} + event_id // 211 ELSE user_id END AS user_id,
+        |    CASE WHEN event_id % 211 = 0 THEN 'view'
+        |         WHEN event_id % 211 = 95 THEN 'click'
+        |         WHEN event_id % 211 = 190 THEN 'purchase'
+        |         ELSE event_type END AS event_type
+        |  FROM events),
+        |nn25 AS (
+        |  SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS bsz FROM events),
+        |rb25 AS (
+        |  SELECT rt.*, least(CAST(floor(rt.event_id / nn25.bsz) AS INT), 4)
+        |    AS b
+        |  FROM rt25 rt CROSS JOIN nn25),
+        |p25 AS (SELECT * FROM rb25 WHERE event_type = 'purchase')
+        |SELECT p.user_id, count(*) AS n_conversions
+        |FROM p25 p
+        |WHERE EXISTS (
+        |  SELECT 1 FROM rb25 c
+        |  WHERE c.user_id = p.user_id AND c.b = p.b
+        |    AND c.event_type = 'click' AND c.ts <= p.ts
+        |    AND EXISTS (
+        |      SELECT 1 FROM rb25 v
+        |      WHERE v.user_id = p.user_id AND v.b = p.b
+        |        AND v.event_type = 'view'
         |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 1 HOUR))
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
 

@@ -1725,6 +1725,27 @@ class StreamingSpec extends AnyFunSuite {
       "no effective delete reached the aggregate — retraction vacuous")
   }
 
+  test("S25: a real state TTL evicts cross-batch funnel state — rows " +
+       "are physically removed (TTL metric > 0) and straddling chains " +
+       "no longer convert (s25 strictly under s8b)") {
+    import graft.streaming.Streams
+    val (df, q) = Streams.s25Run(s, sf)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s8b = SparkEntry.queries("s8b_funnel_injected")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "TTL funnel emitted nothing — vacuous")
+    assert(got.forall { case (u, n) => n <= s8b.getOrElse(u, 0L) },
+      "the TTL run converted a purchase the un-TTL'd funnel does not")
+    assert(got.values.sum < s8b.values.sum,
+      "TTL evicted nothing — every cross-boundary chain still converted")
+    // the GONE proof: Spark's TTL cleanup physically removed state rows
+    val removed = q.recentProgress.flatMap(_.stateOperators)
+      .flatMap(o =>
+        Option(o.customMetrics.get("numValuesRemovedDueToTTLExpiry")))
+      .map(_.longValue).sum
+    assert(removed > 0, "no state row was removed by TTL expiry")
+  }
+
   test("S23: the dynamic-rule change takes effect exactly at its batch " +
        "boundary — every per-batch output matches that batch's own " +
        "threshold, and the change is observable at batch 2") {
