@@ -61,6 +61,57 @@ class CdcProcessor
   }
 }
 
+/** A delta row carrying its op's EVENT TIME — the S22c output shape:
+  * downstream event-time operators (the windowed aggregate) window on
+  * `ts`, which transformWithState's eventTimeColumnName overload marks
+  * as the new event-time column. */
+case class CdcDelta(user_id: Long, seq_id: Long, delta: Long,
+                    ts: java.sql.Timestamp)
+
+/** S22c — the CDC consumer whose deltas feed a DOWNSTREAM EVENT-TIME
+  * WINDOWED AGGREGATE in the SAME streaming query (Flink: a retract
+  * stream flowing into a windowed group-agg; the junction the r17
+  * verdict named): identical fold to [[CdcProcessor]] (single-sourced
+  * via applyOps), but each emitted delta carries its op's event time so
+  * Spark's chained-stateful support (the eventTimeColumnName
+  * transformWithState overload) can window it — a delete's −v delta
+  * lands in the delete's OWN hour and reduces exactly that window's
+  * net. State and scale budget identical to S22. */
+class CdcTimedProcessor
+    extends StatefulProcessor[Long, CdcOp, CdcDelta] {
+
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long](
+      "cur", Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[CdcOp],
+                               timers: TimerValues): Iterator[CdcDelta] = {
+    val ops = rows.toSeq.sortBy(o => (o.tsu, o.event_id))
+    val tsuById = ops.iterator.map(o => o.event_id -> o.tsu).toMap
+    val cur0 = if (st.exists()) Some(st.get()) else None
+    val (cur, out) = CdcProcessor.applyOps(cur0, user, ops)
+    cur match {
+      case Some(v) => st.update(v)
+      case None    => st.clear()
+    }
+    out.iterator.map { case (u, sid, d) =>
+      CdcDelta(u, sid, d, CdcTimedProcessor.tsOf(tsuById(sid)))
+    }
+  }
+}
+
+object CdcTimedProcessor {
+  /** Exact µs → java.sql.Timestamp (setNanos carries the full
+    * microsecond fraction — no millis truncation). */
+  def tsOf(tsu: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(tsu, 1000L))
+    t.setNanos((Math.floorMod(tsu, 1000000L) * 1000L).toInt)
+    t
+  }
+}
+
 object CdcProcessor {
   /** The changelog fold, unit-testable without a streaming harness:
     * apply `ops` — ALREADY in (tsu, event_id) order — to the key's

@@ -669,6 +669,31 @@ object Streams {
       .orderBy(col("kind"), col("user_id"), col("ref_id"))
   }
 
+  /** The S22c STREAMING plan — changelog consumer → event-time tumbling
+    * window aggregate, chained in ONE IncrementalExecution (the
+    * multi-stateful junction: TWS's eventTimeColumnName overload marks
+    * the delta's op time as the downstream event-time column). Shared
+    * with StreamingSpec's two-state-stores pin. */
+  private[graft] def s22cPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ops = Replayer.stream(s, d, "clean")
+      .withWatermark("ts", WatermarkDelay)
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+        (col("event_id") % 5 =!= 0).as("isUpsert"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("user_id"))
+      .as[(Long, Long, Boolean, Long, Long)]
+    val deltas = ops.groupByKey(_._5)
+      .mapValues(t => CdcOp(t._1, t._2, t._3, t._4))
+      .transformWithState(new CdcTimedProcessor(), "ts",
+        OutputMode.Append())
+    deltas.toDF()
+      .groupBy(window(col("ts"), "1 hour"),
+               (col("user_id") % 10).as("grp"))
+      .agg(sum(col("delta")).as("net_cents"),
+           count(lit(1)).as("n_changes"))
+  }
+
   /** S25's TTL and inter-batch pacing gap (ms). Determinism argument:
     * TTL expiry is evaluated against per-batch timestamps, and every
     * state write of batch b happens before the runner's end-of-batch
@@ -1418,6 +1443,28 @@ object Streams {
              count(lit(1)).as("n_changes"))
         .orderBy(col("grp"))
     }),
+
+    // S22c — CHANGELOG → EVENT-TIME WINDOWED AGGREGATE in one query
+    // (Flink: a retract stream consumed by a windowed group-agg —
+    // updates flowing through; the composition S22 left to batch): the
+    // CDC consumer's deltas, each carrying its op's event time, feed a
+    // watermarked 1 h tumbling window × (user % 10) aggregate INSIDE
+    // the same IncrementalExecution — Spark 4's chained-stateful
+    // support via transformWithState's eventTimeColumnName overload
+    // (the S11 precedent with a TWS operator upstream). A delete's −v
+    // delta lands in the delete's own hour: retraction reduces exactly
+    // that window's net (StreamingSpec pins both state stores ran and
+    // that closed windows genuinely contain effective deletes). Append
+    // mode end-to-end; the oracle replays per-op deltas in closed form
+    // (the s22 lag model), windows them, and applies the s11 strict
+    // eviction horizon. 100 TB: one user_id shuffle into the CDC
+    // state, one (window × grp) shuffle into the agg — agg state is
+    // |open windows| × 10 groups; deltas map-side combine.
+    "s22c_cdc_windowed" -> ((s, d) =>
+      runToMemory(s, s22cPlan(s, d), "append", RocksDbConf)
+        .select(col("window.start").as("win_start"), col("grp"),
+                col("net_cents"), col("n_changes"))
+        .orderBy(col("win_start"), col("grp"))),
 
     // S23 — BROADCAST-STATE DYNAMIC RULES (Flink's
     // KeyedBroadcastProcessFunction idiom — a control stream
@@ -2823,6 +2870,41 @@ object Streams {
         |  CAST(c.nch AS BIGINT) AS n_changes
         |FROM fin f JOIN chg c ON f.grp = c.grp
         |ORDER BY f.grp""".stripMargin,
+
+    // s22c — per-op deltas in closed form (the s22 lag model: an
+    // upsert's delta is cents − previous live value, a delete emits
+    // −previous cents only when live), windowed by the op's own hour,
+    // with the s11 strict append-mode eviction horizon on the final
+    // watermark. A delete reduces exactly its own window's net.
+    "s22c_cdc_windowed" ->
+      """WITH ch22c AS (
+        |  SELECT user_id, event_id, ts,
+        |    (event_id % 5 <> 0) AS isup,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |o22c AS (
+        |  SELECT user_id, event_id, ts, isup, cents,
+        |    lag(isup) OVER w AS pup, lag(cents) OVER w AS pcents
+        |  FROM ch22c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d22c AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN isup THEN cents -
+        |           (CASE WHEN coalesce(pup, false) THEN pcents ELSE 0 END)
+        |         ELSE -pcents END AS delta
+        |  FROM o22c
+        |  WHERE isup OR coalesce(pup, false)),
+        |fw22c AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |agg22c AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 10 AS grp,
+        |    CAST(sum(delta) AS BIGINT) AS net_cents,
+        |    count(*) AS n_changes
+        |  FROM d22c GROUP BY 1, 2)
+        |SELECT a.win_start, a.grp, a.net_cents, a.n_changes
+        |FROM agg22c a CROSS JOIN fw22c
+        |WHERE a.win_start + INTERVAL 1 HOUR < fw22c.w
+        |ORDER BY a.win_start, a.grp""".stripMargin,
 
     // s8d — s8c's 24 h nested-EXISTS funnel restricted to purchases
     // under the release horizon (clicks/views gate nothing: they are

@@ -1725,6 +1725,46 @@ class StreamingSpec extends AnyFunSuite {
       "no effective delete reached the aggregate — retraction vacuous")
   }
 
+  test("S22c: the changelog consumer and the windowed aggregate run as " +
+       "TWO state stores in ONE query, and closed windows genuinely " +
+       "contain retractions") {
+    import graft.streaming.Streams
+    val ckpt = Files.createTempDirectory("graft_s22c_pin").toString
+    val q = graft.core.ConfScope.withConf(s, Streams.RocksDbConf) {
+      val q = Streams.s22cPlan(s, sf).writeStream.format("memory")
+        .queryName("s22c_pin").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val ops = q.recentProgress.flatMap(_.stateOperators.map(_.operatorName))
+      .distinct.toSet
+    assert(ops.size == 2 && ops.contains("stateStoreSave") &&
+      ops.exists(_.toLowerCase.contains("transformwithstate")),
+      s"expected TWS + windowed-agg state stores in ONE query, got $ops")
+    assert(s.table("s22c_pin").count() > 0, "chained query emitted nothing")
+    // non-vacuity of the retraction junction: some EFFECTIVE delete
+    // (previous op was an upsert) falls inside a window the final
+    // watermark closed, so the gated result really exercises a
+    // retraction flowing through the window aggregate
+    val evs = Tables.events(s, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val maxTsu = evs.map(_._2).max
+    val horizonUs = maxTsu - 600L * 1000000L // final wm = max − 10 min
+    val closedDeletes = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.zip((null: (Long, Long, Long)) +: sorted.init).filter {
+        case (cur, prev) =>
+          cur._3 % 5 == 0 && prev != null && prev._3 % 5 != 0 &&
+            (cur._2 / 3600000000L) * 3600000000L + 3600000000L < horizonUs
+      }
+    }
+    assert(closedDeletes.nonEmpty,
+      "no effective delete inside a closed window — retraction face vacuous")
+  }
+
   test("S25: a real state TTL evicts cross-batch funnel state — rows " +
        "are physically removed (TTL metric > 0) and straddling chains " +
        "no longer convert (s25 strictly under s8b)") {
