@@ -1532,6 +1532,56 @@ class StreamingSpec extends AnyFunSuite {
       s"buffer high-water $hw exceeds the batch+delay bound ${m1 + m2}")
   }
 
+  test("S5 family ooo invariance: Spark's symmetric-hash interval join " +
+       "needs no reorder buffer — with a watermark delay covering the " +
+       "disorder, the ooo replay's full-outer join equals clean's " +
+       "row-for-row, outer rows included") {
+    // The reorder-buffer sextet hardened the CUSTOM stateful folds;
+    // the s5 interval-join family rides Spark's own stream-stream join
+    // state, which handles bounded disorder BY DESIGN (rows buffer in
+    // join state until the watermark proves no partner can arrive).
+    // This pin closes the ooo-invariance story for the whole S-series:
+    // run the s5c full-outer shape (it subsumes inner/left — matched
+    // rows and both outer sides) at the 24 h OooDelay on both replays
+    // and require identical multisets. Final results agree because the
+    // two variants share the data, the global max (hence the final
+    // eviction horizon), and disorder (23 h) < delay (24 h) keeps every
+    // joinable partner in state at arrival.
+    def run(variant: String): Seq[(Option[Long], Option[Long])] = {
+      val src = Replayer.stream(s, sf, variant)
+      val p = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+                col("user_id").as("p_user"))
+        .withWatermark("p_ts", Replayer.OooDelay)
+      val c = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+                col("user_id").as("c_user"))
+        .withWatermark("c_ts", Replayer.OooDelay)
+      val j = p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"), "fullOuter")
+      val name = "s5ooo_" + variant
+      val ckpt = Files.createTempDirectory("graft_s5ooo").toString
+      val q = j.select(col("p_id"), col("c_id")).writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+         if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq.sorted
+    }
+    val clean = run("clean")
+    assert(clean.exists(t => t._1.nonEmpty && t._2.nonEmpty) &&
+           clean.exists(_._2.isEmpty) && clean.exists(_._1.isEmpty),
+      "clean full-outer run lacks matched or outer rows — pin vacuous")
+    val ooo = run("ooo")
+    assert(ooo == clean,
+      "the interval join diverged between the ooo and clean replays — " +
+      "Spark's join-state disorder handling or the fixture bound broke")
+  }
+
   test("S24: the ooolate replay fires the late-drop branch — the side " +
        "output equals the closed-form drop set, the gauge matches, the " +
        "main fold equals the funnel over clean-minus-drops, and the " +
