@@ -122,7 +122,13 @@ object ScaleSweep {
     // s8d stacks the buffer on the trailing-window funnel state (the
     // only reordered fold whose per-key state grows with rate × window
     // on its own) — the exponent prices buffer + window-list together
-    "s8d_funnel_ooo")
+    "s8d_funnel_ooo",
+    // r18 (verdict task 5): the two unmeasured sextet members — s4c is
+    // the WORST-CASE buffer (every event buffers, not just purchases:
+    // the temporal join by definition probes on all events) and also
+    // emits one row per event (output-bound like s4b); s20b buffers
+    // everything but holds only O(pattern) fold state
+    "s4c_temporal_ooo", "s20b_pattern_ooo")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)

@@ -694,19 +694,20 @@ object Streams {
            count(lit(1)).as("n_changes"))
   }
 
-  /** S25's TTL and inter-batch pacing gap (ms). Determinism argument:
-    * TTL expiry is evaluated against per-batch timestamps, and every
-    * state write of batch b happens before the runner's end-of-batch
-    * sleep, so the gap from batch b's last write to batch b+1's first
-    * read is ≥ S25GapMs > S25TtlMs — cross-batch state is ALWAYS
-    * expired; within one batch a key's state is read and written in a
-    * single handleInputRows invocation against one batch timestamp —
-    * never expired. Either direction holds under either clock
-    * convention (batch timestamp or write-time wall clock), so the
-    * result is exactly "state never survives a batch boundary" — a
-    * deterministic, hash-gateable restriction of the funnel. */
-  private[graft] val S25TtlMs = 1000L
-  private[graft] val S25GapMs = 2500L
+  /** S25's TTL and inter-batch pacing gap (ms). Determinism argument
+    * (verified against the Spark 4.1.2 bytecode: ValueStateImplWithTTL
+    * evaluates expiry as batchTimestampMs(read) ≥ batchTimestampMs(
+    * write) + ttl — BATCH timestamps on both sides, never wall-clock
+    * at evaluation): the end-of-batch sleep forces consecutive batch
+    * timestamps apart by ≥ S25GapMs > S25TtlMs, so cross-batch state
+    * is ALWAYS expired; within one batch both sides see the SAME
+    * timestamp, so in-batch state NEVER expires — regardless of how
+    * long the batch takes. The semantics are exactly "state never
+    * survives a batch boundary": a deterministic, hash-gateable
+    * restriction of the funnel. The 2.5× gap/TTL margin absorbs
+    * wall-clock steps between batch-timestamp samples. */
+  private[graft] val S25TtlMs = 400L
+  private[graft] val S25GapMs = 1000L
 
   /** S25 body — the s8b funnel with a REAL state TTL (see the
     * FunnelProcessor ttl param; TimeMode.ProcessingTime as TTL
