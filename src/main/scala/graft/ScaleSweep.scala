@@ -391,6 +391,16 @@ object ScaleSweep {
          "sub-linear first decade is the replay's per-batch fixed cost " +
          "amortizing, and linear is the asymptote (the timer sweep is " +
          "range-scanned per batch, O(fired) not O(registered))"),
+      "s4c_and_s20b" ->
+        ("r18 closes the sextet's scale story: the two previously " +
+         "unmeasured members measure e~0.46 (s4c) and e~0.43 (s20b) " +
+         "at 10x - inside the sextet's 0.33-0.60 range. s4c is the " +
+         "WORST-CASE buffer (every event buffers - the temporal join " +
+         "probes on all events - and emits one row per event, the " +
+         "output-bound s4b shape) and still holds sublinear: the " +
+         "buffer volume is rate x (trigger + delay) per key, so 10x " +
+         "rate at the same key count degrades to RocksDB, not to a " +
+         "changed asymptote"),
       "ooo_reorder_buffer" ->
         ("s21b/s18b/s22b price the watermark reorder buffer at scale " +
          "on the disordered ooo replay: the buffer adds one RocksDB " +
