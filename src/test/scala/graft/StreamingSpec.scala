@@ -1815,6 +1815,66 @@ class StreamingSpec extends AnyFunSuite {
       "no effective delete inside a closed window — retraction face vacuous")
   }
 
+  test("S22c: kill-and-restart restores BOTH chained state stores — " +
+       "the CDC values and the open windows recover from one checkpoint " +
+       "and the run completes to exactly the uninterrupted result") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.DataFrame
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (java.sql.Timestamp, Long, Long, Long)]()
+    def collect(df: DataFrame, id: Long): Unit =
+      df.select(col("window.start"), col("grp"), col("net_cents"),
+          col("n_changes")).collect()
+        .foreach(r => buf.add(
+          (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    val ckpt = Files.createTempDirectory("graft_s22c_ckpt").toString
+    // phase 1: crash DETERMINISTICALLY on batch 3 via a poison
+    // foreachBatch (the s19/SNK2 discipline — never race stop()); the
+    // poisoned batch collects nothing, so its rows arrive exactly once
+    // via the restart replay
+    val q1 = graft.core.ConfScope.withConf(s, Streams.RocksDbConf) {
+      Streams.s22cPlan(s, sf).writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (id >= 3L) throw new RuntimeException("injected crash")
+          collect(df, id)
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    try { q1.awaitTermination(); fail("poison batch never fired") }
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(String.valueOf(e.getMessage).contains("injected crash") ||
+          Option(e.getCause).exists(c =>
+            String.valueOf(c.getMessage).contains("injected crash")),
+          s"query died of the wrong cause: $e")
+    }
+    // phase 2: restart from the checkpoint — batch 3 replays (its CDC
+    // values and open windows restored from the two stores' commits),
+    // later batches extend
+    val q2 = graft.core.ConfScope.withConf(s, Streams.RocksDbConf) {
+      val q = Streams.s22cPlan(s, sf).writeStream
+        .foreachBatch(collect _)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val restartOps = q2.recentProgress
+      .flatMap(_.stateOperators.map(_.operatorName)).distinct.toSet
+    assert(restartOps.size == 2 && restartOps.contains("stateStoreSave"),
+      s"restarted query did not run both state stores: $restartOps")
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala.toSeq.sortBy(t => (t._1.getTime, t._2))
+    val expected = Streams.queries("s22c_cdc_windowed")(s, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(t => (t._1.getTime, t._2))
+    assert(got == expected,
+      "restarted chained query diverged from the uninterrupted result — " +
+      "a CDC value or an open window was lost or doubled across the crash")
+  }
+
   test("S25: a real state TTL evicts cross-batch funnel state — rows " +
        "are physically removed (TTL metric > 0) and straddling chains " +
        "no longer convert (s25 strictly under s8b)") {
