@@ -46,6 +46,45 @@ class FunnelProcessor(windowUs: Long = 3600L * 1000000L,
   }
 }
 
+/** The EVOLVED funnel state (S26): v1's fields plus a per-user
+  * conversion counter — the additive-field upgrade shape. Option[Long]
+  * so the Avro state encoding gives the new field a null default and
+  * v1 rows written before the upgrade decode cleanly. */
+case class FunnelStateV2(views: Seq[Long], pairs: Seq[(Long, Long)],
+                         nConv: Option[Long])
+
+/** S26 — the funnel AFTER a STATE SCHEMA UPGRADE (Flink's
+  * savepoint-upgrade story re-expressed on Spark's TWS schema
+  * evolution): reads the SAME "funnel" column family a
+  * [[FunnelProcessor]] run wrote before the restart, under an EVOLVED
+  * state class that adds a conversion counter. Requires the Avro state
+  * encoding (`spark.sql.streaming.stateStore.encodingFormat=avro` —
+  * UnsafeRow encoding fails fast on any schema change); the fold is
+  * single-sourced with v1 (FunnelProcessor.applyOrdered), so the
+  * upgrade changes STATE SHAPE, never semantics — the s26 oracle is
+  * the plain s8b funnel. */
+class FunnelProcessorV2(windowUs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, (Long, Long)] {
+
+  @transient private var st: ValueState[FunnelStateV2] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelStateV2](
+      "funnel", Encoders.product[FunnelStateV2], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: TimerValues): Iterator[(Long, Long)] = {
+    val prev = Option(st.get())
+      .getOrElse(FunnelStateV2(Nil, Nil, None))
+    val (next, out) = FunnelProcessor.applyOrdered(windowUs,
+      FunnelState(prev.views, prev.pairs), user,
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    st.update(FunnelStateV2(next.views, next.pairs,
+      Some(prev.nConv.getOrElse(0L) + out.size)))
+    out.iterator
+  }
+}
+
 object FunnelProcessor {
   /** The funnel fold shared with the out-of-order (watermark-
     * reordering) S8d variant: apply `events` — ALREADY in

@@ -755,6 +755,70 @@ object Streams {
       .orderBy(col("user_id")), q)
   }
 
+  /** S26 body — the state-schema-UPGRADE run: phase 1 processes the
+    * first three files under the v1 state schema and crashes at a
+    * deterministic upgrade point (poison batch — the s19/SNK2 restart
+    * discipline); phase 2 resumes the SAME checkpoint under the
+    * EVOLVED schema ([[FunnelProcessorV2]] — adds a counter field) and
+    * must decode every v1 state row. Avro state encoding on, as
+    * evolution requires. Returns (result, sawUpgradeCrash) — the crash
+    * flag lets the spec assert the upgrade point genuinely fired. */
+  private[graft] def s26Run(s: SparkSession, d: String)
+      : (DataFrame, Boolean) = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    def pipeline(proc: org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEvent, (Long, Long)]): DataFrame = {
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "funnel")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      ev.groupByKey(_.user_id)
+        .transformWithState(proc, TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "purchase_id")
+    }
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def collect(b: DataFrame): Unit =
+      b.collect().foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+    val conf = Map(
+      "spark.sql.shuffle.partitions" -> streamPartitions,
+      "spark.sql.streaming.stateStore.encodingFormat" -> "avro") ++
+      RocksDbConf ++ NoFinalBatch
+    val ckpt = Replayer.checkpoint()
+    var crashed = false
+    try {
+      ConfScope.withConf(s, conf) {
+        val q1 = pipeline(new FunnelProcessor(HourUs)).writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            if (id >= 3L) throw new RuntimeException("upgrade point")
+            collect(b)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q1.awaitTermination()
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException
+              if String.valueOf(e.getMessage).contains("upgrade point") ||
+                Option(e.getCause).exists(c => String.valueOf(c.getMessage)
+                  .contains("upgrade point")) =>
+            crashed = true
+        }
+        require(crashed, "s26 upgrade point never fired — fixture has " +
+          "fewer batches than the poison id")
+        val q2 = pipeline(new FunnelProcessorV2(HourUs)).writeStream
+          .foreachBatch((b: DataFrame, _: Long) => collect(b))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q2.awaitTermination()
+      }
+    } finally Replayer.dropCheckpoint(ckpt)
+    import scala.jdk.CollectionConverters._
+    (s.createDataFrame(buf.asScala.toSeq).toDF("user_id", "purchase_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy(col("user_id")), crashed)
+  }
+
   private def intervalJoinCore(s: SparkSession, d: String): DataFrame =
     sharedCore(s, d, "interval_full_clean") {
       val src = Replayer.stream(s, d, "clean")
@@ -1393,6 +1457,25 @@ object Streams {
     // so the purchase's release point sees the full in-order prefix).
     "s8d_funnel_ooo" -> ((s, d) => s8dRun(s, d, "ooo")),
 
+    // S26 — STATE SCHEMA EVOLUTION across a checkpoint restart
+    // (Flink's savepoint-upgrade story: stop the job, deploy a new
+    // version whose keyed state carries an extra field, resume from
+    // the savepoint): phase 1 runs the v1 funnel over the first three
+    // files and crashes at a deterministic upgrade point; phase 2
+    // resumes the SAME checkpoint under the EVOLVED FunnelStateV2
+    // (adds a nullable conversion counter — the additive upgrade
+    // shape) on Spark's Avro state encoding, which decodes every v1
+    // row with the new field defaulted. The result is hash-gated
+    // against plain s8b: the funnel variant's chains straddle the
+    // upgrade boundary (view+click under v1, purchase under v2), so a
+    // v1 row the evolved processor failed to read would LOSE those
+    // conversions and break the hash — the upgrade is semantics-
+    // preserving by construction (fold single-sourced) and the gate
+    // proves the state carried. 100 TB: the production upgrade path —
+    // no state rewrite, no backfill; old rows decode lazily under the
+    // evolved schema.
+    "s26_state_evolution" -> ((s, d) => s26Run(s, d)._1),
+
     // S25 — STATE TTL (Flink's StateTtlConfig face): the s8b funnel run
     // with a REAL TTLConfig instead of NONE — per-user state Spark
     // evicts after the declared idle period, the production bound for
@@ -1993,7 +2076,17 @@ object Streams {
       |                  AND 2 PRECEDING) - INTERVAL 10 MINUTE AS w
       |  FROM bm)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  /** Oracle SQL per canonical query. s26 is appended below as a
+    * DERIVED entry: the state-schema upgrade is semantics-preserving
+    * BY CONTRACT, so its oracle is s8b's funnel VERBATIM — the gate is
+    * non-vacuous because the injected chains straddle the upgrade
+    * boundary (view+click written under the v1 schema, purchase
+    * processed under v2): losing a v1 state row across the evolution
+    * would lose those conversions and break the hash. */
+  lazy val oracle: Map[String, String] = oracleBase +
+    ("s26_state_evolution" -> oracleBase("s8b_funnel_injected"))
+
+  private val oracleBase: Map[String, String] = Map(
     "src4_stream_scan" ->
       """SELECT event_type, count(*) AS n,
         |  min(event_id) AS min_id, max(event_id) AS max_id

@@ -1896,6 +1896,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(removed > 0, "no state row was removed by TTL expiry")
   }
 
+  test("S26: state schema evolution across a checkpoint restart — the " +
+       "evolved processor decodes v1 state rows, and chains straddling " +
+       "the upgrade boundary convert exactly as the un-upgraded funnel") {
+    import graft.streaming.Streams
+    val (df, crashed) = Streams.s26Run(s, sf)
+    assert(crashed, "the deterministic upgrade point never fired")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s8b = SparkEntry.queries("s8b_funnel_injected")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == s8b,
+      "the upgraded run diverged from the un-upgraded funnel — a v1 " +
+      "state row was lost or misdecoded across the schema evolution")
+    // non-vacuity: some chain must straddle the upgrade boundary
+    // (view+click written under v1 in batches 0–2, purchase processed
+    // under v2 in batches 3–4) — otherwise the v1-read face is untested
+    val n = Tables.events(s, sf).count()
+    val bsz = (n + Replayer.NumFiles - 1) / Replayer.NumFiles
+    val straddles = (0L to (n - 191) / 211).exists { g =>
+      (g * 211) / bsz <= 2 && (g * 211 + 190) / bsz >= 3
+    }
+    assert(straddles,
+      "no injected chain straddles the upgrade boundary — vacuous")
+  }
+
   test("S23: the dynamic-rule change takes effect exactly at its batch " +
        "boundary — every per-batch output matches that batch's own " +
        "threshold, and the change is observable at batch 2") {
