@@ -1277,6 +1277,59 @@ object Streams {
         .orderBy(col("user_id"), col("completion_id"))
     }),
 
+    // S20d — QUANTIFIED CEP pattern (Flink CEP's times(n)/oneOrMore
+    // quantifiers, MATCH_RECOGNIZE's {n} repetition): the SAME
+    // skip-till-next-match DP as S20 run on the REPEATED-LETTER
+    // pattern v v c p — two distinct views must precede the click (one
+    // event never serves both v-slots: every DP slot updates from the
+    // PRE-event state, the property StreamingSpec pinned on the
+    // synthetic vcv pattern; this query makes the quantifier axis a
+    // first-class oracle-gated face on the natural corpus — 1
+    // completion at sf0.001, 17 at sf0.01). State stays O(|pattern|)
+    // longs per key. 100 TB: identical budget to S20.
+    "s20d_quantified_pattern" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val completions = ev.groupByKey(_.user_id)
+        .transformWithState(
+          new SkipMatchProcessor("vvcp", graft.queries.Windows.SkipWindowUs),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, completions.toDF("user_id", "completion_id"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("completion_id"))
+    }),
+
+    // S27 — COUNT WINDOWS (Flink's countWindow(n): element-count
+    // tumbling windows, a trigger Spark's time-based window() cannot
+    // express — see CountWindowProcessor): per user, every 5
+    // consecutive events (in (ts, event_id) order) close a window that
+    // emits its integer-cents sum and max event id; the per-key
+    // incomplete tail window correctly never emits (data-driven
+    // trigger, no watermark involved). Oracle = rank-div-5 grouping
+    // keeping full groups. 100 TB: one key shuffle, O(1) state/key,
+    // output volume = input/5.
+    "s27_count_window" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev = Replayer.stream(s, d, "clean")
+        .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("user_id"))
+        .as[(Long, Long, Long, Long)]
+      val wins = ev.groupByKey(_._4)
+        .mapValues(t => CountEvent(t._1, t._2, t._3))
+        .transformWithState(new CountWindowProcessor(5),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, wins.toDF("user_id", "win_idx", "sum_cents",
+                               "max_event_id"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("win_idx"))
+    }),
+
     // S20c — STRICT-CONTIGUITY CEP (Flink CEP's next(); see
     // StrictMatchProcessor): the v→c→p events must be IMMEDIATELY
     // consecutive in the key's (ts, event_id) order — the contiguity
@@ -2710,6 +2763,57 @@ object Streams {
         |FROM s2b
         |WHERE l = 'p' AND m2 IS NOT NULL AND m2 >= ts - INTERVAL 24 HOUR
         |ORDER BY user_id, completion_id""".stripMargin,
+
+    // s20d — the quantified pattern's closed form: THREE chained
+    // strictly-preceding window maxima (one per non-final pattern
+    // position — the W9b DP unrolled for v v c), completion iff the
+    // chain's last value clears the 24 h horizon. The repeated letter
+    // is handled exactly as the DP does: m2 maxes m1 over LATER
+    // v-events, so the two v-slots are necessarily distinct events.
+    "s20d_quantified_pattern" ->
+      """WITH e20d AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END AS l
+        |  FROM events),
+        |d1 AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'v' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        |  FROM e20d),
+        |d2 AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'v' THEN m1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+        |  FROM d1),
+        |d3 AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'c' THEN m2 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m3
+        |  FROM d2)
+        |SELECT user_id, event_id AS completion_id
+        |FROM d3
+        |WHERE l = 'p' AND m3 IS NOT NULL AND m3 >= ts - INTERVAL 24 HOUR
+        |ORDER BY user_id, completion_id""".stripMargin,
+
+    // s27 — count windows in closed form: rank each user's events by
+    // (ts, event_id), group by rank div 5, keep FULL groups (the
+    // engine's incomplete tail window never emits).
+    "s27_count_window" ->
+      """WITH r27 AS (
+        |  SELECT user_id, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) - 1 AS BIGINT) AS rn
+        |  FROM events)
+        |SELECT user_id, rn // 5 AS win_idx,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  max(event_id) AS max_event_id
+        |FROM r27 GROUP BY 1, 2 HAVING count(*) = 5
+        |ORDER BY user_id, win_idx""".stripMargin,
 
     // s21 — abandonment in closed form + the exact firing-horizon
     // model: a view emits iff no purchase answers it within 2 h AND

@@ -1896,6 +1896,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(removed > 0, "no state row was removed by TTL expiry")
   }
 
+  test("S27: the count-window fold closes windows on exactly the Nth " +
+       "element across chunk boundaries, the tail never emits, and " +
+       "chunking is invariant") {
+    import graft.streaming.{CountEvent, CountWinState, CountWindowProcessor}
+    val es = (1L to 12L).map(i => CountEvent(i * 1000, i, i))
+    val z = CountWinState(0L, 0L, 0L, -1L)
+    // chunks 5/4/3: the second window (elements 6..10) straddles chunks
+    val (st1, o1) = CountWindowProcessor.applyOrdered(5, z, es.slice(0, 5))
+    val (st2, o2) = CountWindowProcessor.applyOrdered(5, st1, es.slice(5, 9))
+    val (st3, o3) = CountWindowProcessor.applyOrdered(5, st2, es.slice(9, 12))
+    val all = o1 ++ o2 ++ o3
+    assert(all == Seq((0L, 15L, 5L), (1L, 40L, 10L)),
+      s"expected two closed windows, got $all")
+    assert(st3 == CountWinState(2L, 2L, 23L, 12L),
+      s"open tail window state wrong: $st3")
+    val (stw, ow) = CountWindowProcessor.applyOrdered(5, z, es)
+    assert(ow == all && stw == st3, "fold is not chunking-invariant")
+  }
+
   test("S26: state schema evolution across a checkpoint restart — the " +
        "evolved processor decodes v1 state rows, and chains straddling " +
        "the upgrade boundary convert exactly as the un-upgraded funnel") {
