@@ -128,7 +128,12 @@ object ScaleSweep {
     // the temporal join by definition probes on all events) and also
     // emits one row per event (output-bound like s4b); s20b buffers
     // everything but holds only O(pattern) fold state
-    "s4c_temporal_ooo", "s20b_pattern_ooo")
+    "s4c_temporal_ooo", "s20b_pattern_ooo",
+    // r18: the chained multi-stateful junction — one CDC shuffle + one
+    // (window x grp) shuffle in a single IncrementalExecution; deltas
+    // are one row per op (output-bound like s4b) but the agg state is
+    // |open windows| x 10 groups, aggregate cardinality
+    "s22c_cdc_windowed")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
