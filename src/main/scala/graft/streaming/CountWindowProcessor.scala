@@ -49,6 +49,64 @@ class CountWindowProcessor(size: Int)
   }
 }
 
+/** Open sliding-count-window state: total elements seen and the last
+  * (size − 1) cents values in arrival order (the overlap the next
+  * trigger re-aggregates). */
+case class CountSlideState(seen: Long, tail: Seq[Long])
+
+/** S27b — SLIDING COUNT WINDOWS (Flink's `countWindow(size, slide)`):
+  * every SLIDE-th element per key triggers an emission aggregating the
+  * last min(SIZE, seen) elements — overlapping element-count windows,
+  * the second half of the count-trigger axis S27's tumbling form
+  * opened. State = the last (SIZE − 1) values per key (the overlap),
+  * strictly bounded; emission volume = input/SLIDE. Data-driven
+  * trigger (TimeMode.None), exact closed form: a ROWS BETWEEN
+  * (SIZE−1) PRECEDING AND CURRENT ROW frame filtered to every SLIDE-th
+  * rank. */
+class CountSlideProcessor(size: Int, slide: Int)
+    extends StatefulProcessor[Long, CountEvent, (Long, Long, Long, Long)] {
+  require(size >= 1 && slide >= 1,
+    s"count window size/slide must be >= 1: $size/$slide")
+
+  @transient private var st: ValueState[CountSlideState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[CountSlideState](
+      "countslide", Encoders.product[CountSlideState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[CountEvent],
+                               timers: TimerValues)
+      : Iterator[(Long, Long, Long, Long)] = {
+    val st0 = Option(st.get()).getOrElse(CountSlideState(0L, Nil))
+    val (next, out) = CountSlideProcessor.applyOrdered(size, slide, st0,
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    st.update(next)
+    out.iterator.map { case (idx, n, cents) => (user, idx, n, cents) }
+  }
+}
+
+object CountSlideProcessor {
+  /** The sliding fold, unit-testable without a streaming harness: apply
+    * `events` — ALREADY in (tsu, event_id) order — to the overlap tail;
+    * every slide-th element emits (trigger_idx, n_in_window, cents sum
+    * over the last min(size, seen) elements). */
+  def applyOrdered(size: Int, slide: Int, st0: CountSlideState,
+                   events: Seq[CountEvent])
+      : (CountSlideState, Seq[(Long, Long, Long)]) = {
+    var seen = st0.seen
+    var tail = st0.tail.toList // oldest-first, at most size − 1 values
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+    events.foreach { e =>
+      seen += 1
+      val window = tail :+ e.cents // last min(size, seen) values
+      if (seen % slide == 0)
+        out += ((seen / slide - 1, window.size.toLong, window.sum))
+      tail = window.takeRight(size - 1)
+    }
+    (CountSlideState(seen, tail), out.toSeq)
+  }
+}
+
 object CountWindowProcessor {
   /** The count-window fold, unit-testable without a streaming harness:
     * apply `events` — ALREADY in (tsu, event_id) order — to the open

@@ -1330,6 +1330,32 @@ object Streams {
         .orderBy(col("user_id"), col("win_idx"))
     }),
 
+    // S27b — SLIDING COUNT WINDOWS (Flink's countWindow(size, slide)):
+    // every 3rd event per user triggers an aggregate over the last
+    // min(8, seen) events — overlapping count windows, the second half
+    // of the element-count trigger axis (S27 = tumbling). 8/3 are
+    // deliberately non-divisible so consecutive windows genuinely
+    // overlap by 5 elements. State = the last 7 cents values per key
+    // (strictly bounded); output = input/3. Oracle = a ROWS BETWEEN
+    // 7 PRECEDING AND CURRENT ROW frame at every 3rd rank.
+    "s27b_sliding_count" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev = Replayer.stream(s, d, "clean")
+        .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("user_id"))
+        .as[(Long, Long, Long, Long)]
+      val wins = ev.groupByKey(_._4)
+        .mapValues(t => CountEvent(t._1, t._2, t._3))
+        .transformWithState(new CountSlideProcessor(8, 3),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, wins.toDF("user_id", "trig_idx", "n_in_window",
+                               "sum_cents"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("trig_idx"))
+    }),
+
     // S20c — STRICT-CONTIGUITY CEP (Flink CEP's next(); see
     // StrictMatchProcessor): the v→c→p events must be IMMEDIATELY
     // consecutive in the key's (ts, event_id) order — the contiguity
@@ -2814,6 +2840,25 @@ object Streams {
         |  max(event_id) AS max_event_id
         |FROM r27 GROUP BY 1, 2 HAVING count(*) = 5
         |ORDER BY user_id, win_idx""".stripMargin,
+
+    // s27b — sliding count windows in closed form: a last-8 ROWS frame
+    // at every 3rd rank; n_in_window = min(8, rank+1) is the warm-up
+    // ramp (the first trigger aggregates only 3 elements).
+    "s27b_sliding_count" ->
+      """WITH r27b AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    CAST(row_number() OVER w - 1 AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (w ROWS BETWEEN 7 PRECEDING
+        |         AND CURRENT ROW) AS BIGINT) AS n,
+        |    CAST(sum(round(value * 100, 0)) OVER (w ROWS BETWEEN
+        |         7 PRECEDING AND CURRENT ROW) AS BIGINT) AS s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, (rn + 1) // 3 - 1 AS trig_idx,
+        |  n AS n_in_window, s AS sum_cents
+        |FROM r27b WHERE (rn + 1) % 3 = 0
+        |ORDER BY user_id, trig_idx""".stripMargin,
 
     // s21 — abandonment in closed form + the exact firing-horizon
     // model: a view emits iff no purchase answers it within 2 h AND

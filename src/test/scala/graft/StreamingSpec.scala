@@ -1915,6 +1915,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(ow == all && stw == st3, "fold is not chunking-invariant")
   }
 
+  test("S27b: the sliding count-window fold triggers every slide-th " +
+       "element over the last min(size, seen) values, rides the warm-up " +
+       "ramp, and is chunking-invariant") {
+    import graft.streaming.{CountEvent, CountSlideProcessor, CountSlideState}
+    val es = (1L to 10L).map(i => CountEvent(i * 1000, i, i))
+    val z = CountSlideState(0L, Nil)
+    // size 4, slide 3: triggers at elements 3 (warm-up: 3 values),
+    // 6 (full: 3..6? no — last 4 = 3,4,5,6) and 9 (last 4 = 6,7,8,9)
+    val (stw, ow) = CountSlideProcessor.applyOrdered(4, 3, z, es)
+    assert(ow == Seq((0L, 3L, 6L), (1L, 4L, 18L), (2L, 4L, 30L)),
+      s"sliding triggers wrong: $ow")
+    assert(stw == CountSlideState(10L, Seq(8L, 9L, 10L)),
+      s"overlap tail wrong: $stw")
+    // chunking invariance across a 4/2/4 split
+    val (s1, o1) = CountSlideProcessor.applyOrdered(4, 3, z, es.slice(0, 4))
+    val (s2, o2) = CountSlideProcessor.applyOrdered(4, 3, s1, es.slice(4, 6))
+    val (s3, o3) = CountSlideProcessor.applyOrdered(4, 3, s2, es.slice(6, 10))
+    assert(o1 ++ o2 ++ o3 == ow && s3 == stw,
+      "sliding fold is not chunking-invariant")
+  }
+
   test("S26: state schema evolution across a checkpoint restart — the " +
        "evolved processor decodes v1 state rows, and chains straddling " +
        "the upgrade boundary convert exactly as the un-upgraded funnel") {
