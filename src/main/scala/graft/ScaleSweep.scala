@@ -398,14 +398,19 @@ object ScaleSweep {
          "range-scanned per batch, O(fired) not O(registered))"),
       "s4c_and_s20b" ->
         ("r18 closes the sextet's scale story: the two previously " +
-         "unmeasured members measure e~0.46 (s4c) and e~0.43 (s20b) " +
+         "unmeasured members measure e~0.5 (s4c) and e~0.43 (s20b) " +
          "at 10x - inside the sextet's 0.33-0.60 range. s4c is the " +
          "WORST-CASE buffer (every event buffers - the temporal join " +
          "probes on all events - and emits one row per event, the " +
-         "output-bound s4b shape) and still holds sublinear: the " +
-         "buffer volume is rate x (trigger + delay) per key, so 10x " +
-         "rate at the same key count degrades to RocksDB, not to a " +
-         "changed asymptote"),
+         "output-bound s4b shape) and still holds sublinear at 10x; " +
+         "its 30x marginal e~1.18 is the fixed-parallelism shape, " +
+         "MEASURED away (see the s4c_temporal_ooo note): re-running " +
+         "the 30x point at STREAM_PARTITIONS=8 instead of the " +
+         "r6-swept 2 drops 40.6 -> 18.6 s = overall e~0.51, the 10x " +
+         "exponent exactly - per-partition RocksDB volume, not the " +
+         "buffer algorithm; the buffer volume itself is rate x " +
+         "(trigger + delay) per key, so 10x rate at the same key " +
+         "count degrades to RocksDB, not to a changed asymptote"),
       "ooo_reorder_buffer" ->
         ("s21b/s18b/s22b price the watermark reorder buffer at scale " +
          "on the disordered ooo replay: the buffer adds one RocksDB " +
