@@ -1672,6 +1672,54 @@ object Streams {
         .orderBy(col("event_type"))
     }),
 
+    // S28 — UPDATE output mode as a first-class oracle-gated face
+    // (S9's third mode: complete backs the s1 family, append the rest;
+    // update — Flink's default continuous-refinement output — had only
+    // a mode-rejection test until now): the hourly (window × type)
+    // count streamed in UPDATE mode emits a window's CURRENT count in
+    // every micro-batch that changes it, collected per batch via
+    // foreachBatch. Both faces are closed-form against the
+    // deterministic file assignment: n_updates(window, type) = the
+    // number of files contributing ≥1 row (each contribution changes
+    // the count, hence re-emits), and final_n = the last update = the
+    // total count (counts are cumulative). No watermark horizon to
+    // model — update emits on data arrival, and eviction emits
+    // nothing. 100 TB: update mode is the state-bounded form for
+    // sinks that can upsert (the SNK4 consumer); emission volume =
+    // changed groups per batch, not open-window cardinality.
+    "s28_update_mode" -> ((s, d) => {
+      val agg = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+        (java.sql.Timestamp, String, Long)]()
+      val ckpt = Replayer.checkpoint()
+      try {
+        ConfScope.withConf(s, Map(
+          "spark.sql.shuffle.partitions" -> streamPartitions) ++
+          NoFinalBatch) {
+          val q = agg.select(col("window.start"), col("event_type"),
+              col("n"))
+            .writeStream
+            .foreachBatch { (b: DataFrame, _: Long) =>
+              b.collect().foreach(r =>
+                buf.add((r.getTimestamp(0), r.getString(1), r.getLong(2))))
+            }
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      } finally Replayer.dropCheckpoint(ckpt)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(buf.asScala.toSeq)
+        .toDF("win_start", "event_type", "n")
+        .groupBy(col("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_updates"), max(col("n")).as("final_n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
     // S6 — streaming dedup on a duplicate-injected replay; final rows
     // must equal the clean batch table.
     "s6_dedup" -> ((s, d) => {
@@ -2528,6 +2576,26 @@ object Streams {
         |  CAST(sum(np) AS BIGINT) AS n_p_only,
         |  CAST(sum(nc) AS BIGINT) AS n_c_only
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // s28 — both update-mode faces in closed form against the
+    // deterministic file assignment: a (window, type) group re-emits in
+    // exactly the batches that contribute rows to it (every
+    // contribution changes the cumulative count), and its last update
+    // is the total — counts never reset because in-order arrival keeps
+    // a window's state alive until its contributions end.
+    "s28_update_mode" ->
+      """WITH b28 AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    event_type,
+        |    least(CAST(floor(event_id / nn.bsz) AS INT), 4) AS b
+        |  FROM events
+        |  CROSS JOIN (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS bsz
+        |              FROM events) nn)
+        |SELECT win_start, event_type,
+        |  CAST(count(DISTINCT b) AS BIGINT) AS n_updates,
+        |  CAST(count(*) AS BIGINT) AS final_n
+        |FROM b28 GROUP BY 1, 2
+        |ORDER BY win_start, event_type""".stripMargin,
+
     "s6_dedup" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS sum_id

@@ -1896,6 +1896,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(removed > 0, "no state row was removed by TTL expiry")
   }
 
+  test("S28: update mode genuinely re-emits — windows straddling a " +
+       "file boundary update more than once") {
+    import graft.streaming.Streams
+    val rows = Streams.queries("s28_update_mode")(s, sf).collect()
+    assert(rows.nonEmpty, "update-mode run emitted nothing")
+    assert(rows.exists(_.getLong(2) > 1),
+      "every window updated exactly once — the update-vs-append " +
+      "distinction is vacuous on this fixture")
+  }
+
   test("S27: the count-window fold closes windows on exactly the Nth " +
        "element across chunk boundaries, the tail never emits, and " +
        "chunking is invariant") {
