@@ -347,6 +347,38 @@ class ReorderedFunnelLate(windowUs: Long)
     events.map(e => (user, e.event_id, "late"))
 }
 
+/** S24b — the CDC/retraction consumer with the LATE-DATA SIDE OUTPUT:
+  * the [[ReorderingProcessor.onLate]] hook exercised on the MOST
+  * order-sensitive fold (a reversed upsert/delete pair corrupts final
+  * state, so dropping a late op silently is the worst place to do it —
+  * exactly where an auditable late channel matters most). Applied ops
+  * emit (user, seq_id, delta, 'delta'); dropped ops emit
+  * (user, event_id, 0, 'late'). Proves the side-output face is a
+  * property of the reorder buffer, not of the S24 funnel host. */
+class ReorderedCdcLate
+    extends ReorderingProcessor[CdcOp, (Long, Long, Long, String)](
+      Encoders.product[CdcOp]) {
+  @transient private var st: ValueState[Long] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[Long](
+      "cur", Encoders.scalaLong, TTLConfig.NONE)
+  override protected def tsuOf(e: CdcOp): Long = e.tsu
+  override protected def idOf(e: CdcOp): Long = e.event_id
+  override protected def applyOrdered(user: Long, ops: Seq[CdcOp])
+      : Seq[(Long, Long, Long, String)] = {
+    val cur0 = if (st.exists()) Some(st.get()) else None
+    val (cur, out) = CdcProcessor.applyOps(cur0, user, ops)
+    cur match {
+      case Some(v) => st.update(v)
+      case None    => st.clear()
+    }
+    out.map { case (u, sid, d) => (u, sid, d, "delta") }
+  }
+  override protected def onLate(user: Long, ops: Seq[CdcOp])
+      : Seq[(Long, Long, Long, String)] =
+    ops.map(o => (user, o.event_id, 0L, "late"))
+}
+
 /** S21b — timer-fired abandonment behind the reorder buffer. The sweep
   * convention is STRICT (deadline < wm, deadline timers at
   * deadline + 1) where the in-order S21 is inclusive: a suppressing

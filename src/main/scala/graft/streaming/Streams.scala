@@ -644,6 +644,30 @@ object Streams {
       .orderBy(col("user_id"))
   }
 
+  /** The S24b runner — the CDC consumer with the late-data side output
+    * (see [[ReorderedCdcLate]]): applied ops emit their delta tagged
+    * 'delta', dropped ops emit tagged 'late'. Raw rows, no rollup —
+    * the per-op changelog IS the audit artifact here. */
+  private[graft] def s24bRun(s: SparkSession, d: String,
+                             variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ops = Replayer.stream(s, d, variant)
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+        (col("event_id") % 5 =!= 0).as("isUpsert"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("user_id"))
+      .as[(Long, Long, Boolean, Long, Long)]
+    val tagged = ops.groupByKey(_._5)
+      .mapValues(t => CdcOp(t._1, t._2, t._3, t._4))
+      .transformWithState(new ReorderedCdcLate(),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, tagged.toDF("user_id", "ref_id", "delta", "kind"),
+                "append", RocksDbConf)
+      .orderBy(col("kind"), col("user_id"), col("ref_id"))
+  }
+
   /** The S24 runner — the 24 h funnel with the LATE-DATA SIDE OUTPUT
     * (see [[ReorderedFunnelLate]]), variant-parameterized: the
     * canonical query runs "ooolate" (its beyond-delay % 23 subset makes
@@ -1524,6 +1548,19 @@ object Streams {
     // drop set, lateDropped gauge == |late|, main ≡ fold over
     // clean-minus-drops, and the side output is inert on plain ooo.
     "s24_late_sideoutput" -> ((s, d) => s24Run(s, d, "ooolate")),
+
+    // S24b — the SAME late-data side output on the CDC/retraction fold
+    // (the most order-sensitive input — the worst place to drop a late
+    // op silently, hence where the audit channel matters most): proves
+    // the side output is a property of the reorder buffer, not of the
+    // S24 funnel host. Applied ops emit (user, seq, delta, 'delta');
+    // dropped ops emit (user, event_id, 0, 'late'). Oracle = the s22
+    // lag model over SURVIVING ops (lag computed on the survivors —
+    // the late set is excluded from the fold, and the released set is
+    // a per-user prefix OF THE SURVIVORS, so lag-then-filter is
+    // exact), restricted to the final release horizon, union the
+    // closed-form drop set.
+    "s24b_cdc_sideoutput" -> ((s, d) => s24bRun(s, d, "ooolate")),
 
     // S8d — the flagship funnel behind the reorder buffer: the 24 h
     // (s8c) form, which converts NATURALLY at every sf, so the plain
@@ -3336,6 +3373,70 @@ object Streams {
         |SELECT user_id, event_id AS ref_id, 'conv' AS kind FROM cv24
         |UNION ALL
         |SELECT user_id, event_id AS ref_id, 'late' AS kind FROM lt24
+        |ORDER BY kind, user_id, ref_id""".stripMargin,
+
+    // s24b — the CDC late-side-output face: the s24 drop-set chain
+    // (displacement rule → running arrival max → operative watermark)
+    // verbatim, then the s22 lag model computed over the SURVIVORS and
+    // restricted to the final release horizon (the released set is a
+    // per-user (ts, event_id) prefix of the survivors, so
+    // lag-then-filter equals the restricted fold), union the drop set.
+    "s24b_cdc_sideoutput" ->
+      """WITH nnb AS (
+        |  SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS bsz FROM events),
+        |a24b AS (
+        |  SELECT e.*, least(CAST(floor(e.event_id / nnb.bsz) AS INT), 4)
+        |    AS b0
+        |  FROM events e CROSS JOIN nnb),
+        |f24b AS (SELECT b0, max(ts) AS fmax FROM a24b GROUP BY b0),
+        |g24b AS (
+        |  SELECT a.*, least(a.b0 + CASE WHEN
+        |      (a.event_id % 2 = 0 AND a.ts > f.fmax - INTERVAL 23 HOUR)
+        |      OR (a.event_id % 23 = 5 AND a.ts <= f.fmax - INTERVAL 24 HOUR)
+        |    THEN 1 ELSE 0 END, 4) AS b
+        |  FROM a24b a JOIN f24b f USING (b0)),
+        |m24b AS (
+        |  SELECT b, max(mx) OVER (ORDER BY b) AS mb
+        |  FROM (SELECT b, max(ts) AS mx FROM g24b GROUP BY b)),
+        |w24b AS (
+        |  SELECT b,
+        |    (epoch_us(lag(mb) OVER (ORDER BY b)) // 1000) - 86400000
+        |      AS wm_ms
+        |  FROM m24b),
+        |lt24b AS (
+        |  SELECT g.user_id, g.event_id
+        |  FROM g24b g JOIN w24b w USING (b)
+        |  WHERE w.wm_ms IS NOT NULL
+        |    AND (epoch_us(g.ts) // 1000) < w.wm_ms),
+        |sv24b AS (
+        |  SELECT * FROM g24b
+        |  WHERE event_id NOT IN (SELECT event_id FROM lt24b)),
+        |fw24b AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM events),
+        |ch24b AS (
+        |  SELECT user_id, event_id, ts,
+        |    (event_id % 5 <> 0) AS isup,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM sv24b),
+        |o24b AS (
+        |  SELECT user_id, event_id, ts, isup, cents,
+        |    lag(isup) OVER w AS pup, lag(cents) OVER w AS pcents
+        |  FROM ch24b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d24b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN isup THEN cents -
+        |           (CASE WHEN coalesce(pup, false) THEN pcents ELSE 0 END)
+        |         ELSE -pcents END AS delta
+        |  FROM o24b
+        |  WHERE isup OR coalesce(pup, false))
+        |SELECT d.user_id, d.event_id AS ref_id, d.delta, 'delta' AS kind
+        |FROM d24b d CROSS JOIN fw24b
+        |WHERE (epoch_us(d.ts) // 1000) < fw24b.wm_ms
+        |UNION ALL
+        |SELECT user_id, event_id AS ref_id, 0 AS delta, 'late' AS kind
+        |FROM lt24b
         |ORDER BY kind, user_id, ref_id""".stripMargin,
 
     // s23 — the rule schedule replayed against the deterministic file

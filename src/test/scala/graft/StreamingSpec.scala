@@ -1660,6 +1660,27 @@ class StreamingSpec extends AnyFunSuite {
       "s24's conv channel diverged from s8d on the same replay")
   }
 
+  test("S24b: the late side output is FOLD-INDEPENDENT — the CDC " +
+       "host's late channel equals the funnel host's on the same " +
+       "replay, and it is inert on plain ooo") {
+    import graft.streaming.Streams
+    // the drop set is a property of (fixture, watermark), not of the
+    // wrapped fold: both hosts must tag exactly the same rows late
+    val cdcRows = Streams.s24bRun(s, sf, "ooolate").collect()
+    val cdcLate = cdcRows.filter(_.getString(3) == "late")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val funLate = Streams.s24Run(s, sf, "ooolate").collect()
+      .filter(_.getString(2) == "late")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cdcLate.nonEmpty, "CDC host dropped nothing — vacuous")
+    assert(cdcLate == funLate,
+      "the two hosts' late channels diverged — the drop set leaked " +
+      "fold-specific behavior")
+    val ooo = Streams.s24bRun(s, sf, "ooo").collect()
+    assert(!ooo.exists(_.getString(3) == "late"),
+      "late rows emitted on the bounded-disorder ooo replay")
+  }
+
   test("S21b: the reorder buffer SURVIVES a kill-and-restart — buffered " +
        "events, walking release timers and deadline timers pending at " +
        "the crash are restored from the checkpoint and the emission " +
