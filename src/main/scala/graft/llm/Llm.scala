@@ -570,10 +570,26 @@ object Llm {
     parentConfs.foreach { case (k, v) =>
       if (!childConfs.get(k).contains(v)) child.conf.set(k, v)
     }
+    // The unset path removes every child-only key, which is correct
+    // ONLY while nothing customizes the child's confs directly (today
+    // ensure() touches extraOptimizations, never a conf). Any future
+    // child-specific conf must be registered in x5ChildPinnedConfs or
+    // this sync would silently revert it on the next invocation
+    // (advisor r18) — fail loudly instead of reverting.
     childConfs.keysIterator.filterNot(parentConfs.contains)
-      .foreach(child.conf.unset)
+      .foreach { k =>
+        require(!x5ChildPinnedConfs.contains(k),
+          s"x5 conf sync would unset child-pinned conf '$k'; exclude " +
+          "pinned keys from the diff walk before customizing the child")
+        child.conf.unset(k)
+      }
     child
   }
+
+  /** Conf keys deliberately set ON THE CHILD x5 session only (none
+    * today). The x5Session full-diff sync must never unset these; code
+    * that customizes the child session registers its keys here. */
+  private val x5ChildPinnedConfs: Set[String] = Set.empty
 
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, String), Seq[(Int, Seq[Long])]]()

@@ -17,23 +17,28 @@ case class AbandonState(views: Seq[(Long, Long)])
   * the purchase; this one must fire on the NON-arrival of one, which
   * only a timer can observe).
   *
-  * Mechanics (empirically pinned on this Spark build by the r16 timer
-  * probe): a timer registered at expiry E ms fires in the first
-  * micro-batch whose event-time watermark ≥ E (inclusive at
-  * equality); the watermark is floor-ms(max event ts seen in PRIOR
-  * batches) − delay; and expired timers fire BEFORE the batch's input
-  * rows — the event-time-consistent order, since a fired timer's
-  * expiry ≤ wm while current-batch rows of an in-order stream carry
-  * event times > wm. Timers-first means a hypothetical answering
-  * purchase landing in the very firing batch would NOT suppress — but
-  * on an event-time-ordered stream that row cannot exist: the firing
-  * batch's watermark requires a PRIOR event at ts ≥ deadline + delay,
-  * and an answering purchase (ts ≤ deadline) precedes that event in
-  * stream order, so it always lands in a strictly earlier batch
-  * (StreamingSpec pins both halves: timers-first on a same-batch
-  * construction, and suppression from the prior batch). Deadlines are
-  * registered at (tsu div 1000) + W_ms — the same floor the oracle's
-  * horizon model uses.
+  * Mechanics (empirically pinned on this Spark build; the scheduling
+  * half CORRECTED in r19 by TimerOrderProbe): a timer registered at
+  * expiry E ms fires in the first micro-batch whose event-time
+  * watermark ≥ E (inclusive at equality); the watermark is
+  * floor-ms(max event ts seen in PRIOR batches) − delay. Within one
+  * DATA batch, input rows run BEFORE expired timers (the r16 probe's
+  * "timers-first" reading actually observed the NO-DATA batch that
+  * the default `noDataMicroBatches` interposes whenever the watermark
+  * advances with no input pending — MemoryStream tests with per-batch
+  * processAllAvailable always get one; a continuous file replay with
+  * files still queued does not). For THIS operator the distinction is
+  * immaterial: a same-batch answering purchase would now suppress
+  * (input applies first), but on an event-time-ordered stream that
+  * row cannot exist — the firing batch's watermark requires a PRIOR
+  * event at ts ≥ deadline + delay, and an answering purchase
+  * (ts ≤ deadline) precedes that event in stream order, so it always
+  * lands in a strictly earlier batch (StreamingSpec pins the
+  * no-data-batch-mediated firing on a same-batch construction, and
+  * suppression from the prior batch; TimerOrderProbe pins both
+  * scheduling halves directly). Deadlines are registered at
+  * (tsu div 1000) + W_ms — the same floor the oracle's horizon model
+  * uses.
   *
   * Answered views are pruned from state immediately; their timers are
   * left to fire and sweep nothing (one no-op firing each) rather than
@@ -92,7 +97,7 @@ case class PartialState(views: Seq[(Long, Long, Long, Long)])
   * view plus the clicks seen before timeout (count and max id), i.e.
   * "view → click → ¬purchase within 2 h" with the prefix payload. Timer
   * mechanics, suppression rule and firing horizon are EXACTLY S21's
-  * (see AbandonProcessor's scaladoc for the pinned timers-first /
+  * (see AbandonProcessor's scaladoc for the pinned scheduling /
   * same-batch-impossibility argument — it covers the click payload too:
   * any click with tsu ≤ deadline precedes the watermark-driving event
   * in stream order and so lands in a strictly earlier batch than the

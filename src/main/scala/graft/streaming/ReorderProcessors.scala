@@ -93,10 +93,13 @@ abstract class ReorderingProcessor[I, O](ie: Encoder[I])(
 
   @transient private var buf: ListState[I] = _
   // same-(key, wm) short-circuit for timer storms: within a batch the
-  // watermark is constant and expired timers fire BEFORE input rows, so
-  // after one flush+sweep at (key, wm) every further fired timer for
-  // the same key is a provable no-op — skip it without touching the
-  // state store. Transient per-partition memo (one entry), rebuilt
+  // watermark is constant, so after one flush+sweep at (key, wm) every
+  // further fired timer for the same key is a provable no-op — skip it
+  // without touching the state store. (Input rows actually run BEFORE
+  // expired timers within a data batch — the TWS scheduling contract
+  // corrected in r19, see TimerOrderProbe — but the memo never relied
+  // on the order: flush is idempotent at a fixed (key, wm) whichever
+  // path ran first.) Transient per-partition memo (one entry), rebuilt
   // free after restart; input handling never consults it.
   @transient private var lastTimerKey: Long = _
   @transient private var lastTimerWm: Long = _

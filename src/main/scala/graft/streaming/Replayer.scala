@@ -161,7 +161,7 @@ object Replayer {
   /** Ensure a fixture variant exists; returns its directory. */
   def ensure(s: SparkSession, sfDir: String, variant: String): String = synchronized {
     require(Set("clean", "late", "dup", "dup10", "funnel", "ooo",
-        "ooolate")(variant),
+        "ooolate", "refire")(variant),
       s"unknown replay variant: $variant")
     val dir = variantDir(sfDir, variant, "events")
     val done = dir.resolve("_DONE")
@@ -204,6 +204,55 @@ object Replayer {
                 .otherwise(0),
               lit(NumFiles - 1)))
             .drop("b0", "fmax")
+        case "refire" =>
+          // TIME-SPLIT files + controlled displacement for the
+          // allowed-lateness triad (S29). Id-contiguous files cannot
+          // exercise a window RE-FIRE: the input-filter basis for
+          // batch b equals the operative watermark of batch b−1, so a
+          // visible window-late row's window can never have fired
+          // before its own arrival batch, and the ~6-day watermark
+          // jumps dwarf any allowance that still leaves a beyond-
+          // allowance channel. This variant splits by TIME instead —
+          // one big head file, then four 1-day tail files (boundaries
+          // hang off floor-day(max ts), so the rule is closed-form) —
+          // giving 1-day watermark steps under S29's 48 h allowance,
+          // and displaces three closed-form subsets:
+          //  - %3==1 rows in the 25 h before the head/tail boundary
+          //    move to file 3 → they arrive AFTER their window fired
+          //    (at batch 2, under the 72 h outer delay) while still
+          //    inside the allowance — the genuine re-fire fodder;
+          //  - %3==1 rows in the 25 h before the next boundary move to
+          //    file 4 — the same shape one batch later;
+          //  - %5==2 rows at least 80 h before the head boundary move
+          //    to file 1 — beyond the allowance at arrival, the late
+          //    side channel (80 h > 72 h outer delay + margin for the
+          //    displacement-lowered head-file max).
+          // All displaced rows stay above Spark's lag-2 input-filter
+          // basis (verified: zero below-basis rows at every shipped
+          // sf), so every row reaches the processor.
+          val mdf = ev.select(
+            date_trunc("day", max(col("ts"))).as("md"))
+          ev.crossJoin(mdf)
+            .withColumn("nb",
+              when(col("ts") < col("md") - expr("INTERVAL 4 DAY"), 0)
+                .when(col("ts") < col("md") - expr("INTERVAL 3 DAY"), 1)
+                .when(col("ts") < col("md") - expr("INTERVAL 2 DAY"), 2)
+                .when(col("ts") < col("md") - expr("INTERVAL 1 DAY"), 3)
+                .otherwise(4))
+            .withColumn("b",
+              when(col("event_id") % 3 === 1 &&
+                col("ts") > col("md") - expr("INTERVAL 4 DAY") -
+                  expr("INTERVAL 25 HOUR") &&
+                col("ts") < col("md") - expr("INTERVAL 4 DAY"), 3)
+              .when(col("event_id") % 3 === 1 &&
+                col("ts") > col("md") - expr("INTERVAL 3 DAY") -
+                  expr("INTERVAL 25 HOUR") &&
+                col("ts") < col("md") - expr("INTERVAL 3 DAY"), 4)
+              .when(col("event_id") % 5 === 2 &&
+                col("ts") <= col("md") - expr("INTERVAL 4 DAY") -
+                  expr("INTERVAL 80 HOUR"), 1)
+              .otherwise(col("nb")))
+            .drop("nb", "md")
         case "dup" =>
           val base = ev.withColumn("b", batchExpr(n, late = false))
           val dups = ev.filter(col("event_id") % 101 === 0)

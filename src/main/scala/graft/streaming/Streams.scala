@@ -693,6 +693,57 @@ object Streams {
       .orderBy(col("kind"), col("user_id"), col("ref_id"))
   }
 
+  /** S29's allowance: 48 h — above the `refire` fixture's 1-day tail-
+    * file watermark steps (so in-allowance rows can arrive AFTER their
+    * window fired: the genuine re-fire) yet far below its 80 h+ late
+    * subset (so the beyond-allowance channel stays non-vacuous). All
+    * three channels fire at every shipped sf (sf0.001: 152 late / 18
+    * in-allowance batches of which 4 are true post-fire re-fires;
+    * sf0.01: 1443 / 227 / 124). */
+  private[graft] val S29AllowMs = 48L * 3600L * 1000L
+
+  /** S29's OUTER watermark delay: the 24 h semantic delay + the 48 h
+    * allowance — the two-clock construction (see
+    * [[AllowedLatenessProcessor]]): Spark's stateful-operator input
+    * filter runs on the declared watermark, so the declaration must
+    * cover the allowance or in-allowance rows would be eaten upstream;
+    * the processor reconstructs the 24 h semantic watermark as
+    * outer + allowance. */
+  private[graft] val S29OuterDelay = "72 hours"
+
+  /** The S29 runner — allowed-lateness tumbling hourly count (see
+    * [[AllowedLatenessProcessor]]), variant-parameterized: the
+    * canonical query runs "refire" (time-split files whose 1-day
+    * watermark steps let in-allowance rows land AFTER their window
+    * fired — Replayer's variant note derives why id-contiguous files
+    * cannot); StreamingSpec also runs "clean", where NO row arrives
+    * late, so the update and late channels must both be EMPTY and the
+    * ontime panes must equal the clean hourly counts under the
+    * final-semantic-watermark horizon — the allowance machinery is
+    * inert on late-free input. */
+  private[graft] def s29Run(s: SparkSession, d: String,
+                            variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ev: Dataset[LateWinEvent] = Replayer.stream(s, d, variant)
+      .withWatermark("ts", S29OuterDelay)
+      .select(
+        (unix_micros(col("ts")) - unix_micros(col("ts")) % HourUs)
+          .as("win_us"),
+        col("event_type"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"))
+      .as[LateWinEvent]
+    val panes = ev.groupByKey(e => (e.win_us, e.event_type))
+      .transformWithState(new AllowedLatenessProcessor(S29AllowMs),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, panes.toDF("win_us", "event_type", "kind", "ref_id", "n"),
+                "append", RocksDbConf)
+      .select(timestamp_micros(col("win_us")).as("win_start"),
+        col("event_type"), col("kind"), col("ref_id"), col("n"))
+      .orderBy(col("win_start"), col("event_type"), col("kind"),
+        col("ref_id"), col("n"))
+  }
+
   /** The S22c STREAMING plan — changelog consumer → event-time tumbling
     * window aggregate, chained in ONE IncrementalExecution (the
     * multi-stateful junction: TWS's eventTimeColumnName overload marks
@@ -754,6 +805,7 @@ object Streams {
         TimeMode.ProcessingTime(), OutputMode.Append())
       .toDF("user_id", "purchase_id")
     val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
     val ckpt = Replayer.checkpoint()
     val q = try {
       ConfScope.withConf(s, Map(
@@ -761,6 +813,7 @@ object Streams {
         RocksDbConf ++ NoFinalBatch) {
         val q = conv.writeStream
           .foreachBatch { (batch: DataFrame, id: Long) =>
+            nBatches.incrementAndGet()
             batch.collect().foreach(r =>
               buf.add((r.getLong(0), r.getLong(1))))
             // pace the NEXT batch past the TTL; skip after the last file
@@ -771,6 +824,15 @@ object Streams {
         q.awaitTermination(); q
       }
     } finally Replayer.dropCheckpoint(ckpt)
+    // The pacing skip above assumes batch ids are exactly 0..NumFiles−1
+    // (maxFilesPerTrigger=1, no final batch). If the source ever splits
+    // or merges batches, cross-batch TTL expiry would turn wall-clock-
+    // dependent and surface only as an opaque hash mismatch downstream —
+    // fail loudly here instead (advisor r18).
+    require(nBatches.get() == Replayer.NumFiles,
+      s"s25 pacing contract broken: ${nBatches.get()} batches observed, " +
+      s"expected ${Replayer.NumFiles} (one per file; TTL determinism " +
+      "relies on the per-batch gap)")
     import scala.jdk.CollectionConverters._
     val rows = buf.asScala.toSeq
     (s.createDataFrame(rows).toDF("user_id", "purchase_id")
@@ -1562,6 +1624,39 @@ object Streams {
     // closed-form drop set.
     "s24b_cdc_sideoutput" -> ((s, d) => s24bRun(s, d, "ooolate")),
 
+    // S29 — ALLOWED LATENESS window re-fire (Flink's allowedLateness):
+    // the missing MIDDLE of the late-data triad (S24 ships the
+    // beyond-delay side output, S28 the update re-emission machinery):
+    // a tumbling hourly count keyed by (window, type) where a late row
+    // within the 48 h allowance UPDATES the already-emitted window —
+    // kind='ontime' at the semantic-watermark fire, kind='update' with
+    // the refined cumulative count per later late batch (the genuine
+    // Flink re-fire — window emitted, then refined), kind='late' per
+    // beyond-allowance row (the S24 audit shape). Two findings shaped
+    // this operator (both pinned): (a) Spark prefilters stateful input
+    // against the declared watermark, so the query declares
+    // delay + allowance (72 h) and the processor runs the pane
+    // lifecycle on the reconstructed 24 h semantic watermark — the
+    // two-clock construction in AllowedLatenessProcessor's scaladoc;
+    // (b) within a data batch input runs BEFORE expired timers (the
+    // TWS scheduling contract corrected in r19 by TimerOrderProbe), so
+    // fire-batch arrivals fold into the on-time pane and only
+    // later-batch arrivals re-fire — which the time-split `refire`
+    // fixture makes non-vacuous (1-day watermark steps < allowance;
+    // id-contiguous files structurally cannot, see Replayer). Oracle:
+    // the fixture's closed-form watermark trajectory classifies every
+    // row acc/upd/late, ontime = the accumulated count at the fire
+    // batch including that batch's own in-allowance arrivals, updates
+    // = running refinements per later in-allowance batch, under the
+    // final-watermark horizon. StreamingSpec pins: the late channel
+    // equals the model's beyond-allowance set, genuine post-fire
+    // re-fires exist, each update refines exactly its window's final
+    // count, and the machinery is inert on the clean replay. 100 TB:
+    // state = ONE (count, fired) row per open window×type, purged by
+    // the cleanup timer at end + allowance — Flink's exact retention
+    // bound; one shuffle by (window, type).
+    "s29_allowed_lateness" -> ((s, d) => s29Run(s, d, "refire")),
+
     // S8d — the flagship funnel behind the reorder buffer: the 24 h
     // (s8c) form, which converts NATURALLY at every sf, so the plain
     // disordered ooo replay is non-vacuous (the injected chains' 2024-03
@@ -2250,7 +2345,10 @@ object Streams {
   lazy val oracle: Map[String, String] = oracleBase +
     ("s26_state_evolution" -> oracleBase("s8b_funnel_injected"))
 
-  private val oracleBase: Map[String, String] = Map(
+  // lazy so the `oracle` forward reference above is order-proof
+  // (advisor r18): an eager val here would be null if anything forced
+  // `oracle` during object initialization before this line ran.
+  private lazy val oracleBase: Map[String, String] = Map(
     "src4_stream_scan" ->
       """SELECT event_type, count(*) AS n,
         |  min(event_id) AS min_id, max(event_id) AS max_id
@@ -3438,6 +3536,133 @@ object Streams {
         |SELECT user_id, event_id AS ref_id, 0 AS delta, 'late' AS kind
         |FROM lt24b
         |ORDER BY kind, user_id, ref_id""".stripMargin,
+
+    // s29 — the allowed-lateness pane trajectory in closed form over
+    // the `refire` fixture (time-split files: one head file, four
+    // 1-day tails hanging off floor-day(max ts), plus the three
+    // displacement subsets — see Replayer). The chain: md29 fixes the
+    // boundary anchor, a29/g29 replay the file assignment row-for-row,
+    // m29/w29 give the per-batch OUTER operative watermark
+    // wmo(b) = floor-ms(m(b−1)) − 72 h; the SEMANTIC watermark is
+    // wmo + 48 h (the two-clock construction). Classes at arrival:
+    // 'late' iff end ≤ wmo (semantic wm ≥ end + allowance), 'upd' iff
+    // wmo < end ≤ wmo + 48 h (window fired or firing, still inside
+    // the allowance), 'acc' otherwise; classes are monotone per key
+    // because wmo is. Emissions: within a data batch INPUT RUNS
+    // BEFORE EXPIRED TIMERS (the TWS scheduling contract pinned by
+    // TimerOrderProbe), so the on-time pane emits at the fire batch
+    // F = min{b : wmo(b) ≥ end − 48 h} (F = the trailing no-data
+    // batch when only the final watermark clears it) carrying acc_n
+    // PLUS any in-allowance rows of batch F itself; each LATER upd
+    // batch emits the refined cumulative count — the genuine re-fire;
+    // a window with NO acc rows fires immediately on its first upd
+    // batch (that emission is the pane's 'ontime'). Late rows emit
+    // per event_id.
+    "s29_allowed_lateness" ->
+      """WITH md29 AS (
+        |  SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS md
+        |  FROM events),
+        |a29 AS (
+        |  SELECT e.*, md29.md,
+        |    CASE WHEN e.ts < md29.md - INTERVAL 4 DAY THEN 0
+        |         WHEN e.ts < md29.md - INTERVAL 3 DAY THEN 1
+        |         WHEN e.ts < md29.md - INTERVAL 2 DAY THEN 2
+        |         WHEN e.ts < md29.md - INTERVAL 1 DAY THEN 3
+        |         ELSE 4 END AS nb
+        |  FROM events e CROSS JOIN md29),
+        |g29 AS (
+        |  SELECT a.*, CASE
+        |    WHEN a.event_id % 3 = 1
+        |      AND a.ts > a.md - INTERVAL 4 DAY - INTERVAL 25 HOUR
+        |      AND a.ts < a.md - INTERVAL 4 DAY THEN 3
+        |    WHEN a.event_id % 3 = 1
+        |      AND a.ts > a.md - INTERVAL 3 DAY - INTERVAL 25 HOUR
+        |      AND a.ts < a.md - INTERVAL 3 DAY THEN 4
+        |    WHEN a.event_id % 5 = 2
+        |      AND a.ts <= a.md - INTERVAL 4 DAY - INTERVAL 80 HOUR
+        |      THEN 1
+        |    ELSE a.nb END AS b
+        |  FROM a29 a),
+        |m29 AS (
+        |  SELECT b, max(mx) OVER (ORDER BY b) AS mb
+        |  FROM (SELECT b, max(ts) AS mx FROM g29 GROUP BY b)),
+        |w29 AS (
+        |  SELECT b,
+        |    (epoch_us(lag(mb) OVER (ORDER BY b)) // 1000) - 259200000
+        |      AS wm_ms
+        |  FROM m29),
+        |fw29 AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 259200000 AS wm_ms
+        |  FROM events),
+        |r29 AS (
+        |  SELECT CAST(date_trunc('hour', g.ts) AS TIMESTAMP) AS win_start,
+        |    g.event_type, g.event_id, g.b,
+        |    epoch_ms(CAST(date_trunc('hour', g.ts) AS TIMESTAMP))
+        |      + 3600000 AS end_ms,
+        |    w.wm_ms
+        |  FROM g29 g JOIN w29 w USING (b)),
+        |c29 AS (
+        |  SELECT *, CASE
+        |    WHEN wm_ms IS NOT NULL AND wm_ms >= end_ms THEN 'late'
+        |    WHEN wm_ms IS NOT NULL AND wm_ms >= end_ms - 172800000
+        |      THEN 'upd'
+        |    ELSE 'acc' END AS cls
+        |  FROM r29),
+        |k29 AS (
+        |  SELECT win_start, event_type, end_ms,
+        |    sum(CASE WHEN cls = 'acc' THEN 1 ELSE 0 END) AS acc_n
+        |  FROM c29 GROUP BY 1, 2, 3),
+        |u29 AS (
+        |  SELECT win_start, event_type, b, count(*) AS a,
+        |    sum(count(*)) OVER (PARTITION BY win_start, event_type
+        |                        ORDER BY b) AS run
+        |  FROM c29 WHERE cls = 'upd' GROUP BY 1, 2, 3),
+        |f29k AS (
+        |  SELECT k.win_start, k.event_type, k.acc_n,
+        |    coalesce(
+        |      (SELECT min(w.b) FROM w29 w
+        |       WHERE w.wm_ms IS NOT NULL
+        |         AND w.wm_ms >= k.end_ms - 172800000),
+        |      CASE WHEN fw29.wm_ms >= k.end_ms - 172800000 THEN 5 END)
+        |      AS fb
+        |  FROM k29 k CROSS JOIN fw29),
+        |u1 AS (
+        |  SELECT win_start, event_type, min(b) AS ub0
+        |  FROM u29 GROUP BY 1, 2),
+        |ontime AS (
+        |  SELECT f.win_start, f.event_type, 'ontime' AS kind,
+        |    CAST(0 AS BIGINT) AS ref_id,
+        |    CASE WHEN f.acc_n > 0 THEN f.acc_n + coalesce(
+        |        (SELECT u.run FROM u29 u
+        |         WHERE u.win_start = f.win_start
+        |           AND u.event_type = f.event_type AND u.b = f.fb), 0)
+        |      ELSE (SELECT u.a FROM u29 u
+        |            WHERE u.win_start = f.win_start
+        |              AND u.event_type = f.event_type
+        |            ORDER BY u.b LIMIT 1) END AS n
+        |  FROM f29k f
+        |  WHERE (f.acc_n > 0 AND f.fb IS NOT NULL)
+        |     OR (f.acc_n = 0 AND EXISTS (SELECT 1 FROM u29 u
+        |          WHERE u.win_start = f.win_start
+        |            AND u.event_type = f.event_type))),
+        |upd_emit AS (
+        |  SELECT u.win_start, u.event_type, 'update' AS kind,
+        |    CAST(0 AS BIGINT) AS ref_id, f.acc_n + u.run AS n
+        |  FROM u29 u
+        |  JOIN f29k f USING (win_start, event_type)
+        |  JOIN u1 USING (win_start, event_type)
+        |  WHERE (f.acc_n > 0 AND u.b > f.fb)
+        |     OR (f.acc_n = 0 AND u.b > u1.ub0)),
+        |late29 AS (
+        |  SELECT win_start, event_type, 'late' AS kind,
+        |    event_id AS ref_id, CAST(0 AS BIGINT) AS n
+        |  FROM c29 WHERE cls = 'late')
+        |SELECT win_start, event_type, kind, ref_id,
+        |  CAST(n AS BIGINT) AS n
+        |FROM (SELECT * FROM ontime UNION ALL
+        |      SELECT * FROM upd_emit UNION ALL
+        |      SELECT * FROM late29)
+        |ORDER BY win_start, event_type, kind, ref_id, n""".stripMargin,
 
     // s23 — the rule schedule replayed against the deterministic file
     // assignment (Replayer.batchExpr): an event is flagged under the

@@ -1131,11 +1131,11 @@ class StreamingSpec extends AnyFunSuite {
       "no horizon-suppressed view — the watermark-tail model is untested")
   }
 
-  test("S21: expired timers fire BEFORE input rows (the event-time-" +
-       "consistent order), a deadline equal to the watermark fires " +
-       "(inclusive boundary), and an answering purchase from the " +
-       "PRIOR batch — the only place an ordered stream can put it — " +
-       "suppresses the emission") {
+  test("S21: a deadline equal to the watermark fires (inclusive " +
+       "boundary), the no-data batch that follows a watermark advance " +
+       "fires pending timers BEFORE the next data batch arrives, and " +
+       "an answering purchase from the PRIOR batch — the only place " +
+       "an ordered stream can put it — suppresses the emission") {
     import graft.streaming.{AbandonProcessor, FunnelEvent}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     implicit val sqlCtx = s.sqlContext
@@ -1143,12 +1143,15 @@ class StreamingSpec extends AnyFunSuite {
     val winUs = 1000000L // 1 s window, 2 s watermark delay
     // scenario: 0 = no purchase (control — must emit, and the deadline
     // lands EXACTLY on the watermark, pinning the inclusive boundary);
-    // 1 = purchase rides the firing batch itself (an out-of-order-only
-    // construction: its ts ≤ deadline < deadline + delay, yet it
-    // arrives after the event that advanced the watermark) — timers-
-    // first means it CANNOT suppress; 2 = purchase in the prior batch,
-    // where an event-time-ordered stream always delivers it — must
-    // suppress.
+    // 1 = purchase added after the watermark-advancing batch (an
+    // out-of-order-only construction: its ts ≤ deadline < deadline +
+    // delay, yet it arrives after the event that advanced the
+    // watermark) — the interposed NO-DATA batch (default
+    // noDataMicroBatches, run as soon as the watermark advances with
+    // no input pending — the scheduling contract pinned by
+    // TimerOrderProbe, r19) has already fired the timer, so it CANNOT
+    // suppress; 2 = purchase in the prior batch, where an event-time-
+    // ordered stream always delivers it — must suppress.
     def run(scenario: Int): Seq[(Long, Long)] = {
       val mem = MemoryStream[(Long, Long, Long, String)]
       val ev = mem.toDF().toDF("event_id", "tsu", "user_id", "event_type")
@@ -1175,12 +1178,15 @@ class StreamingSpec extends AnyFunSuite {
                       (2L, 10900000L, 7L, "purchase"))
         else mem.addData((1L, 10000000L, 7L, "view"))
         q.processAllAvailable()
-        // batch 2: filler@13s → batch 3's watermark = 13−2 = 11s,
-        // EXACTLY the deadline
+        // batch 2: filler@13s → the post-batch watermark = 13−2 =
+        // 11s, EXACTLY the deadline; the engine then interposes a
+        // NO-DATA batch (wm = 11s) that fires the timer before any
+        // later data batch
         mem.addData((3L, 13000000L, 8L, "click"))
         q.processAllAvailable()
-        // batch 3 (wm = 11s): the firing batch; scenario 1 slips the
-        // answering purchase@11.0s (== wm, not late-filtered) into it
+        // next data batch (wm = 11s): scenario 1 slips the answering
+        // purchase@11.0s (== wm, not late-filtered) into it — too late
+        // to suppress, the no-data batch has already fired
         if (scenario == 1) mem.addData((4L, 11000000L, 7L, "purchase"))
         else mem.addData((4L, 14000000L, 8L, "click"))
         q.processAllAvailable()
@@ -1190,8 +1196,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(run(0) == Seq((7L, 1L)),
       "control: deadline at exactly the watermark must fire (inclusive)")
     assert(run(1) == Seq((7L, 1L)),
-      "timers-first violated: a same-batch (out-of-order) purchase " +
-      "suppressed a timer that expired at the batch's watermark")
+      "no-data-batch firing violated: a purchase added after the " +
+      "watermark-advancing batch suppressed a timer the interposed " +
+      "no-data batch should already have fired")
     assert(run(2).isEmpty,
       "an in-order answering purchase (prior batch) failed to suppress")
   }
@@ -1679,6 +1686,133 @@ class StreamingSpec extends AnyFunSuite {
     val ooo = Streams.s24bRun(s, sf, "ooo").collect()
     assert(!ooo.exists(_.getString(3) == "late"),
       "late rows emitted on the bounded-disorder ooo replay")
+  }
+
+  test("S29: genuine post-fire re-fires exist (update batches strictly " +
+       "after the pane's fire batch), the late channel equals the " +
+       "model's beyond-allowance set, every update refines exactly its " +
+       "window's final count, and the machinery is inert on clean") {
+    import graft.streaming.Streams
+    // driver-side replica of the refire fixture's displacement +
+    // watermark chain (the s29 oracle's md29/g29/m29/w29 model)
+    val evs = Tables.events(s, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val hourUs = 3600L * 1000000L
+    val dayUs = 24L * hourUs
+    val allowMs = Streams.S29AllowMs
+    val outerMs = 72L * 3600 * 1000
+    val maxTsu = evs.map(_._2).max
+    val md = maxTsu - maxTsu % dayUs // floor-day anchor (UTC, µs)
+    def assigned(e: (Long, Long, String)): Int = {
+      val (id, tsu, _) = e
+      if (id % 3 == 1 && tsu > md - 4 * dayUs - 25 * hourUs &&
+          tsu < md - 4 * dayUs) 3
+      else if (id % 3 == 1 && tsu > md - 3 * dayUs - 25 * hourUs &&
+          tsu < md - 3 * dayUs) 4
+      else if (id % 5 == 2 && tsu <= md - 4 * dayUs - 80 * hourUs) 1
+      else if (tsu < md - 4 * dayUs) 0
+      else if (tsu < md - 3 * dayUs) 1
+      else if (tsu < md - 2 * dayUs) 2
+      else if (tsu < md - 1 * dayUs) 3
+      else 4
+    }
+    val byB = evs.groupBy(assigned)
+    val mb = (0 until Replayer.NumFiles).map(b =>
+      (0 to b).flatMap(byB.get).flatten.map(_._2).max)
+    def wmo(b: Int): Long = // outer operative watermark, ms
+      if (b == 0) Long.MinValue else mb(b - 1) / 1000 - outerMs
+    val fwOuter = maxTsu / 1000 - outerMs
+    def endOf(tsu: Long): Long = (tsu - tsu % hourUs) / 1000 + 3600000L
+    // per-row class at arrival: late / upd (in-allowance) / acc
+    sealed trait Cls; case object Acc extends Cls
+    case object Upd extends Cls; case object LateC extends Cls
+    def clsOf(e: (Long, Long, String)): Cls = {
+      val w = wmo(assigned(e)); val end = endOf(e._2)
+      if (w >= end) LateC else if (w >= end - allowMs) Upd else Acc
+    }
+    val modelLate = evs.filter(e => clsOf(e) == LateC).map(_._1).toSet
+    // per-key fire batch and update-emission batches
+    def keyOf(e: (Long, Long, String)) = (e._2 - e._2 % hourUs, e._3)
+    val byKey = evs.groupBy(keyOf)
+    val fireBatch: Map[(Long, String), Option[Int]] = byKey.map {
+      case (k, _) =>
+        val end = endOf(k._1 + 1) // any tsu in the window works
+        val fb = (1 until Replayer.NumFiles)
+          .find(b => wmo(b) >= end - allowMs)
+          .orElse(if (fwOuter >= end - allowMs) Some(5) else None)
+        k -> fb
+    }
+    val modelUpdates: Map[(Long, String), Seq[Int]] = byKey.flatMap {
+      case (k, es) =>
+        val accN = es.count(e => clsOf(e) == Acc)
+        val updBatches = es.filter(e => clsOf(e) == Upd)
+          .map(assigned).distinct.sorted
+        val emitting =
+          if (accN > 0) updBatches.filter(b => fireBatch(k).exists(b > _))
+          else updBatches.drop(1) // first upd batch is the pane's ontime
+        if (emitting.nonEmpty) Some(k -> emitting.toSeq) else None
+    }.toMap
+    assert(modelLate.nonEmpty, "no beyond-allowance rows — late vacuous")
+    assert(modelUpdates.nonEmpty, "no predicted re-fires — vacuous")
+    // every modeled update batch is strictly after the pane's fire
+    // batch — the GENUINE re-fire (same-batch arrivals fold into the
+    // on-time pane under the input-before-timers contract)
+    modelUpdates.foreach { case (k, bs) =>
+      val fb = fireBatch(k)
+      assert(fb.isDefined && bs.forall(_ > fb.get),
+        s"model self-check: update batches $bs not after fire $fb for $k")
+    }
+    val rows = Streams.s29Run(s, sf, "refire").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val gotLate = rows.filter(_._3 == "late").map(_._4).toSet
+    assert(gotLate == modelLate,
+      s"late channel != model beyond-allowance set " +
+      s"(got ${gotLate.size}, want ${modelLate.size})")
+    val gotUpdates = rows.filter(_._3 == "update")
+      .groupBy(r => (r._1.getTime * 1000L, r._2))
+      .view.mapValues(_.length).toMap
+    assert(gotUpdates == modelUpdates.map { case (k, bs) => k -> bs.size },
+      s"update emissions diverged from the model " +
+      s"(got ${gotUpdates.size} keys, want ${modelUpdates.size})")
+    // refinement pin: per updated key the pane sequence strictly
+    // increases from ontime through updates, and the FINAL value equals
+    // every non-late row of the window — each re-fire refined exactly
+    // its own window, nothing leaked across windows
+    gotUpdates.keys.foreach { case k @ (winUs, typ) =>
+      val seq = rows.filter(r =>
+          r._1.getTime * 1000L == winUs && r._2 == typ &&
+          (r._3 == "ontime" || r._3 == "update"))
+        .map(_._5).sorted
+      assert(seq.distinct.size == seq.size && seq.size >= 2,
+        s"pane sequence for $k not strictly increasing: $seq")
+      val expected = byKey((winUs, typ))
+        .count(e => !modelLate(e._1)).toLong
+      assert(seq.last == expected,
+        s"window $k: final pane ${seq.last} != non-late rows $expected")
+    }
+    // inertness on the clean replay (same runner, id-split files): no
+    // row arrives late, so no update, no late; ontime panes equal the
+    // hourly counts for windows under the final-semantic-watermark
+    // horizon end ≤ floor-ms(max) − 24 h (outer + allowance)
+    val cleanRows = Streams.s29Run(s, sf, "clean").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(!cleanRows.exists(r => r._3 == "update" || r._3 == "late"),
+      "allowance machinery fired on the clean replay")
+    val expectedOntime = evs.groupBy(keyOf)
+      .collect { case ((winUs, typ), es)
+          if winUs / 1000 + 3600000L - allowMs <= fwOuter =>
+        ((winUs, typ), es.length.toLong) }
+      .toMap
+    val gotOntime = cleanRows.filter(_._3 == "ontime")
+      .map(r => ((r._1.getTime * 1000L, r._2), r._5)).toMap
+    assert(gotOntime == expectedOntime,
+      s"clean ontime panes diverged from hourly counts " +
+      s"(got ${gotOntime.size}, want ${expectedOntime.size})")
   }
 
   test("S21b: the reorder buffer SURVIVES a kill-and-restart — buffered " +
