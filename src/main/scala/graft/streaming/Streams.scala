@@ -1657,6 +1657,52 @@ object Streams {
     // bound; one shuffle by (window, type).
     "s29_allowed_lateness" -> ((s, d) => s29Run(s, d, "refire")),
 
+    // S30 — CUMULATE windows (Flink SQL's CUMULATE TVF): growing panes
+    // with a fixed window START and a step-advancing END — 6 h max,
+    // 1 h step, per event_type — emitting the window-to-date count at
+    // every pane end: the real-time dashboard staple (day-to-date
+    // revenue ticking up each hour) that is NEITHER a tumbling window
+    // (emits once) nor a sliding one (start moves too). No Spark
+    // builtin; the Spark-first rewrite is pane-end EXPLOSION: each
+    // event joins every pane of its 6 h window whose end is strictly
+    // after its ts — explode(sequence(ceil-hour(ts), floor6(ts)+6h,
+    // 1 h)) — then ONE tumbling aggregation keyed on the pane end
+    // (hour-aligned, so window(pe, 1h).start ≡ pe), with the watermark
+    // re-declared ON the pane-end column: delay = 6 h 10 min covers
+    // the explosion's bounded time-shift (pe ≤ ts + 6 h, and on the
+    // ordered replay pe ≥ ts ≥ prior max ts ≥ prior max pe − 6 h, so
+    // nothing is late-filtered — 10 min margin on top of the 6 h
+    // span). Append mode gives pane-end eviction for free: a pane
+    // emits exactly once, when the pe-watermark passes it — the
+    // closed-form horizon pe + 1 h < max(pe) − 6 h 10 min. 100 TB:
+    // explosion multiplies map-side rows by ≤ max/step (avg 3.5×) but
+    // partial aggregation collapses them BEFORE the exchange, so
+    // shuffle volume is (open panes × types) per partition, not rows;
+    // state = open panes only (eviction bounds it by the watermark
+    // lag); one shuffle total. The oracle replays the same explosion
+    // in DuckDB under the same horizon.
+    "s30_cumulate" -> ((s, d) => {
+      val panes = Replayer.stream(s, d, "clean")
+        .select(col("ts"), col("event_type"))
+        .withColumn("pe", explode(expr(
+          "sequence(date_trunc('HOUR', ts) + INTERVAL 1 HOUR, " +
+          "timestamp_micros((unix_micros(ts) div 21600000000) * " +
+          "21600000000) + INTERVAL 6 HOUR, INTERVAL 1 HOUR)")))
+        .withWatermark("pe", "6 hours 10 minutes")
+      val agg = panes
+        .groupBy(window(col("pe"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_todate"))
+      runToMemory(s, agg, "append")
+        .selectExpr(
+          // pane_end = window.start (hour-aligned); the cumulate
+          // window's fixed start = floor6(pane_end − 1 h) — exact
+          // integer µs arithmetic, no double division
+          "timestamp_micros(((unix_micros(window.start) - 3600000000)" +
+            " div 21600000000) * 21600000000) AS win_start",
+          "window.start AS pane_end", "event_type", "n_todate")
+        .orderBy(col("win_start"), col("pane_end"), col("event_type"))
+    }),
+
     // S8d — the flagship funnel behind the reorder buffer: the 24 h
     // (s8c) form, which converts NATURALLY at every sf, so the plain
     // disordered ooo replay is non-vacuous (the injected chains' 2024-03
@@ -2730,6 +2776,38 @@ object Streams {
         |  CAST(count(*) AS BIGINT) AS final_n
         |FROM b28 GROUP BY 1, 2
         |ORDER BY win_start, event_type""".stripMargin,
+
+    // s30 — the cumulate-window explosion replayed in DuckDB: each
+    // event unnests to every pane end of its 6 h window strictly after
+    // its ts (generate_series is inclusive and starts at ceil-hour, so
+    // the bounds match Spark's sequence call exactly), grouped by
+    // (pane end, type), under the append horizon pe + 1 h <
+    // max(pe) − 6 h 10 min (the pe-watermark's final value; max(pe) is
+    // hour-aligned so Spark's ms-floor is a no-op).
+    "s30_cumulate" ->
+      """WITH p30 AS (
+        |  SELECT e.event_type,
+        |    unnest(generate_series(
+        |      CAST(date_trunc('hour', e.ts) AS TIMESTAMP)
+        |        + INTERVAL 1 HOUR,
+        |      make_timestamp((epoch_us(e.ts) // 21600000000)
+        |        * 21600000000) + INTERVAL 6 HOUR,
+        |      INTERVAL 1 HOUR)) AS pe
+        |  FROM events e),
+        |fw30 AS (
+        |  SELECT max(pe) - INTERVAL 6 HOUR - INTERVAL 10 MINUTE AS w
+        |  FROM p30),
+        |agg30 AS (
+        |  SELECT pe, event_type, count(*) AS n_todate
+        |  FROM p30 GROUP BY 1, 2)
+        |SELECT
+        |  make_timestamp(((epoch_us(pe) - 3600000000)
+        |    // 21600000000) * 21600000000) AS win_start,
+        |  pe AS pane_end, event_type,
+        |  CAST(n_todate AS BIGINT) AS n_todate
+        |FROM agg30 CROSS JOIN fw30
+        |WHERE pe + INTERVAL 1 HOUR < fw30.w
+        |ORDER BY win_start, pane_end, event_type""".stripMargin,
 
     "s6_dedup" ->
       """SELECT event_type, count(*) AS n,

@@ -1815,6 +1815,45 @@ class StreamingSpec extends AnyFunSuite {
       s"(got ${gotOntime.size}, want ${expectedOntime.size})")
   }
 
+  test("S30: cumulate panes emit exactly once, grow monotonically " +
+       "within their window, and a fully-released window's last pane " +
+       "carries the full 6 h count") {
+    val rows = SparkEntry.queries("s30_cumulate")(s, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty, "no cumulate panes emitted")
+    // emit-once: the (win_start, pane_end, type) key is unique — append
+    // mode fires each pane exactly when the watermark passes it
+    assert(rows.map(r => (r._1, r._2, r._3)).distinct.length == rows.length,
+      "a pane emitted more than once")
+    // window-to-date growth: within (win_start, type), counts are
+    // nondecreasing in pane_end, and some window genuinely grows
+    // (a strict increase exists) — the cumulate face is non-vacuous
+    var strictGrowth = false
+    rows.groupBy(r => (r._1, r._3)).foreach { case (k, panes) =>
+      val seq = panes.sortBy(_._2).map(_._4)
+      assert(seq.zip(seq.tail).forall { case (a, b) => a <= b },
+        s"window $k: pane counts not nondecreasing: ${seq.mkString(",")}")
+      if (seq.zip(seq.tail).exists { case (a, b) => a < b })
+        strictGrowth = true
+    }
+    assert(strictGrowth, "no window ever grew across panes — vacuous")
+    // completeness: a window whose LAST pane (start + 6 h) was released
+    // carries the full window count from the batch table
+    val ev = Tables.events(s, sf)
+      .select(unix_micros(col("ts")).as("tsu"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sixH = 6L * 3600 * 1000000L
+    val fullPanes = rows.filter(r => r._2 == r._1 + sixH / 1000)
+    assert(fullPanes.nonEmpty, "no fully-released window — vacuous")
+    fullPanes.foreach { case (ws, _, typ, n) =>
+      val expected = ev.count(e => e._2 == typ &&
+        e._1 >= ws * 1000 && e._1 < ws * 1000 + sixH).toLong
+      assert(n == expected,
+        s"window ($ws, $typ): last pane $n != full count $expected")
+    }
+  }
+
   test("S21b: the reorder buffer SURVIVES a kill-and-restart — buffered " +
        "events, walking release timers and deadline timers pending at " +
        "the crash are restored from the checkpoint and the emission " +
