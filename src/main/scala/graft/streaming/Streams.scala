@@ -1363,6 +1363,41 @@ object Streams {
         .orderBy(col("user_id"), col("completion_id"))
     }),
 
+    // S20e — ALL-MATCHES CEP enumeration (Flink CEP's
+    // AfterMatchSkipStrategy.noSkip / MATCH_RECOGNIZE's overlapping
+    // ALL ROWS PER MATCH): the after-match-skip axis the S20 family
+    // left implicit — every query so far reports completions under ONE
+    // strategy (skip-till-next-match) and without constituents. This
+    // emits EVERY overlapping (view, click, purchase) match tuple
+    // (v_id, c_id, p_id) with v < c < p in (ts, event_id) order and
+    // v ≥ p − 24 h — the completed-match payload counterpart to
+    // S21c's timed-out partials. State = trailing-window view/click
+    // candidate lists (rate × window per key — the funnel budget, NOT
+    // unbounded: see AllMatchesProcessor's bound note); per-purchase
+    // work is output-volume-driven BY SEMANTICS (no-skip enumerates
+    // combinations — Flink pays the same; the skip modes remain the
+    // production face for existence-only queries). Oracle = the
+    // relational triple join, trivially expressible because no-skip
+    // IS the join semantics. StreamingSpec pins the axis: on v,v,c,p
+    // the skip DP completes once where no-skip enumerates both
+    // tuples, and the distinct-purchase projection of this query
+    // equals S20's completion set exactly.
+    "s20e_all_matches" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val matches = ev.groupByKey(_.user_id)
+        .transformWithState(
+          new AllMatchesProcessor(graft.queries.Windows.SkipWindowUs),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, matches.toDF("user_id", "v_id", "c_id", "p_id"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("v_id"), col("c_id"), col("p_id"))
+    }),
+
     // S20d — QUANTIFIED CEP pattern (Flink CEP's times(n)/oneOrMore
     // quantifiers, MATCH_RECOGNIZE's {n} repetition): the SAME
     // skip-till-next-match DP as S20 run on the REPEATED-LETTER
@@ -3070,6 +3105,27 @@ object Streams {
         |FROM s2b
         |WHERE l = 'p' AND m2 IS NOT NULL AND m2 >= ts - INTERVAL 24 HOUR
         |ORDER BY user_id, completion_id""".stripMargin,
+
+    // s20e — no-skip all-matches IS the relational triple join: every
+    // (v, c, p) with strict (ts, event_id) precedence between slots
+    // and the view inside the purchase's 24 h horizon.
+    "s20e_all_matches" ->
+      """WITH e20e AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END AS l
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT v.user_id AS user_id, v.event_id AS v_id,
+        |  c.event_id AS c_id, p.event_id AS p_id
+        |FROM e20e v
+        |JOIN e20e c ON c.user_id = v.user_id AND c.l = 'c'
+        |  AND (c.ts, c.event_id) > (v.ts, v.event_id)
+        |JOIN e20e p ON p.user_id = v.user_id AND p.l = 'p'
+        |  AND (p.ts, p.event_id) > (c.ts, c.event_id)
+        |  AND v.ts >= p.ts - INTERVAL 24 HOUR
+        |WHERE v.l = 'v'
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
 
     // s20d — the quantified pattern's closed form: THREE chained
     // strictly-preceding window maxima (one per non-final pattern

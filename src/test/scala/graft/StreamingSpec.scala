@@ -1815,6 +1815,54 @@ class StreamingSpec extends AnyFunSuite {
       s"(got ${gotOntime.size}, want ${expectedOntime.size})")
   }
 
+  test("S20e: the after-match-skip axis — on v,v,c,p the skip DP " +
+       "completes once where no-skip enumerates both overlapping " +
+       "tuples, and on the corpus the distinct-purchase projection of " +
+       "the all-matches set equals S20's completion set exactly") {
+    import graft.streaming.{AllMatchesProcessor, AllMatchState,
+      FunnelEvent, SkipMatchProcessor}
+    val winUs = graft.queries.Windows.SkipWindowUs
+    // crafted prefix: two views share the same click+purchase tail —
+    // one completion under skip-till-next-match, TWO match tuples
+    // under no-skip (the defining difference of the strategy axis)
+    val seq = Seq(
+      FunnelEvent(1, 1000000L, 7, "view"),
+      FunnelEvent(2, 2000000L, 7, "view"),
+      FunnelEvent(3, 3000000L, 7, "click"),
+      FunnelEvent(4, 4000000L, 7, "purchase"))
+    val m = Array.fill(2)(-1L)
+    val skipOut = SkipMatchProcessor.stepAll("vcp", winUs, m, 7, seq)
+    assert(skipOut == Seq((7L, 4L)),
+      s"skip DP should complete exactly once on v,v,c,p: $skipOut")
+    val (_, allOut) = AllMatchesProcessor.stepAll(
+      winUs, AllMatchState(Nil, Nil), 7, seq)
+    assert(allOut.toSet == Set((7L, 1L, 3L, 4L), (7L, 2L, 3L, 4L)),
+      s"no-skip should enumerate both overlapping tuples: $allOut")
+    // a second purchase re-matches the SAME constituents under no-skip
+    // (nothing is consumed), unlike consuming skip strategies
+    val (_, allOut2) = AllMatchesProcessor.stepAll(
+      winUs, AllMatchState(Nil, Nil), 7,
+      seq :+ FunnelEvent(5, 5000000L, 7, "purchase"))
+    assert(allOut2.size == 4,
+      s"candidates must survive a completed match (no-skip): $allOut2")
+    // corpus-level projection: a purchase has ≥1 match tuple iff the
+    // skip DP completes on it — the two strategies agree on WHICH
+    // purchases match, differing only in enumeration
+    val tuples = SparkEntry.queries("s20e_all_matches")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(tuples.nonEmpty, "no match tuples on the corpus — vacuous")
+    assert(tuples.distinct.length == tuples.length,
+      "duplicate match tuples emitted")
+    val s20Set = SparkEntry.queries("s20_stream_pattern")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tuples.map(t => (t._1, t._4)).toSet == s20Set,
+      "distinct-purchase projection of all-matches != S20 completions")
+    // and somewhere the enumeration is genuinely wider than the
+    // skip report (an overlapping match exists on the natural corpus)
+    assert(tuples.length > s20Set.size,
+      "no overlapping matches on the corpus — the axis pin is vacuous")
+  }
+
   test("S30: cumulate panes emit exactly once, grow monotonically " +
        "within their window, and a fully-released window's last pane " +
        "carries the full 6 h count") {
