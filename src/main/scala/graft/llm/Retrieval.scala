@@ -126,6 +126,91 @@ object Retrieval {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // L48 — RECIPROCAL-RANK FUSION (Cormack et al.'s RRF, the
+    // production RAG/curation retriever): the retrieval family ships a
+    // sparse ranker (L45 BM25) and a dense family (l3*) but no FUSION —
+    // and hybrid search is what production retrieval actually runs,
+    // because the two rankers fail differently (lexical match misses
+    // paraphrase, embeddings miss rare exact terms). RRF fuses WITHOUT
+    // score calibration — ranks only:
+    //   rrf(doc) = Σ_rankers 1e6 div (60 + rank_r(doc))
+    // over each ranker's top-10 (absent ⇒ no contribution; 60 = the
+    // standard k, which damps rank-1 dominance so cross-ranker
+    // CONSENSUS outranks single-ranker confidence: 2×rrf(2) > rrf(1)).
+    // Exact-integer by construction — the ×1e6 div keeps the repo's
+    // float contract with zero calibration math. Query set = L45's
+    // (doc_id % 17 == 0); the dense side ranks the query doc's OWN
+    // embedding (vec_id ≡ doc_id on this corpus) against all others by
+    // the l3 quantized cosine. 100 TB: each ranker's top-k is already
+    // computed at scale by its own operator (BM25 candidates via the
+    // broadcast query-term screen; dense via the IVF/PQ family — the
+    // brute-force side here is the small-corpus face); fusion itself
+    // touches ≤ 2k rows per query — one qid-keyed shuffle of top-k
+    // lists, corpus-size-independent.
+    "l48_rrf_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      // sparse ranker: L45's exact-integer BM25, widened to top-10
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = dl.agg(sum(col("dl")).as("totdl"),
+        count(lit(1)).as("nd"))
+      val qterms = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").as("qid"),
+          explode(slice(split(col("text"), " "), 1, 4)).as("token"))
+        .distinct()
+      val sparse = tf.join(broadcast(qterms), "token")
+        .join(df, "token")
+        .join(dl, "doc_id")
+        .join(broadcast(stats))
+        .select(col("qid"), col("doc_id"),
+          (expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)") *
+           expr("(tf * 22000 * totdl) div " +
+             "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)")).as("contrib"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score"))
+        .withColumn("srnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("srnk") <= 10)
+        .select(col("qid"), col("doc_id"), col("srnk"))
+      // dense ranker: the l3 quantized cosine, query = the qid's own
+      // embedding (vec_id ≡ doc_id), top-10 over all other vectors
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), Llm.qz(col("embedding")).as("q"))
+        .withColumn("nrm", Llm.qnorm(col("q")))
+      val qv = e.join(
+          broadcast(docs.filter(col("doc_id") % 17 === 0)
+            .select(col("doc_id").as("qid"))),
+          col("vec_id") === col("qid"))
+        .select(col("qid"), col("q").as("qq"), col("nrm").as("qn"))
+      val dense = broadcast(qv).join(e, col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          (Llm.qdot(col("qq"), col("q")).cast(DoubleType) /
+            (sqrt(col("qn").cast(DoubleType)) *
+             sqrt(col("nrm").cast(DoubleType)))).as("cos"))
+        .withColumn("drnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("cos").desc, col("doc_id").asc)))
+        .filter(col("drnk") <= 10)
+        .select(col("qid"), col("doc_id"), col("drnk"))
+      // rank-only fusion: absent-from-a-list contributes nothing
+      sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"),
+          (coalesce(expr("1000000 div (60 + srnk)"), lit(0L)) +
+           coalesce(expr("1000000 div (60 + drnk)"), lit(0L)))
+            .as("rrf"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("rrf").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // L46 — PASSAGE-level decontamination (L24 × L45): L27 flags whole
     // documents by shingle overlap; production decontamination checks
     // passages — a 50-token quotation inside a long clean document is
@@ -245,6 +330,93 @@ object Retrieval {
         |  FROM agg45)
         |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id, score
         |FROM rk45 WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // l48 — the two rankers' top-10 lists (l45's exact-integer BM25
+    // chain verbatim; the l3 quantized-cosine chain with the %17 query
+    // set) fused by the exact-integer RRF formula; // is the same
+    // floor division, NULL // propagates and coalesces to 0 exactly
+    // as Spark's div under coalesce.
+    "l48_rrf_fusion" ->
+      """WITH tok48 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf48 AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok48 GROUP BY doc_id, token),
+        |dl48 AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM tok48 GROUP BY doc_id),
+        |df48 AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf48 GROUP BY token),
+        |st48 AS (
+        |  SELECT CAST(sum(dl) AS BIGINT) AS totdl,
+        |         CAST(count(*) AS BIGINT) AS nd
+        |  FROM dl48),
+        |q48 AS (
+        |  SELECT DISTINCT doc_id AS qid, unnest(toks[1:4]) AS token
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents WHERE doc_id % 17 = 0)),
+        |sc48 AS (
+        |  SELECT q.qid, t.doc_id,
+        |    (((2 * s.nd - 2 * f.df + 1) * 1000000) // (2 * f.df + 1))
+        |    * ((t.tf * 22000 * s.totdl)
+        |       // (10 * s.totdl * t.tf + 3 * s.totdl + 9 * l.dl * s.nd))
+        |      AS contrib
+        |  FROM tf48 t
+        |  JOIN q48 q USING (token)
+        |  JOIN df48 f USING (token)
+        |  JOIN dl48 l ON t.doc_id = l.doc_id
+        |  CROSS JOIN st48 s),
+        |srk48 AS (
+        |  SELECT qid, doc_id, srnk FROM (
+        |    SELECT qid, doc_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY sum(contrib) DESC, doc_id ASC) AS srnk
+        |    FROM sc48 GROUP BY qid, doc_id)
+        |  WHERE srnk <= 10),
+        |n48 AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+        |      AS q
+        |  FROM embeddings),
+        |m48 AS (
+        |  SELECT vec_id, q,
+        |    CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+        |      AS nrm
+        |  FROM n48),
+        |qv48 AS (
+        |  SELECT d.doc_id AS qid, m.q, m.nrm
+        |  FROM documents d JOIN m48 m ON m.vec_id = d.doc_id
+        |  WHERE d.doc_id % 17 = 0),
+        |pr48 AS (
+        |  SELECT a.qid, b.vec_id AS doc_id,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> a.q[i] * b.q[i])) AS BIGINT) AS DOUBLE)
+        |      / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+        |      AS cos
+        |  FROM qv48 a JOIN m48 b ON b.vec_id <> a.qid),
+        |drk48 AS (
+        |  SELECT qid, doc_id, drnk FROM (
+        |    SELECT qid, doc_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, doc_id ASC) AS drnk
+        |    FROM pr48)
+        |  WHERE drnk <= 10),
+        |fu48 AS (
+        |  SELECT qid, doc_id,
+        |    coalesce(1000000 // (60 + srnk), 0)
+        |      + coalesce(1000000 // (60 + drnk), 0) AS rrf
+        |  FROM srk48 FULL JOIN drk48 USING (qid, doc_id)),
+        |rk48 AS (
+        |  SELECT qid, doc_id, rrf,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf DESC, doc_id ASC) AS rnk
+        |  FROM fu48)
+        |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id,
+        |  CAST(rrf AS BIGINT) AS rrf
+        |FROM rk48 WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
     // l46 — the l24 chunk slices (DuckDB list slices are 1-based
     // inclusive and clamp, matching Spark's slice) feeding the l45
     // exact-integer scoring chain; injection replayed verbatim.

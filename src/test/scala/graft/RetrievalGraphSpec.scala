@@ -54,6 +54,48 @@ class RetrievalGraphSpec extends AnyFunSuite {
     }
   }
 
+  test("L48: RRF fuses the two rankers rather than copying one — " +
+       "cross-ranker consensus docs exist and outrank single-ranker " +
+       "docs, the fused head diverges from BM25's somewhere, and the " +
+       "k=60 damping makes (2,2) consensus beat a lone rank-1") {
+    val s = TestSpark.spark
+    // the damping property RRF is chosen for, on the exact formula
+    assert(2 * (1000000L / 62) > 1000000L / 61,
+      "k=60 damping broken: a (2,2) consensus must beat (1, absent)")
+    val fused = SparkEntry.queries("l48_rrf_fusion")(s, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(fused.nonEmpty, "no fused rows")
+    // every rrf must be a sum of 0/1/2 legal per-ranker contributions,
+    // and contributions from BOTH rankers are distinguishable: the
+    // single-ranker value set and the consensus (two-term) value set
+    // are disjoint for ranks 1..10
+    val single = (1 to 10).map(r => 1000000L / (60 + r)).toSet
+    val consensus = (for (a <- single; b <- single) yield a + b).toSet
+    assert((single & consensus).isEmpty, "value sets collide — probe broken")
+    assert(fused.forall(r => single(r._4) || consensus(r._4)),
+      "an rrf value matches neither one- nor two-ranker composition")
+    assert(fused.exists(r => consensus(r._4)),
+      "no cross-ranker consensus doc in any top-5 — fusion vacuous")
+    // somewhere a consensus doc outranks a single-ranker doc — the
+    // behavior fusion exists to produce
+    val perQ = fused.groupBy(_._1)
+    assert(perQ.exists { case (_, rows) =>
+      rows.sortBy(_._2).toSeq.sliding(2).exists {
+        case Seq(hi, lo) => consensus(hi._4) && single(lo._4)
+        case _ => false
+      }
+    }, "no consensus-above-single ordering anywhere — fusion inert")
+    // and the fused head is not just BM25's head for every query
+    val bm25Top1 = SparkEntry.queries("l45_bm25_topk")(s, TestSpark.Sf)
+      .collect().filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fusedTop1 = fused.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    assert(fusedTop1.exists { case (q, d) =>
+      bm25Top1.get(q).exists(_ != d) },
+      "fused top-1 equals BM25 top-1 for every query — dense side inert")
+  }
+
   test("G1: PageRank top-20 equals an in-memory exact-integer Pregel " +
        "reference, and total mass never exceeds Scale") {
     val s = TestSpark.spark
