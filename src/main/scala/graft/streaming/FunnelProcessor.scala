@@ -85,6 +85,43 @@ class FunnelProcessorV2(windowUs: Long)
   }
 }
 
+/** S31's rescale-migration processor: the SAME funnel fold, accepting
+  * a bulk-loaded initial state (Spark's
+  * `StatefulProcessorWithInitialState` — the TWS overload that seeds a
+  * FRESH checkpoint from a keyed state Dataset). This is the write
+  * half of the tested rescale path: a TWS checkpoint pins its shuffle
+  * partitions (restored from the offsets log — the resume-under-a-
+  * different-conf pin in StreamingSpec "S31"), so changing state
+  * parallelism means EXPORT (the s31 state source read) → REBUILD
+  * (this processor under the new partition count) — Flink's
+  * savepoint-rescale recipe re-expressed on Spark primitives. The fold
+  * is delegated to [[FunnelProcessor.applyOrdered]], so migrated and
+  * uninterrupted runs cannot drift semantically. */
+class FunnelProcessorWithInit(windowUs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      Long, FunnelEvent, (Long, Long), FunnelState] {
+
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState](
+      "funnel", Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInitialState(user: Long, initialState: FunnelState,
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Unit =
+    st.update(initialState)
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long)] = {
+    val prev = Option(st.get()).getOrElse(FunnelState(Nil, Nil))
+    val (next, out) = FunnelProcessor.applyOrdered(windowUs, prev, user,
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    st.update(next)
+    out.iterator
+  }
+}
+
 object FunnelProcessor {
   /** The funnel fold shared with the out-of-order (watermark-
     * reordering) S8d variant: apply `events` — ALREADY in

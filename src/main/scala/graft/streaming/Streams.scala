@@ -841,6 +841,68 @@ object Streams {
       .orderBy(col("user_id")), q)
   }
 
+  /** S31 body — STATE INTROSPECTION: run the s8-family funnel to
+    * completion keeping its checkpoint, then read the checkpoint's
+    * keyed STATE back through Spark 4's state-store data source
+    * (`spark.read.format("statestore")`, stateVarName = the TWS column
+    * family) and flatten every FunnelState into auditable rows. The
+    * exported state is hash-gated against the fold's closed-form
+    * retained-state model (see the oracle): after the last chunk of a
+    * user, views survive iff tsu ≥ M_u − window and pairs iff their
+    * view member does, with the pair's view = the max view ≤ its click
+    * — the trailing-window invariant the funnel's per-chunk pruning
+    * maintains. The driver-side collect is STATE-sized (per-user
+    * trailing windows — aggregate cardinality, not data volume) and
+    * exists so the checkpoint can be dropped before the result is
+    * consumed. 100 TB: the state source reads store files directly at
+    * store-shard parallelism — no replay, no state-size-squared cost;
+    * this is the audit/debug/migration read path (the StreamingSpec
+    * rescale recipe builds on it). */
+  private[graft] def s31Run(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ckpt = Replayer.checkpoint()
+    try {
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "funnel")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val conv = ev.groupByKey(_.user_id)
+        .transformWithState(new FunnelProcessor(HourUs),
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "purchase_id")
+      ConfScope.withConf(s, Map(
+        "spark.sql.shuffle.partitions" -> streamPartitions) ++
+        RocksDbConf ++ NoFinalBatch) {
+        val q = conv.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // consume every partition (an unconsumed partition fails
+            // commit validation); the query's OUTPUT is not the point
+            // here — the checkpoint's state is
+            b.foreach((_: org.apache.spark.sql.Row) => ()) }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val st = s.read.format("statestore")
+        .option("stateVarName", "funnel").load(ckpt)
+      val views = st.select(col("key.value").as("user_id"),
+          explode(col("value.views")).as("a_us"))
+        .select(col("user_id"), lit("view").as("kind"), col("a_us"),
+          lit(0L).as("b_us"))
+      val pairs = st.select(col("key.value").as("user_id"),
+          explode(col("value.pairs")).as("p"))
+        .select(col("user_id"), lit("pair").as("kind"),
+          col("p._1").as("a_us"), col("p._2").as("b_us"))
+      val rows = views.unionByName(pairs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      s.createDataFrame(rows.toIndexedSeq)
+        .toDF("user_id", "kind", "a_us", "b_us")
+        .orderBy(col("user_id"), col("kind"), col("a_us"), col("b_us"))
+    } finally Replayer.dropCheckpoint(ckpt)
+  }
+
   /** S26 body — the state-schema-UPGRADE run: phase 1 processes the
     * first three files under the v1 state schema and crashes at a
     * deterministic upgrade point (poison batch — the s19/SNK2 restart
@@ -1788,6 +1850,23 @@ object Streams {
     // update and an expired-range scan per batch — O(updates), the
     // RocksDB-native idle-state bound.
     "s25_ttl_funnel" -> ((s, d) => s25Run(s, d)._1),
+
+    // S31 — STATE INTROSPECTION (Flink's State Processor API face,
+    // Spark-first: the state-store DATA SOURCE): the s8b funnel's
+    // checkpoint read BACK as a table and hash-gated against the
+    // fold's closed-form retained-state model — state stops being an
+    // opaque blob and becomes an auditable, queryable artifact. This
+    // is the read half of the savepoint toolbox (S26 covers schema
+    // upgrade; the StreamingSpec "S31" rescale recipe covers
+    // PARALLELISM migration: a TWS checkpoint pins its shuffle
+    // partitions — pinned from the offsets log — and the tested
+    // export→rebuild path re-keys the exported state into a fresh
+    // query at the new parallelism via transformWithState's
+    // initial-state overload, exactly the dial the s4c 30× scale
+    // adjudication says a cluster must turn). 100 TB: the state
+    // source reads store shards directly — no replay; the export is
+    // state-sized, the rebuild is one initial-state shuffle.
+    "s31_state_export" -> ((s, d) => s31Run(s, d)),
 
     // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
     // aggregate fed by a changelog (upsert/delete ops derived
@@ -2951,6 +3030,55 @@ object Streams {
         |      WHERE v.user_id = p.user_id AND v.event_type = 'view'
         |        AND v.ts <= c.ts AND v.ts >= p.ts - INTERVAL 1 HOUR))
         |GROUP BY p.user_id ORDER BY p.user_id""".stripMargin,
+
+    // s31 — the funnel's RETAINED STATE in closed form: per user, the
+    // per-chunk pruning (filter at chunk-max − window, applied at the
+    // user's every arrival chunk) composes to the single global
+    // condition tsu ≥ M_u − window (chunk maxima are nondecreasing on
+    // the ordered replay and the last prune uses M_u — the binding
+    // one); a pair survives iff its VIEW member does, and a surviving
+    // pair's view is necessarily the global max view ≤ its click (a
+    // pruned-earlier max would itself fail the final condition).
+    // Same ts-only tie convention as the s8 family (tie-free corpus
+    // asserted in StreamingSpec).
+    "s31_state_export" ->
+      s"""WITH rt31 AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 211 IN (0, 95, 190)
+        |      THEN TIMESTAMP '2024-03-01 00:00:00'
+        |           + ((event_id // 211) * 7200
+        |              + ((event_id % 211) // 95) * 600) * INTERVAL 1 SECOND
+        |      ELSE ts END AS ts,
+        |    CASE WHEN event_id % 211 IN (0, 95, 190)
+        |      THEN ${Replayer.FunnelUserBase} + event_id // 211
+        |      ELSE user_id END AS user_id,
+        |    CASE WHEN event_id % 211 = 0 THEN 'view'
+        |         WHEN event_id % 211 = 95 THEN 'click'
+        |         WHEN event_id % 211 = 190 THEN 'purchase'
+        |         ELSE event_type END AS event_type
+        |  FROM events),
+        |mu31 AS (
+        |  SELECT user_id, epoch_us(max(ts)) AS m_us
+        |  FROM rt31 GROUP BY user_id),
+        |v31 AS (
+        |  SELECT r.user_id, 'view' AS kind, epoch_us(r.ts) AS a_us,
+        |    CAST(0 AS BIGINT) AS b_us
+        |  FROM rt31 r JOIN mu31 USING (user_id)
+        |  WHERE r.event_type = 'view'
+        |    AND epoch_us(r.ts) >= mu31.m_us - 3600000000),
+        |p31 AS (
+        |  SELECT c.user_id, 'pair' AS kind, epoch_us(c.ts) AS a_us,
+        |    (SELECT epoch_us(max(v.ts)) FROM rt31 v
+        |     WHERE v.user_id = c.user_id AND v.event_type = 'view'
+        |       AND v.ts <= c.ts) AS b_us,
+        |    mu31.m_us
+        |  FROM rt31 c JOIN mu31 USING (user_id)
+        |  WHERE c.event_type = 'click')
+        |SELECT user_id, kind, a_us, b_us FROM v31
+        |UNION ALL
+        |SELECT user_id, kind, a_us, b_us FROM p31
+        |WHERE b_us IS NOT NULL AND b_us >= m_us - 3600000000
+        |ORDER BY user_id, kind, a_us, b_us""".stripMargin,
 
     // s25 — the TTL-paced funnel in closed form: state never crosses a
     // batch boundary (see the query comment), so a purchase converts

@@ -1815,6 +1815,108 @@ class StreamingSpec extends AnyFunSuite {
       s"(got ${gotOntime.size}, want ${expectedOntime.size})")
   }
 
+  test("S31: the rescale recipe — a TWS checkpoint PINS its shuffle " +
+       "partitions on resume (the offsets-log conf wins over the " +
+       "session's), and export→rebuild via the state source + the " +
+       "initial-state overload migrates to a DIFFERENT parallelism " +
+       "with the emission multiset preserved") {
+    import graft.streaming.{FunnelEvent, FunnelProcessor,
+      FunnelProcessorWithInit, FunnelState, Replayer, Streams}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import s.implicits._
+    val winUs = 3600L * 1000000L
+    val fullDir = Replayer.ensure(s, sf, "funnel")
+    // stage the tail files (3, 4) into their own source dir for the
+    // migrated query — a FRESH checkpoint must not re-read the head
+    val dirB = Files.createTempDirectory("graft_s31_tail")
+    Seq(3, 4).foreach { i =>
+      val name = f"batch$i%02d.parquet"
+      val srcP = Paths.get(fullDir, name)
+      val dst = dirB.resolve(name)
+      Files.copy(srcP, dst)
+      Files.setLastModifiedTime(dst, Files.getLastModifiedTime(srcP))
+    }
+    val schema = s.read.parquet(fullDir).schema
+    def src(dir: String) =
+      s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+          col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+    def fold(ev: org.apache.spark.sql.Dataset[FunnelEvent]) =
+      ev.groupByKey(_.user_id)
+        .transformWithState(new FunnelProcessor(winUs),
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "purchase_id")
+    def collectRun(out: org.apache.spark.sql.DataFrame, ckpt: String,
+                   parts: String, poisonFrom: Long): Seq[(Long, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = graft.core.ConfScope.withConf(s,
+          Map("spark.sql.shuffle.partitions" -> parts) ++
+          Streams.RocksDbConf) {
+        out.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            if (id >= poisonFrom) throw new RuntimeException("injected crash")
+            b.collect().foreach(r => buf.add((r.getLong(0), r.getLong(1))))
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      }
+      try q.awaitTermination()
+      catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          assert(String.valueOf(e.getMessage).contains("injected crash") ||
+            Option(e.getCause).exists(c =>
+              String.valueOf(c.getMessage).contains("injected crash")),
+            s"query died of the wrong cause: $e")
+      }
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSeq
+    }
+    // phase 1 at parallelism 2: head files 0-2, then a poison crash
+    val ckpt1 = Files.createTempDirectory("graft_s31_ck1").toString
+    val e1 = collectRun(fold(src(fullDir)), ckpt1, "2", 3L)
+    assert(e1.nonEmpty, "phase 1 produced no conversions — vacuous")
+    // EXPORT: the s31 state source read at the last committed batch
+    val exported = s.read.format("statestore")
+      .option("stateVarName", "funnel").option("batchId", 2)
+      .load(ckpt1)
+      .select(col("key.value").as("user_id"),
+        col("value.views").as("views"), col("value.pairs").as("pairs"))
+      .as[(Long, Seq[Long], Seq[(Long, Long)])].collect()
+    assert(exported.nonEmpty, "no state exported at the crash point")
+    // REBUILD at parallelism 4: fresh checkpoint over the tail files,
+    // state seeded through the initial-state overload
+    val initDs = s.createDataset(exported.toIndexedSeq
+        .map { case (u, v, p) => (u, FunnelState(v, p)) })
+      .groupByKey(_._1).mapValues(_._2)
+    val migrated = src(dirB.toString).groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessorWithInit(winUs),
+        TimeMode.None(), OutputMode.Append(), initDs)
+      .toDF("user_id", "purchase_id")
+    val ckpt2 = Files.createTempDirectory("graft_s31_ck2").toString
+    val e2 = collectRun(migrated, ckpt2, "4", 99L)
+    // the migrated halves must equal an uninterrupted run exactly
+    val ckptR = Files.createTempDirectory("graft_s31_ckr").toString
+    val ref = collectRun(fold(src(fullDir)), ckptR, "2", 99L)
+    assert((e1 ++ e2).sorted == ref.sorted,
+      s"migration changed the result: ${(e1 ++ e2).size} vs ${ref.size}")
+    assert(e2.nonEmpty,
+      "no post-migration conversions — the rebuilt state is untested " +
+      "(chains must straddle the crash point)")
+    // RESUME PIN: restarting ckpt1 under session parallelism 4 silently
+    // keeps the checkpoint's 2 — the offsets log is authoritative, so
+    // the dial CANNOT be turned in place (what makes export→rebuild
+    // the migration path, not a workaround)
+    val e3 = collectRun(fold(src(fullDir)), ckpt1, "4", 99L)
+    assert((e1 ++ e3).sorted == ref.sorted,
+      "resume after crash diverged from the uninterrupted run")
+    val off3 = new String(Files.readAllBytes(
+      Paths.get(ckpt1, "offsets", "3")))
+    assert(off3.contains("\"spark.sql.shuffle.partitions\":\"2\""),
+      s"resumed batch 3 did not pin the checkpoint's partitions: $off3")
+  }
+
   test("S20e: the after-match-skip axis — on v,v,c,p the skip DP " +
        "completes once where no-skip enumerates both overlapping " +
        "tuples, and on the corpus the distinct-purchase projection of " +
