@@ -300,6 +300,26 @@ object ScaleSweep {
         record("g2_triangles_scaledparts", ratio,
           tSmall("g2_triangles"), t)
       }
+      // r19 (verdict task 6): the j8b broadcast-threshold dial,
+      // MEASURED — the one documented-but-unmeasured scale note: at
+      // 30× the orders self-join's build side outgrows the default
+      // 10 MB autoBroadcastJoinThreshold and the plan flips BHJ→SMJ,
+      // sorting wide rows (marginal e ≈ 1.6). The documented dial is
+      // raising the threshold while the key-space-sized build fits
+      // executor memory (512 MB here; the 3-column orders projection
+      // at 30× is ~10⁷ rows ≈ 10² MB). small_sec stays the canonical
+      // default-threshold run, so the exponent prices "N× data with
+      // the dial turned" — the claim under test.
+      if (qs.contains("j8b_asof_forward")) {
+        val child = spark.newSession()
+        child.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (512L * 1024 * 1024).toString)
+        val t = Harness.timed3(
+          SparkEntry.queries("j8b_asof_forward")(child, big))(1)
+        System.err.println(f"[scale] $big j8b bcastdial p50=$t%.3f")
+        record("j8b_asof_forward_bcastdial", ratio,
+          tSmall("j8b_asof_forward"), t)
+      }
     }
 
     // Carry-over is WHOLE-ROW and subset-only: an unselected query keeps
@@ -314,10 +334,13 @@ object ScaleSweep {
       if (q == "l34_semantic_dedup") Seq(q, "l34_semantic_dedup_kdial")
       else if (q == "l40_bpe_train") Seq(q, "l40_bpe_train_fresh")
       else if (q == "g2_triangles") Seq(q, "g2_triangles_scaledparts")
+      else if (q == "j8b_asof_forward") Seq(q, "j8b_asof_forward_bcastdial")
       else Seq(q)) ++ StreamQ
     val rows = order.flatMap { q =>
       val base = if (q.endsWith("_kdial")) "l34_semantic_dedup"
-        else if (q == "g2_triangles_scaledparts") "g2_triangles" else q
+        else if (q == "g2_triangles_scaledparts") "g2_triangles"
+        else if (q == "j8b_asof_forward_bcastdial") "j8b_asof_forward"
+        else q
       val fresh: Option[(Double, Map[String, (Double, Double)])] =
         tSmall.get(base).orElse(extraSmall.get(q)).map(s =>
           (s, measured.getOrElse(q, scala.collection.mutable.Map.empty).toMap))
@@ -344,16 +367,30 @@ object ScaleSweep {
          "87ns -> 167ns (spill/GC). At cluster scale partitions scale " +
          "with data - rows/partition is the dial, not the join shape"),
       "j8b_asof_forward" ->
-        ("30x runs SLOWER superlinearly (marginal e~1.6) - verified " +
-         "plan diff, the j8/j16 flip with the opposite sign: 10x = 2 " +
-         "BroadcastHashJoins, 30x = 2 SortMergeJoins (the struct-" +
-         "aggregated order-list side crossed the broadcast threshold) " +
-         "and the two sorts over those WIDE array rows dominate. " +
-         "Per-key lists are constant (orders/cust 10.0 at both scales " +
-         "- GenScale grows the key space), so the dial is raising the " +
-         "broadcast threshold while the key-space-sized build fits " +
-         "executor memory; past that the SMJ parallelizes over " +
-         "executors the way a 32-thread local JVM cannot"),
+        ("r19 re-adjudication (exclusive subset run, fresh GenScale " +
+         "data): the r16 superlinear reading (30x 27.6s, marginal " +
+         "e~1.6) does NOT reproduce - 30x now measures 8.9s, e 0.626 " +
+         "(10x) -> 0.575 (30x), marginal e~0.47: ROLLED OVER. The " +
+         "BHJ->SMJ plan flip itself is real and re-verified (default " +
+         "30x = 1 SortMergeJoin, 512m threshold = 1 " +
+         "BroadcastHashJoin), but the SMJ is not the bottleneck the " +
+         "old row said: the 27.6s was a full-sweep carry-over " +
+         "(same-JVM memory pressure from preceding heavies - the " +
+         "contention signature the r18 verdict documented for the " +
+         "driver bench capture). j8b leaves the watchlist"),
+      "j8b_asof_forward_bcastdial" ->
+        ("r19 (verdict task 6): the broadcast-threshold dial " +
+         "MEASURED and ADJUDICATED AGAINST - " +
+         "autoBroadcastJoinThreshold=512m keeps both sides BHJ at " +
+         "every decade (plan-verified), and it is mildly faster at " +
+         "10x (4.40 vs 5.32) but SLOWER at 30x (12.35 vs 8.90, " +
+         "marginal e~0.94): broadcasting the ~1e7-row build costs " +
+         "more than the sort it avoids once the build is 1e2 MB. The " +
+         "claim 'raise the threshold while the build fits' is hereby " +
+         "retired for this shape - the default planner choice (SMJ " +
+         "past the threshold) is the right one, and no dial is " +
+         "needed because the default already scales sublinearly (see " +
+         "j8b_asof_forward)"),
       "l47_trigram_backoff" ->
         ("r17 100x decade closes the watchlist: marginal exponents " +
          "0.71 (1->10x), 1.04 (10->30x), 0.52 (30->100x) - the " +
