@@ -87,6 +87,10 @@ object ScaleSweep {
     // r14 third batch: j17's partitioned write + DPP probe, snk9's
     // two-version publish train, j8b's forward struct-aggregate
     "j17_dpp", "snk9_snapshot_publish", "j8b_asof_forward",
+    // r19: l48's cost is its two ranker chains + a qid-keyed top-k
+    // join — the exponent prices the rankers (the fusion itself is
+    // top-k-sized, corpus-independent)
+    "l48_rrf_fusion",
     // r16: snk10's copy-on-write merge — the touched-file probe scans
     // one int64 column of the base, the rewrite is touched-set-sized;
     // the exponent prices the probe scan + the range-clustered write
@@ -133,7 +137,18 @@ object ScaleSweep {
     // (window x grp) shuffle in a single IncrementalExecution; deltas
     // are one row per op (output-bound like s4b) but the agg state is
     // |open windows| x 10 groups, aggregate cardinality
-    "s22c_cdc_windowed")
+    "s22c_cdc_windowed",
+    // r19 additions: s29's (window × type)-keyed pane state under the
+    // 72 h outer watermark (state = open windows × types, purged at
+    // end + allowance; the refire fixture derivation rides the
+    // warm-up), s30's pane-end explosion (≤ 6× map-side rows
+    // collapsed by partial agg before the exchange — the exponent
+    // prices exactly that claim), s20e's trailing-window candidate
+    // lists with combination-volume output (the no-skip semantics),
+    // and s31's full replay + state-source read-back (the export is
+    // state-sized; the replay is the linear part)
+    "s29_allowed_lateness", "s30_cumulate", "s20e_all_matches",
+    "s31_state_export")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
@@ -310,6 +325,20 @@ object ScaleSweep {
       // at 30× is ~10⁷ rows ≈ 10² MB). small_sec stays the canonical
       // default-threshold run, so the exponent prices "N× data with
       // the dial turned" — the claim under test.
+      // r19: l48's production face — a FIXED query suite over a
+      // growing corpus: qmod scaled with the ratio keeps the query
+      // COUNT at the small scale's (~30), so the exponent prices
+      // rankers-linear corpus growth. The unscaled row keeps %17
+      // (queries grow WITH the corpus), which squares the brute-force
+      // dense side by construction — the declared small-corpus face
+      // (the IVF family l3f/l3g is the priced dense scale path).
+      if (qs.contains("l48_rrf_fusion")) {
+        val qmod = 17L * math.round(ratio)
+        val t = Harness.timed3(
+          graft.llm.Retrieval.rrfFusion(spark, big, qmod))(1)
+        System.err.println(f"[scale] $big l48 fixedq qmod=$qmod p50=$t%.3f")
+        record("l48_rrf_fusion_fixedq", ratio, tSmall("l48_rrf_fusion"), t)
+      }
       if (qs.contains("j8b_asof_forward")) {
         val child = spark.newSession()
         child.conf.set("spark.sql.autoBroadcastJoinThreshold",
@@ -335,11 +364,13 @@ object ScaleSweep {
       else if (q == "l40_bpe_train") Seq(q, "l40_bpe_train_fresh")
       else if (q == "g2_triangles") Seq(q, "g2_triangles_scaledparts")
       else if (q == "j8b_asof_forward") Seq(q, "j8b_asof_forward_bcastdial")
+      else if (q == "l48_rrf_fusion") Seq(q, "l48_rrf_fusion_fixedq")
       else Seq(q)) ++ StreamQ
     val rows = order.flatMap { q =>
       val base = if (q.endsWith("_kdial")) "l34_semantic_dedup"
         else if (q == "g2_triangles_scaledparts") "g2_triangles"
         else if (q == "j8b_asof_forward_bcastdial") "j8b_asof_forward"
+        else if (q == "l48_rrf_fusion_fixedq") "l48_rrf_fusion"
         else q
       val fresh: Option[(Double, Map[String, (Double, Double)])] =
         tSmall.get(base).orElse(extraSmall.get(q)).map(s =>
@@ -378,6 +409,25 @@ object ScaleSweep {
          "(same-JVM memory pressure from preceding heavies - the " +
          "contention signature the r18 verdict documented for the " +
          "driver bench capture). j8b leaves the watchlist"),
+      "l48_rrf_fusion" ->
+        ("queries grow WITH the corpus by construction (qid = doc_id " +
+         "% 17), so the brute-force dense side does ratio-squared " +
+         "dot products - the declared small-corpus face; see " +
+         "l48_rrf_fusion_fixedq for the production shape and l3f/l3g " +
+         "for the priced dense scale path"),
+      "l48_rrf_fusion_fixedq" ->
+        ("r19: the production face - qmod scaled with the ratio holds " +
+         "the query count at the small scale's ~30, so the exponent " +
+         "prices a FIXED eval/RAG suite over a growing corpus " +
+         "(rankers-linear; fusion itself is top-k-sized and " +
+         "corpus-independent)"),
+      "s29_allowed_lateness" ->
+        ("keys are (window x type) - SPAN-dependent, not row-dependent " +
+         "(10x density rides the same 30-day span), so per-batch fixed " +
+         "costs dominate and the exponent is near-zero: the best " +
+         "scaling shape a stateful op can have. Measured exclusively " +
+         "(the first capture ran after l48's heavy runs in one JVM and " +
+         "read 2x high - the r18 contention signature)"),
       "j8b_asof_forward_bcastdial" ->
         ("r19 (verdict task 6): the broadcast-threshold dial " +
          "MEASURED and ADJUDICATED AGAINST - " +

@@ -147,69 +147,8 @@ object Retrieval {
     // brute-force side here is the small-corpus face); fusion itself
     // touches ≤ 2k rows per query — one qid-keyed shuffle of top-k
     // lists, corpus-size-independent.
-    "l48_rrf_fusion" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      // sparse ranker: L45's exact-integer BM25, widened to top-10
-      val tok = docs.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      val tf = tok.groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val stats = dl.agg(sum(col("dl")).as("totdl"),
-        count(lit(1)).as("nd"))
-      val qterms = docs.filter(col("doc_id") % 17 === 0)
-        .select(col("doc_id").as("qid"),
-          explode(slice(split(col("text"), " "), 1, 4)).as("token"))
-        .distinct()
-      val sparse = tf.join(broadcast(qterms), "token")
-        .join(df, "token")
-        .join(dl, "doc_id")
-        .join(broadcast(stats))
-        .select(col("qid"), col("doc_id"),
-          (expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)") *
-           expr("(tf * 22000 * totdl) div " +
-             "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)")).as("contrib"))
-        .groupBy(col("qid"), col("doc_id"))
-        .agg(sum(col("contrib")).as("score"))
-        .withColumn("srnk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("score").desc, col("doc_id").asc)))
-        .filter(col("srnk") <= 10)
-        .select(col("qid"), col("doc_id"), col("srnk"))
-      // dense ranker: the l3 quantized cosine, query = the qid's own
-      // embedding (vec_id ≡ doc_id), top-10 over all other vectors
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), Llm.qz(col("embedding")).as("q"))
-        .withColumn("nrm", Llm.qnorm(col("q")))
-      val qv = e.join(
-          broadcast(docs.filter(col("doc_id") % 17 === 0)
-            .select(col("doc_id").as("qid"))),
-          col("vec_id") === col("qid"))
-        .select(col("qid"), col("q").as("qq"), col("nrm").as("qn"))
-      val dense = broadcast(qv).join(e, col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id").as("doc_id"),
-          (Llm.qdot(col("qq"), col("q")).cast(DoubleType) /
-            (sqrt(col("qn").cast(DoubleType)) *
-             sqrt(col("nrm").cast(DoubleType)))).as("cos"))
-        .withColumn("drnk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("cos").desc, col("doc_id").asc)))
-        .filter(col("drnk") <= 10)
-        .select(col("qid"), col("doc_id"), col("drnk"))
-      // rank-only fusion: absent-from-a-list contributes nothing
-      sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
-        .select(col("qid"), col("doc_id"),
-          (coalesce(expr("1000000 div (60 + srnk)"), lit(0L)) +
-           coalesce(expr("1000000 div (60 + drnk)"), lit(0L)))
-            .as("rrf"))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("rrf").desc, col("doc_id").asc)))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"))
-        .orderBy(col("qid"), col("rnk"))
-    }),
+    "l48_rrf_fusion" -> ((s, d) => rrfFusion(s, d, 17)),
+
 
     // L46 — PASSAGE-level decontamination (L24 × L45): L27 flags whole
     // documents by shingle overlap; production decontamination checks
@@ -284,6 +223,81 @@ object Retrieval {
         .orderBy(col("qid"), col("rnk"))
     })
   )
+
+  /** L48's fusion body, parameterized by the query-set modulus
+    * (qid = doc_id % qmod == 0). The canonical query runs qmod = 17;
+    * ScaleSweep's `l48_rrf_fusion_fixedq` dial runs qmod = 17 × ratio
+    * at the big scales so the QUERY COUNT stays the small scale's —
+    * the production shape (a fixed eval/RAG query suite over a growing
+    * corpus), whose cost is rankers-linear in the corpus. The
+    * unscaled sweep row deliberately keeps the %17 set (queries grow
+    * WITH the corpus), which squares the brute-force dense side — the
+    * small-corpus face; the IVF family (l3f/l3g) is the priced dense
+    * scale path. */
+  private[graft] def rrfFusion(s: SparkSession, d: String,
+                               qmod: Long): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // sparse ranker: L45's exact-integer BM25, widened to top-10
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(sum(col("dl")).as("totdl"),
+      count(lit(1)).as("nd"))
+    val qterms = docs.filter(col("doc_id") % qmod === 0)
+      .select(col("doc_id").as("qid"),
+        explode(slice(split(col("text"), " "), 1, 4)).as("token"))
+      .distinct()
+    val sparse = tf.join(broadcast(qterms), "token")
+      .join(df, "token")
+      .join(dl, "doc_id")
+      .join(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)") *
+         expr("(tf * 22000 * totdl) div " +
+           "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)")).as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+      .withColumn("srnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .filter(col("srnk") <= 10)
+      .select(col("qid"), col("doc_id"), col("srnk"))
+    // dense ranker: the l3 quantized cosine, query = the qid's own
+    // embedding (vec_id ≡ doc_id), top-10 over all other vectors
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), Llm.qz(col("embedding")).as("q"))
+      .withColumn("nrm", Llm.qnorm(col("q")))
+    val qv = e.join(
+        broadcast(docs.filter(col("doc_id") % qmod === 0)
+          .select(col("doc_id").as("qid"))),
+        col("vec_id") === col("qid"))
+      .select(col("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val dense = broadcast(qv).join(e, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        (Llm.qdot(col("qq"), col("q")).cast(DoubleType) /
+          (sqrt(col("qn").cast(DoubleType)) *
+           sqrt(col("nrm").cast(DoubleType)))).as("cos"))
+      .withColumn("drnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("doc_id").asc)))
+      .filter(col("drnk") <= 10)
+      .select(col("qid"), col("doc_id"), col("drnk"))
+    // rank-only fusion: absent-from-a-list contributes nothing
+    sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("1000000 div (60 + srnk)"), lit(0L)) +
+         coalesce(expr("1000000 div (60 + drnk)"), lit(0L)))
+          .as("rrf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"))
+      .orderBy(col("qid"), col("rnk"))
+  }
 
   val oracle: Map[String, String] = Map(
     // Replays the exact-integer fixed-point BM25 verbatim: DuckDB //
