@@ -148,7 +148,11 @@ object ScaleSweep {
     // and s31's full replay + state-source read-back (the export is
     // state-sized; the replay is the linear part)
     "s29_allowed_lateness", "s30_cumulate", "s20e_all_matches",
-    "s31_state_export")
+    "s31_state_export",
+    // s31b reads the timer registry on top of s31's read path; the
+    // replay (24 h abandonment) is the linear part, the export is
+    // pending-set-sized
+    "s31b_timer_export")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)

@@ -903,6 +903,72 @@ object Streams {
     } finally Replayer.dropCheckpoint(ckpt)
   }
 
+  /** S31b's abandonment window: 24 h (vs S21's 2 h) so the pending
+    * tail is rich at every shipped sf — the stream-end introspection
+    * window covers ~24 h of views instead of ~2 h. */
+  private[graft] val S31bWindowUs = 24L * 3600L * 1000000L
+
+  /** S31b body — TIMER INTROSPECTION, the other half of the S31
+    * savepoint-read surface: run the abandonment operator (S21's
+    * machinery at the 24 h window) to completion keeping its
+    * checkpoint, then read BOTH savepoint artifacts back through the
+    * state-store data source — the REGISTERED TIMERS
+    * (`readRegisteredTimers`) and the keyed pending-view state — and
+    * gate them against the closed-form model. The two channels
+    * deliberately differ: a timer survives iff its deadline outlives
+    * the final watermark (fired timers are deleted at firing —
+    * inclusive at equality, the pinned contract), while a pending
+    * VIEW additionally requires no answering purchase — so the
+    * timer-minus-view difference is exactly the answered views'
+    * left-to-fire no-op timers, the AbandonProcessor design decision
+    * ("timers are left to fire and sweep nothing") made VISIBLE and
+    * hash-gated. The driver-side collect is timer/state-sized
+    * (trailing-window cardinality). 100 TB: same read path as S31 —
+    * store shards read directly, no replay. */
+  private[graft] def s31bRun(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ckpt = Replayer.checkpoint()
+    try {
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .withWatermark("ts", WatermarkDelay)
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val out = ev.groupByKey(_.user_id)
+        .transformWithState(new AbandonProcessor(S31bWindowUs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "view_id")
+      ConfScope.withConf(s, Map(
+        "spark.sql.shuffle.partitions" -> streamPartitions) ++
+        RocksDbConf) {
+        val q = out.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.foreach((_: org.apache.spark.sql.Row) => ()) }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      val timers = s.read.format("statestore")
+        .option("readRegisteredTimers", "true").load(ckpt)
+        .select(col("key.value").as("user_id"), lit("timer").as("kind"),
+          col("expiration_timestamp_ms").as("a_ms"), lit(0L).as("ref"))
+      val views = s.read.format("statestore")
+        .option("stateVarName", "abandon").load(ckpt)
+        .select(col("key.value").as("user_id"),
+          explode(col("value.views")).as("v"))
+        .selectExpr("user_id", "'view' AS kind",
+          s"v._1 div 1000 + ${S31bWindowUs / 1000} AS a_ms",
+          "v._2 AS ref")
+      val rows = timers.unionByName(views).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3)))
+      s.createDataFrame(rows.toIndexedSeq)
+        .toDF("user_id", "kind", "a_ms", "ref")
+        .orderBy(col("user_id"), col("kind"), col("a_ms"), col("ref"))
+    } finally Replayer.dropCheckpoint(ckpt)
+  }
+
   /** S26 body — the state-schema-UPGRADE run: phase 1 processes the
     * first three files under the v1 state schema and crashes at a
     * deterministic upgrade point (poison batch — the s19/SNK2 restart
@@ -1867,6 +1933,21 @@ object Streams {
     // source reads store shards directly — no replay; the export is
     // state-sized, the rebuild is one initial-state shuffle.
     "s31_state_export" -> ((s, d) => s31Run(s, d)),
+
+    // S31b — TIMER INTROSPECTION: the registered-timer half of the
+    // savepoint-read surface (S31 reads keyed STATE; event-time
+    // TIMERS are the other durable artifact a Flink savepoint
+    // inspector exposes). The 24 h abandonment run's checkpoint is
+    // read back twice — `readRegisteredTimers` and the pending-view
+    // ValueState — and both channels are hash-gated: timers remain
+    // iff deadline > final watermark (fired ⇒ deleted, inclusive at
+    // equality), views additionally require no answering purchase, so
+    // the timer−view difference is exactly the answered views' no-op
+    // timers — the operator's documented "leave answered timers to
+    // fire and sweep nothing" budget, now an auditable artifact
+    // instead of a scaladoc claim. 100 TB: timers are read at store-
+    // shard parallelism like state; the export is pending-set-sized.
+    "s31b_timer_export" -> ((s, d) => s31bRun(s, d)),
 
     // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
     // aggregate fed by a changelog (upsert/delete ops derived
@@ -3079,6 +3160,43 @@ object Streams {
         |SELECT user_id, kind, a_us, b_us FROM p31
         |WHERE b_us IS NOT NULL AND b_us >= m_us - 3600000000
         |ORDER BY user_id, kind, a_us, b_us""".stripMargin,
+
+    // s31b — the savepoint's timer registry and pending-view state in
+    // closed form. Timers: one per DISTINCT (user, deadline) ever
+    // registered (AbandonProcessor registers per view; the registry is
+    // a set), surviving iff deadline > floor-ms(max ts) − 10 min (a
+    // fired timer is deleted at firing; expiry == wm fires — the
+    // inclusive pin). Views: the same horizon AND no answering
+    // purchase in [view, view + 24 h] — answers prune state
+    // immediately but leave the timer, hence the channel asymmetry the
+    // spec pins. Sweep safety: a view's own timer is the earliest that
+    // could sweep it, so "own deadline > final wm" is exact.
+    "s31b_timer_export" ->
+      """WITH fw31b AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 600000 AS wm
+        |  FROM events),
+        |v31b AS (
+        |  SELECT user_id, event_id, ts,
+        |    (epoch_us(ts) // 1000) + 86400000 AS d_ms
+        |  FROM events WHERE event_type = 'view'),
+        |t31b AS (
+        |  SELECT DISTINCT user_id, d_ms
+        |  FROM v31b CROSS JOIN fw31b WHERE d_ms > fw31b.wm),
+        |p31b AS (
+        |  SELECT v.user_id, v.event_id, v.d_ms
+        |  FROM v31b v CROSS JOIN fw31b
+        |  WHERE v.d_ms > fw31b.wm
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM events p
+        |      WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |        AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR))
+        |SELECT user_id, 'timer' AS kind, d_ms AS a_ms,
+        |  CAST(0 AS BIGINT) AS ref
+        |FROM t31b
+        |UNION ALL
+        |SELECT user_id, 'view' AS kind, d_ms AS a_ms, event_id AS ref
+        |FROM p31b
+        |ORDER BY user_id, kind, a_ms, ref""".stripMargin,
 
     // s25 — the TTL-paced funnel in closed form: state never crosses a
     // batch boundary (see the query comment), so a purchase converts

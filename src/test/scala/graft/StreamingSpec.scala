@@ -1917,6 +1917,39 @@ class StreamingSpec extends AnyFunSuite {
       s"resumed batch 3 did not pin the checkpoint's partitions: $off3")
   }
 
+  test("S31b: the savepoint's two artifacts diverge exactly by the " +
+       "answered views — every pending view's deadline has a " +
+       "registered timer, and the timer-minus-view difference (the " +
+       "no-op timers answered views leave behind) is non-empty") {
+    val rows = SparkEntry.queries("s31b_timer_export")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val timers = rows.filter(_._2 == "timer").map(r => (r._1, r._3)).toSet
+    val views = rows.filter(_._2 == "view").map(r => (r._1, r._3)).toSet
+    assert(timers.nonEmpty && views.nonEmpty,
+      s"vacuous export: ${timers.size} timers, ${views.size} views")
+    assert(views.subsetOf(timers),
+      "a pending view's deadline has no registered timer — the timer " +
+      "registry lost an armed deadline")
+    assert((timers -- views).nonEmpty,
+      "no answered-view no-op timers — the channel asymmetry the " +
+      "export exists to surface is untested")
+    // and the asymmetry is EXACTLY the answered views: recompute the
+    // answered set from the batch table
+    val ev = Tables.events(s, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val wm = ev.map(_._2).max / 1000 - 600000L
+    val dayUs = 24L * 3600 * 1000000L
+    val answeredDl = ev.filter(_._3 == "view").filter { v =>
+      v._2 / 1000 + 86400000L > wm &&
+      ev.exists(p => p._3 == "purchase" && p._1 == v._1 &&
+        p._2 >= v._2 && p._2 <= v._2 + dayUs)
+    }.map(v => (v._1, v._2 / 1000 + 86400000L)).toSet
+    assert(timers -- views == answeredDl,
+      "timer-minus-view set is not exactly the answered views' deadlines")
+  }
+
   test("S20e: the after-match-skip axis — on v,v,c,p the skip DP " +
        "completes once where no-skip enumerates both overlapping " +
        "tuples, and on the corpus the distinct-purchase projection of " +
