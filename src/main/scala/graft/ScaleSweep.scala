@@ -152,7 +152,11 @@ object ScaleSweep {
     // s31b reads the timer registry on top of s31's read path; the
     // replay (24 h abandonment) is the linear part, the export is
     // pending-set-sized
-    "s31b_timer_export")
+    "s31b_timer_export",
+    // s32's three-stateful chain: two agg shuffles at aggregate
+    // cardinality + a join over AGGREGATED rows — (windows × buckets)
+    // state, so the exponent prices the scans + map-side combines
+    "s32_window_join")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)

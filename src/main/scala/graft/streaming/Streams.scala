@@ -903,6 +903,25 @@ object Streams {
     } finally Replayer.dropCheckpoint(ckpt)
   }
 
+  /** The S32 STREAMING plan — two windowed aggregations feeding a
+    * stream-stream inner equi-join on (window, bucket) in ONE
+    * IncrementalExecution (three stateful operators — the deepest
+    * chain in the engine; see the registration comment). Shared with
+    * StreamingSpec's three-state-stores pin. */
+  private[graft] def s32Plan(s: SparkSession, d: String): DataFrame = {
+    val src = Replayer.stream(s, d, "clean")
+      .withWatermark("ts", WatermarkDelay)
+    val a = src.filter(col("event_type") === "view")
+      .groupBy(window(col("ts"), "1 day"),
+        (col("user_id") % 5).as("grp"))
+      .agg(count(lit(1)).as("n_views"))
+    val b = src.filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 day"),
+        (col("user_id") % 5).as("grp"))
+      .agg(count(lit(1)).as("n_purchases"))
+    a.join(b, Seq("window", "grp"))
+  }
+
   /** S31b's abandonment window: 24 h (vs S21's 2 h) so the pending
     * tail is rich at every shipped sf — the stream-end introspection
     * window covers ~24 h of views instead of ~2 h. */
@@ -1948,6 +1967,29 @@ object Streams {
     // instead of a scaladoc claim. 100 TB: timers are read at store-
     // shard parallelism like state; the export is pending-set-sized.
     "s31b_timer_export" -> ((s, d) => s31bRun(s, d)),
+
+    // S32 — WINDOW JOIN (Flink SQL's WINDOW JOIN TVF: window both
+    // streams, then join rows of the SAME window): daily view counts
+    // joined with daily purchase counts per (window, user-bucket) —
+    // THREE stateful operators in one IncrementalExecution (two
+    // windowed aggregations feeding a stream-stream inner equi-join on
+    // the window struct + bucket), the deepest multi-stateful pipeline
+    // in the engine (s22c chains two). Spark-first: the window column
+    // carries event time through the aggs, so the downstream join's
+    // watermark propagation (the multiple-stateful-operators delayed
+    // watermark) admits the agg outputs instead of late-filtering them
+    // — no custom operator needed. Both aggs share one source and one
+    // watermark, so a window's two sides emit in the SAME micro-batch
+    // and the join emits immediately; the append horizon is the s7
+    // rule (window end < floor-ms(max ts) − 10 min). 100 TB: two
+    // map-side-combined agg shuffles (aggregate cardinality) + one
+    // join shuffle over AGGREGATED rows — (windows × buckets), not
+    // events; join state evicts by the window-struct watermark.
+    "s32_window_join" -> ((s, d) =>
+      runToMemory(s, s32Plan(s, d), "append")
+        .select(col("window.start").as("win_start"), col("grp"),
+          col("n_views"), col("n_purchases"))
+        .orderBy(col("win_start"), col("grp"))),
 
     // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
     // aggregate fed by a changelog (upsert/delete ops derived
@@ -3160,6 +3202,28 @@ object Streams {
         |SELECT user_id, kind, a_us, b_us FROM p31
         |WHERE b_us IS NOT NULL AND b_us >= m_us - 3600000000
         |ORDER BY user_id, kind, a_us, b_us""".stripMargin,
+
+    // s32 — the window join in closed form: daily per-bucket view and
+    // purchase counts inner-joined, restricted to windows the final
+    // watermark closed (the s7 append rule; both sides share the
+    // source watermark so the horizon is single-sided).
+    "s32_window_join" ->
+      """WITH fw32 AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |a32 AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 5 AS grp, count(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p32 AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 5 AS grp, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT win_start, grp,
+        |  CAST(n_views AS BIGINT) AS n_views,
+        |  CAST(n_purchases AS BIGINT) AS n_purchases
+        |FROM a32 JOIN p32 USING (win_start, grp) CROSS JOIN fw32
+        |WHERE win_start + INTERVAL 1 DAY < fw32.w
+        |ORDER BY win_start, grp""".stripMargin,
 
     // s31b — the savepoint's timer registry and pending-view state in
     // closed form. Timers: one per DISTINCT (user, deadline) ever

@@ -1917,6 +1917,33 @@ class StreamingSpec extends AnyFunSuite {
       s"resumed batch 3 did not pin the checkpoint's partitions: $off3")
   }
 
+  test("S32: the window join executes THREE stateful operators in one " +
+       "streaming query (two windowed aggs + a symmetric-hash join " +
+       "over their outputs), all non-vacuous") {
+    import graft.streaming.Streams
+    val ckpt = Files.createTempDirectory("graft_s32_pin").toString
+    val q = Streams.s32Plan(s, sf).writeStream.format("memory")
+      .queryName("s32_pin").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one progress entry carries ALL of the query's state operators —
+    // count the multiset (two aggs share an operatorName)
+    val perBatch = q.recentProgress.map(_.stateOperators.toSeq
+      .map(_.operatorName).sorted).filter(_.nonEmpty)
+    assert(perBatch.nonEmpty, "no stateful progress recorded")
+    assert(perBatch.head ==
+      Seq("stateStoreSave", "stateStoreSave", "symmetricHashJoin"),
+      s"expected 2 agg stores + 1 join store in ONE query, " +
+      s"got ${perBatch.head}")
+    assert(s.table("s32_pin").count() > 0, "window join emitted nothing")
+    // the join store saw real rows (both sides non-vacuous)
+    val joinRows = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName == "symmetricHashJoin")
+      .map(_.numRowsUpdated).sum
+    assert(joinRows > 0, "join state was never exercised")
+  }
+
   test("S31b: the savepoint's two artifacts diverge exactly by the " +
        "answered views — every pending view's deadline has a " +
        "registered timer, and the timer-minus-view difference (the " +
