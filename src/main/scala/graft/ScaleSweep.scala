@@ -323,16 +323,6 @@ object ScaleSweep {
         record("g2_triangles_scaledparts", ratio,
           tSmall("g2_triangles"), t)
       }
-      // r19 (verdict task 6): the j8b broadcast-threshold dial,
-      // MEASURED — the one documented-but-unmeasured scale note: at
-      // 30× the orders self-join's build side outgrows the default
-      // 10 MB autoBroadcastJoinThreshold and the plan flips BHJ→SMJ,
-      // sorting wide rows (marginal e ≈ 1.6). The documented dial is
-      // raising the threshold while the key-space-sized build fits
-      // executor memory (512 MB here; the 3-column orders projection
-      // at 30× is ~10⁷ rows ≈ 10² MB). small_sec stays the canonical
-      // default-threshold run, so the exponent prices "N× data with
-      // the dial turned" — the claim under test.
       // r19: l48's production face — a FIXED query suite over a
       // growing corpus: qmod scaled with the ratio keeps the query
       // COUNT at the small scale's (~30), so the exponent prices
@@ -347,6 +337,16 @@ object ScaleSweep {
         System.err.println(f"[scale] $big l48 fixedq qmod=$qmod p50=$t%.3f")
         record("l48_rrf_fusion_fixedq", ratio, tSmall("l48_rrf_fusion"), t)
       }
+      // r19 (verdict task 6): the j8b broadcast-threshold dial,
+      // MEASURED — the one documented-but-unmeasured scale note: at
+      // 30× the orders self-join's build side outgrows the default
+      // 10 MB autoBroadcastJoinThreshold and the plan flips BHJ→SMJ,
+      // sorting wide rows (marginal e ≈ 1.6). The documented dial is
+      // raising the threshold while the key-space-sized build fits
+      // executor memory (512 MB here; the 3-column orders projection
+      // at 30× is ~10⁷ rows ≈ 10² MB). small_sec stays the canonical
+      // default-threshold run, so the exponent prices "N× data with
+      // the dial turned" — the claim under test.
       if (qs.contains("j8b_asof_forward")) {
         val child = spark.newSession()
         child.conf.set("spark.sql.autoBroadcastJoinThreshold",

@@ -99,8 +99,13 @@ class AllowedLatenessProcessor(allowMs: Long)
     val end = endMs(key)
     val rs = rows.toSeq
     if (wm >= end + allowMs) {
-      // beyond allowance: the side channel; state is already purged (or
-      // never existed) and must stay untouched
+      // beyond allowance: the side channel. State may STILL be live at
+      // this point — when a single batch carries input while jumping
+      // the watermark past end+allowance, input runs before the
+      // cleanup timer (TimerOrderProbe), so an unfired pane can
+      // coexist with late rows here; it is emitted and cleared by the
+      // same-batch cleanup timer's pendingFire. Either way this branch
+      // must not touch it.
       rs.sortBy(e => (e.tsu, e.event_id)).iterator
         .map(e => (key._1, key._2, "late", e.event_id, 0L))
     } else {
