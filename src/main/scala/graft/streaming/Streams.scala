@@ -769,6 +769,41 @@ object Streams {
            count(lit(1)).as("n_changes"))
   }
 
+  /** S33b's chained plan — the RETRACT TRAIN consumed by a DOWNSTREAM
+    * EVENT-TIME WINDOWED AGGREGATE in the SAME streaming query (the
+    * s22c junction run over a PRODUCED changelog instead of a consumed
+    * one): [[RetractProcessor]]'s (−old, +new) pairs, each carrying
+    * its record's event time, are signed (retract → −agg, upsert →
+    * +agg) and fed into a 1 h tumbling window × (user % 10) aggregate
+    * inside one IncrementalExecution via transformWithState's
+    * eventTimeColumnName overload. Per window the pairs TELESCOPE:
+    * net = Σ over records in the window of (run − lag(run)) — i.e. a
+    * consumer that just sums sees exactly the per-window aggregate
+    * movement, the property that makes a retract stream safe for
+    * non-stateful readers. 100 TB: one user shuffle into the producer,
+    * one (window × grp) shuffle into the agg; pairs map-side combine. */
+  private[graft] def s33bPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ops = Replayer.stream(s, d, "clean")
+      .withWatermark("ts", WatermarkDelay)
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("user_id"))
+      .as[(Long, Long, Long, Long)]
+    val train = ops.groupByKey(_._4)
+      .mapValues(t => RetractOp(t._1, t._2, t._3))
+      .transformWithState(new RetractProcessor(), "ts",
+        OutputMode.Append())
+    train.toDF()
+      .select(col("user_id"), col("ts"),
+        when(col("kind") === "retract", -col("agg_cents"))
+          .otherwise(col("agg_cents")).as("delta"))
+      .groupBy(window(col("ts"), "1 hour"),
+               (col("user_id") % 10).as("grp"))
+      .agg(sum(col("delta")).as("net_cents"),
+           count(lit(1)).as("n_rows"))
+  }
+
   /** S25's TTL and inter-batch pacing gap (ms). Determinism argument
     * (verified against the Spark 4.1.2 bytecode: ValueStateImplWithTTL
     * evaluates expiry as batchTimestampMs(read) ≥ batchTimestampMs(
@@ -2021,6 +2056,47 @@ object Streams {
              count(lit(1)).as("n_changes"))
         .orderBy(col("grp"))
     }),
+
+    // S33 — RETRACT-STREAM PRODUCER (Flink's toRetractStream — the
+    // missing half of the CDC axis: S22 consumes a changelog, this
+    // EMITS one): a keyed running sum over the append replay where
+    // every input record's refinement is emitted as a (−old, +new)
+    // pair — a "retract" row carrying the previously emitted
+    // aggregate, then an "upsert" row with the new one — so
+    // non-stateful consumers stay correct by summing signed values
+    // (the telescoping the spec pins). Oracle = the closed-form
+    // refinement sequence: run = running sum over (user ORDER BY ts,
+    // event_id); retract(lag(run)) + upsert(run) per record. See
+    // RetractProcessor for state/scale budget (1 value per key, 2×
+    // emission — Flink's own retract price).
+    "s33_retract_stream" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ops = Replayer.stream(s, d, "clean")
+        .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          col("user_id"))
+        .as[(Long, Long, Long, Long)]
+      val train = ops.groupByKey(_._4)
+        .mapValues(t => RetractOp(t._1, t._2, t._3))
+        .transformWithState(new RetractProcessor(),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, train.toDF(), "append", RocksDbConf ++ NoFinalBatch)
+        .select(col("user_id"), col("seq_id"), col("kind"),
+          col("agg_cents"))
+        .orderBy(col("user_id"), col("seq_id"), col("kind"))
+    }),
+
+    // S33b — the retract train CONSUMED by a windowed aggregate in the
+    // SAME query (producer → event-time window chaining; see
+    // s33bPlan): per closed window the (−old, +new) pairs telescope to
+    // the window's aggregate movement — hash-gated against the lag
+    // closed form under the s22c eviction horizon.
+    "s33b_retract_consumed" -> ((s, d) =>
+      runToMemory(s, s33bPlan(s, d), "append", RocksDbConf)
+        .select(col("window.start").as("win_start"), col("grp"),
+                col("net_cents"), col("n_rows"))
+        .orderBy(col("win_start"), col("grp"))),
 
     // S22c — CHANGELOG → EVENT-TIME WINDOWED AGGREGATE in one query
     // (Flink: a retract stream consumed by a windowed group-agg —
@@ -3794,6 +3870,68 @@ object Streams {
         |SELECT a.win_start, a.grp, a.net_cents, a.n_changes
         |FROM agg22c a CROSS JOIN fw22c
         |WHERE a.win_start + INTERVAL 1 HOUR < fw22c.w
+        |ORDER BY a.win_start, a.grp""".stripMargin,
+
+    // s33 — the retract train in closed form: per-key running sum in
+    // (ts, event_id) order; every record emits upsert(run), and every
+    // record with a predecessor emits retract(lag(run)) — the (−old,
+    // +new) pair contract. Replay-order invariant because the clean
+    // replay IS the (ts, event_id) order.
+    "s33_retract_stream" ->
+      """WITH o33 AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r33 AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(cents) OVER w AS run
+        |  FROM o33
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d33 AS (
+        |  SELECT user_id, event_id, run,
+        |    lag(run) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS prev
+        |  FROM r33)
+        |SELECT user_id, event_id AS seq_id, 'upsert' AS kind,
+        |  CAST(run AS BIGINT) AS agg_cents
+        |FROM d33
+        |UNION ALL
+        |SELECT user_id, event_id AS seq_id, 'retract' AS kind,
+        |  CAST(prev AS BIGINT) AS agg_cents
+        |FROM d33 WHERE prev IS NOT NULL
+        |ORDER BY user_id, seq_id, kind""".stripMargin,
+
+    // s33b — the chained consumer in closed form: per (hour, grp) the
+    // pairs telescope to Σ(run − coalesce(lag(run), 0)) over records
+    // in the window; row count = 2·records − first-ever records (no
+    // retraction precedes a key's first emission). Closed windows
+    // under the s22c horizon.
+    "s33b_retract_consumed" ->
+      """WITH o33b AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r33b AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(cents) OVER w AS run
+        |  FROM o33b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d33b AS (
+        |  SELECT user_id, ts, run,
+        |    lag(run) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS prev
+        |  FROM r33b),
+        |fw33b AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |agg33b AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 10 AS grp,
+        |    CAST(sum(run - coalesce(prev, 0)) AS BIGINT) AS net_cents,
+        |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 2 END)
+        |         AS BIGINT) AS n_rows
+        |  FROM d33b GROUP BY 1, 2)
+        |SELECT a.win_start, a.grp, a.net_cents, a.n_rows
+        |FROM agg33b a CROSS JOIN fw33b
+        |WHERE a.win_start + INTERVAL 1 HOUR < fw33b.w
         |ORDER BY a.win_start, a.grp""".stripMargin,
 
     // s8d — s8c's 24 h nested-EXISTS funnel restricted to purchases

@@ -2179,6 +2179,96 @@ class StreamingSpec extends AnyFunSuite {
       "no effective delete reached the aggregate — retraction vacuous")
   }
 
+  test("S33: the refinement fold emits one (−old, +new) pair per record " +
+       "— no retraction before a key's first emission, and the pair " +
+       "chain survives a batch boundary via the carried state") {
+    import graft.streaming.{RetractOp, RetractProcessor}
+    // first batch: 2 records — record 1 emits upsert only
+    val (cur1, out1) = RetractProcessor.refine(None, 7L, Seq(
+      RetractOp(1000L, 1L, 500L), RetractOp(2000L, 2L, 300L)))
+    assert(out1.map(r => (r.seq_id, r.kind, r.agg_cents)) == Seq(
+      (1L, "upsert", 500L),
+      (2L, "retract", 500L), (2L, "upsert", 800L)), s"got $out1")
+    assert(cur1 == Some(800L))
+    // second batch: the retraction must target the CARRIED emission
+    val (cur2, out2) = RetractProcessor.refine(cur1, 7L,
+      Seq(RetractOp(3000L, 3L, -100L)))
+    assert(out2.map(r => (r.seq_id, r.kind, r.agg_cents)) == Seq(
+      (3L, "retract", 800L), (3L, "upsert", 700L)))
+    assert(cur2 == Some(700L))
+    // empty batch is a no-op
+    assert(RetractProcessor.refine(cur2, 7L, Nil) == (cur2, Nil))
+  }
+
+  test("S33: the emitted train is a valid retract stream — every " +
+       "retraction carries exactly the previous emission, and the " +
+       "signed sum (a non-stateful consumer) equals the batch aggregate") {
+    val train = SparkEntry.queries("s33_retract_stream")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(train.nonEmpty)
+    val expected = Tables.events(s, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("total"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    train.groupBy(_._1).foreach { case (user, rows) =>
+      // per record: retract (if any) precedes upsert at the same seq
+      val bySeq = rows.groupBy(_._2).toSeq.sortBy(_._1)
+      var lastEmitted: Option[Long] = None
+      bySeq.foreach { case (seq, pair) =>
+        val ret = pair.filter(_._3 == "retract")
+        val ups = pair.filter(_._3 == "upsert")
+        assert(ups.size == 1, s"user $user seq $seq: ${ups.size} upserts")
+        lastEmitted match {
+          case None => assert(ret.isEmpty,
+            s"user $user first record retracted $ret")
+          case Some(prev) =>
+            assert(ret.map(_._4).toSeq == Seq(prev),
+              s"user $user seq $seq retracted ${ret.map(_._4)} ≠ $prev")
+        }
+        lastEmitted = Some(ups.head._4)
+      }
+      // telescoping: Σ sign·agg == final value == the batch aggregate
+      val signed = rows.iterator.map(r =>
+        if (r._3 == "retract") -r._4 else r._4).sum
+      assert(signed == expected(user),
+        s"user $user signed sum $signed ≠ batch ${expected(user)}")
+    }
+  }
+
+  test("S33b: the retract producer and the windowed aggregate run as " +
+       "TWO state stores in ONE query, and some closed window contains " +
+       "a genuine retraction") {
+    import graft.streaming.Streams
+    val ckpt = Files.createTempDirectory("graft_s33b_pin").toString
+    val q = graft.core.ConfScope.withConf(s, Streams.RocksDbConf) {
+      val q = Streams.s33bPlan(s, sf).writeStream.format("memory")
+        .queryName("s33b_pin").outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val ops = q.recentProgress.flatMap(_.stateOperators.map(_.operatorName))
+      .distinct.toSet
+    assert(ops.size == 2 && ops.contains("stateStoreSave") &&
+      ops.exists(_.toLowerCase.contains("transformwithstate")),
+      s"expected TWS + windowed-agg state stores in ONE query, got $ops")
+    assert(s.table("s33b_pin").count() > 0, "chained query emitted nothing")
+    // non-vacuity: some user has a SECOND-or-later record inside a
+    // window the final watermark closed — that record emitted a
+    // retraction that flowed through the gated aggregate
+    val evs = Tables.events(s, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val horizonUs = evs.map(_._2).max - 600L * 1000000L
+    val closedRetracts = evs.groupBy(_._1).values.exists { es =>
+      es.sortBy(e => (e._2, e._3)).drop(1).exists(e =>
+        (e._2 / 3600000000L) * 3600000000L + 3600000000L < horizonUs)
+    }
+    assert(closedRetracts,
+      "no retraction inside a closed window — the chained face is vacuous")
+  }
+
   test("S22c: the changelog consumer and the windowed aggregate run as " +
        "TWO state stores in ONE query, and closed windows genuinely " +
        "contain retractions") {
