@@ -943,7 +943,8 @@ object Streams {
     * IncrementalExecution (three stateful operators — the deepest
     * chain in the engine; see the registration comment). Shared with
     * StreamingSpec's three-state-stores pin. */
-  private[graft] def s32Plan(s: SparkSession, d: String): DataFrame = {
+  private[graft] def s32Plan(s: SparkSession, d: String,
+                             joinType: String = "inner"): DataFrame = {
     val src = Replayer.stream(s, d, "clean")
       .withWatermark("ts", WatermarkDelay)
     val a = src.filter(col("event_type") === "view")
@@ -954,7 +955,7 @@ object Streams {
       .groupBy(window(col("ts"), "1 day"),
         (col("user_id") % 5).as("grp"))
       .agg(count(lit(1)).as("n_purchases"))
-    a.join(b, Seq("window", "grp"))
+    a.join(b, Seq("window", "grp"), joinType)
   }
 
   /** S31b's abandonment window: 24 h (vs S21's 2 h) so the pending
@@ -2024,6 +2025,38 @@ object Streams {
       runToMemory(s, s32Plan(s, d), "append")
         .select(col("window.start").as("win_start"), col("grp"),
           col("n_views"), col("n_purchases"))
+        .orderBy(col("win_start"), col("grp"))),
+
+    // S32b — the window join's LEFT OUTER face (Flink WINDOW JOIN
+    // TVF's outer form): S32's three-stateful-op chain with
+    // null-extension — a (window × bucket) with views but no
+    // purchases emits (n_views, NULL) when the watermark EVICTS the
+    // unmatched left row from the join state (matched rows emit on
+    // arrival of both sides; the spec pins the asymmetry per batch).
+    // Empirically the emission horizon equals the inner join's (the
+    // s32 oracle rule): the final AvailableNow no-data batch advances
+    // the watermark to max − delay, evicting every closed window's
+    // state, so outer ≡ the batch left join under win_end < wm.
+    // 100 TB: identical budget to S32 — the join shuffles AGGREGATE
+    // cardinality, never events; null-extension adds no state.
+    "s32b_window_join_outer" -> ((s, d) =>
+      runToMemory(s, s32Plan(s, d, "left_outer"), "append")
+        .select(col("window.start").as("win_start"), col("grp"),
+          col("n_views"), col("n_purchases"))
+        .orderBy(col("win_start"), col("grp"))),
+
+    // S32c — the ANTI face ("windows with views but ZERO purchases" —
+    // the dashboard staple): Spark's stream-stream join surface has no
+    // left_anti, so the face COMPOSES — the left-outer join filtered
+    // to null-extended rows INSIDE the streaming plan (the filter runs
+    // per micro-batch on eviction output, not on a collected table).
+    // The spec pins inner ∪ anti ≡ outer — the partition identity that
+    // makes the composition the anti join by definition.
+    "s32c_window_join_anti" -> ((s, d) =>
+      runToMemory(s, s32Plan(s, d, "left_outer")
+          .filter(col("n_purchases").isNull), "append")
+        .select(col("window.start").as("win_start"), col("grp"),
+          col("n_views"))
         .orderBy(col("win_start"), col("grp"))),
 
     // S22 — CDC/RETRACTION consumer (Flink's retract stream): a keyed
@@ -3300,6 +3333,49 @@ object Streams {
         |FROM a32 JOIN p32 USING (win_start, grp) CROSS JOIN fw32
         |WHERE win_start + INTERVAL 1 DAY < fw32.w
         |ORDER BY win_start, grp""".stripMargin,
+
+    // s32b — the outer face in closed form: the batch LEFT join under
+    // the same horizon (the final no-data batch evicts every closed
+    // window's unmatched state, so null-extension lands for exactly
+    // the closed view-windows without purchases).
+    "s32b_window_join_outer" ->
+      """WITH fw32b AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |a32b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 5 AS grp, count(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p32b AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 5 AS grp, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT win_start, grp,
+        |  CAST(n_views AS BIGINT) AS n_views,
+        |  CAST(n_purchases AS BIGINT) AS n_purchases
+        |FROM a32b LEFT JOIN p32b USING (win_start, grp)
+        |CROSS JOIN fw32b
+        |WHERE win_start + INTERVAL 1 DAY < fw32b.w
+        |ORDER BY win_start, grp""".stripMargin,
+
+    // s32c — the anti face: closed view-windows with NO purchase row.
+    "s32c_window_join_anti" ->
+      """WITH fw32c AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |a32c AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 5 AS grp, count(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p32c AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      AS win_start, user_id % 5 AS grp
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.win_start, a.grp, CAST(a.n_views AS BIGINT) AS n_views
+        |FROM a32c a CROSS JOIN fw32c
+        |WHERE a.win_start + INTERVAL 1 DAY < fw32c.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM p32c p
+        |    WHERE p.win_start = a.win_start AND p.grp = a.grp)
+        |ORDER BY a.win_start, a.grp""".stripMargin,
 
     // s31b — the savepoint's timer registry and pending-view state in
     // closed form. Timers: one per DISTINCT (user, deadline) ever

@@ -1944,6 +1944,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(joinRows > 0, "join state was never exercised")
   }
 
+  test("S32b/S32c: the outer window join's matched rows ≡ the inner " +
+       "join, inner ∪ anti ≡ outer (the partition identity), and the " +
+       "anti face is non-vacuous") {
+    val outer = SparkEntry.queries("s32b_window_join_outer")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val inner = SparkEntry.queries("s32_window_join")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        Some(r.getLong(3))))
+    val anti = SparkEntry.queries("s32c_window_join_anti")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(anti.nonEmpty, "anti face vacuous — every window purchased")
+    assert(outer.filter(_._4.isDefined).toSeq == inner.toSeq,
+      "outer's matched rows diverge from the inner join")
+    assert(outer.filter(_._4.isEmpty).map(r => (r._1, r._2, r._3)).toSeq ==
+      anti.toSeq, "outer's null-extended rows diverge from the anti face")
+    assert(outer.length == inner.length + anti.length,
+      "inner ∪ anti ≠ outer")
+  }
+
+  test("S32b: null-extended rows emit only at EVICTION — every " +
+       "unmatched row's window end is at or below the operative " +
+       "watermark of its emission batch") {
+    import graft.streaming.{Replayer, Streams}
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Long, Boolean)]() // (batchId, winEndMs, isNull)
+    val ckpt = Files.createTempDirectory("graft_s32b_pin").toString
+    val q = Streams.s32Plan(s, sf, "left_outer")
+      .select(col("window.end").as("we"), col("n_purchases"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.collect().foreach(r =>
+          got.add((id, r.getTimestamp(0).getTime, r.isNullAt(1))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Replayer.dropCheckpoint(ckpt)
+    // operative watermark per batch, from Spark's own progress
+    val wmByBatch = q.recentProgress.map { p =>
+      val w = Option(p.eventTime.get("watermark"))
+        .map(java.time.Instant.parse(_).toEpochMilli).getOrElse(0L)
+      p.batchId -> w
+    }.toMap
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toSeq
+    val nullRows = rows.filter(_._3)
+    assert(nullRows.nonEmpty, "no null-extended emission captured")
+    nullRows.foreach { case (b, endMs, _) =>
+      assert(wmByBatch(b) >= endMs,
+        s"null-extended row (window end $endMs) emitted in batch $b " +
+        s"whose operative watermark ${wmByBatch(b)} had not evicted it")
+    }
+  }
+
   test("S31b: the savepoint's two artifacts diverge exactly by the " +
        "answered views — every pending view's deadline has a " +
        "registered timer, and the timer-minus-view difference (the " +
