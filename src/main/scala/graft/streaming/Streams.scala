@@ -236,6 +236,67 @@ object Streams {
     rows(0).getDouble(1)
   }
 
+  /** S36 dim value — a CLOSED-FORM function of (version, key) so the
+    * oracle reproduces the dim without shipping data: v0 is grp+1, v2
+    * bumps odd grps by 10, v4 additionally bumps grp%3==0 by 100.
+    * Monotone accumulation (each version keeps earlier changes) keeps
+    * the SQL a pair of CASE terms. */
+  private[graft] def s36Mult(v: Long, grp: Long): Long =
+    (grp + 1) + (if (v >= 2) 10L * (grp % 2) else 0L) +
+      (if (v >= 4 && grp % 3 == 0) 100L else 0L)
+
+  /** S36 dim-version schedule: a new FULL snapshot becomes effective
+    * at batches 0, 2 and 4 — two mutations inside one replay. */
+  private[graft] val S36Versions = Seq(0L, 2L, 4L)
+
+  /** Write the S36 versioned dim log: one complete 10-key snapshot per
+    * version (the lookup-table contract — a version is a whole dim,
+    * not a delta). */
+  private[graft] def s36WriteDim(s: SparkSession, dir: String): Unit = {
+    val rows = for (v <- S36Versions; g <- 0L until 10L)
+      yield (v, g, s36Mult(v, g))
+    s.createDataFrame(rows).toDF("effective_batch", "grp", "mult")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Latest dim version effective at `id` — the s23RuleFor discipline
+    * for a KEYED dim (driver read of KB-sized control data). */
+  private[graft] def s36VersionFor(s: SparkSession, dimDir: String,
+                                   id: Long): Long = {
+    val rows = s.read.parquet(dimDir)
+      .filter(col("effective_batch") <= id)
+      .agg(max(col("effective_batch"))).head(1)
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      s"dim log at $dimDir has no version effective at batch $id — " +
+        "the log must include a base (effective_batch 0) snapshot")
+    rows(0).getLong(0)
+  }
+
+  /** S36's per-batch body: resolve the dim version in effect at THIS
+    * batch, broadcast-join the batch's events against that keyed
+    * snapshot (the generalization of S23's scalar literal to a real
+    * per-key lookup), enrich cents × mult, write batch-id-named
+    * (idempotent replay — the SNK4 discipline). Every event in the
+    * batch sees ONE dim version — batch-atomic staleness, the Flink
+    * lookup-cache contract. */
+  private[graft] def s36Enrich(dimDir: String,
+                               outRoot: java.nio.file.Path)
+                              (batch: DataFrame, id: Long): Unit = {
+    val s = batch.sparkSession
+    val v = s36VersionFor(s, dimDir, id)
+    val dimV = s.read.parquet(dimDir)
+      .filter(col("effective_batch") === v)
+      .select(col("grp"), col("mult"))
+    batch.select((col("user_id") % 10).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .join(broadcast(dimV), Seq("grp"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("cents") * col("mult")).as("adj_cents"))
+      .withColumn("b", lit(id))
+      .write.mode("overwrite").parquet(outRoot.resolve(s"b$id").toString)
+  }
+
   /** S23's per-batch body: resolve the current rule, flag events above
     * its threshold, aggregate, write batch-id-named (idempotent
     * replay — same id, same bytes, same path). */
@@ -2194,6 +2255,48 @@ object Streams {
         .groupBy(col("event_type"))
         .agg(sum(col("n")).as("n_flagged"), sum(col("sc")).as("sum_cents"))
         .orderBy(col("event_type"))
+    }),
+
+    // S36 — LOOKUP JOIN WITH A BATCH-ATOMIC CACHE (Flink's
+    // LookupTableSource + lookup cache: enrich a stream against an
+    // external dim that MUTATES between refreshes, join semantics =
+    // the version in effect when the batch RUNS — processing-time
+    // freshness, deliberately NOT S4b's event-time correctness): a
+    // versioned KEYED dim log (full 10-key snapshots effective at
+    // batches 0/2/4 — S23's scalar rule generalized to a per-key
+    // lookup) enriches the LATE replay per micro-batch via a broadcast
+    // hash join against the batch's resolved snapshot. Batch-atomic
+    // staleness is the contract AND the pin: a displaced event (the
+    // late variant's %97 rows arrive two batches after their home) is
+    // enriched with the NEWER version its arrival batch sees — the
+    // spec pins a key where that differs from the event-time version,
+    // the production lookup-vs-temporal divergence. Oracle = the
+    // batch-assignment closed form (late batchExpr → version schedule
+    // → closed-form mult). 100 TB: the dim is KB-sized control data
+    // broadcast per batch; events never shuffle for the join (map-side
+    // BHJ), one (grp) shuffle for the per-batch aggregate.
+    "s36_lookup_join" -> ((s, d) => {
+      val root = java.nio.file.Paths.get(
+        graft.queries.SourcesSinks.stagingDir("s36dim", d))
+      val dimDir = root.resolve("dim")
+      s36WriteDim(s, dimDir.toString)
+      val outRoot = root.resolve("out")
+      Replayer.deleteTree(outRoot)
+      val ckpt = Replayer.checkpoint()
+      try {
+        ConfScope.withConf(s, Map(
+          "spark.sql.shuffle.partitions" -> streamPartitions) ++
+          NoFinalBatch) {
+          val q = Replayer.stream(s, d, "late").writeStream
+            .foreachBatch(s36Enrich(dimDir.toString, outRoot) _)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+      } finally Replayer.dropCheckpoint(ckpt)
+      s.read.parquet(s23BatchDirs(outRoot): _*)
+        .select(col("b"), col("grp"), col("n"), col("adj_cents"))
+        .orderBy(col("b"), col("grp"))
     }),
 
     // S28 — UPDATE output mode as a first-class oracle-gated face
@@ -4326,6 +4429,33 @@ object Streams {
     // assignment (Replayer.batchExpr): an event is flagged under the
     // rule in force AT ITS BATCH — 50.0 for batches 0–1, 150.0 from
     // batch 2 (Streams.S23Rules).
+    // s36 — the lookup join in closed form: arrival batch = the LATE
+    // batchExpr (home batch + 2 for %97 rows, capped at the last
+    // file), version = the schedule step at that batch (0/2/4), mult =
+    // the closed-form dim value. An event is priced by its ARRIVAL
+    // batch's version — the batch-atomic lookup contract under test.
+    "s36_lookup_join" ->
+      """WITH b36 AS (
+        |  SELECT user_id % 10 AS grp,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |    least(CAST(floor(event_id / b.bsz) AS INT) +
+        |          CASE WHEN event_id % 97 = 0 THEN 2 ELSE 0 END,
+        |          4) AS b
+        |  FROM events
+        |  CROSS JOIN (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS bsz
+        |              FROM events) b),
+        |m36 AS (
+        |  SELECT b, grp, cents,
+        |    (grp + 1)
+        |    + (CASE WHEN b >= 2 THEN 10 * (grp % 2) ELSE 0 END)
+        |    + (CASE WHEN b >= 4 AND grp % 3 = 0 THEN 100 ELSE 0 END)
+        |      AS mult
+        |  FROM b36)
+        |SELECT CAST(b AS BIGINT) AS b, grp,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents * mult) AS BIGINT) AS adj_cents
+        |FROM m36 GROUP BY b, grp ORDER BY b, grp""".stripMargin,
+
     "s23_dynamic_rules" ->
       """WITH b23 AS (
         |  SELECT event_type, value,

@@ -2234,6 +2234,43 @@ class StreamingSpec extends AnyFunSuite {
       "no effective delete reached the aggregate — retraction vacuous")
   }
 
+  test("S36: batch-atomic lookup staleness is REAL — displaced events " +
+       "are enriched with their ARRIVAL batch's dim version, some key's " +
+       "enrichment differs from the event-time version, and the lookup " +
+       "total genuinely diverges from the event-time-correct total") {
+    import graft.streaming.Streams
+    val evs = Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // re-derive the late replay's batch assignment (the Replayer
+    // contract: home = id-order batch; %97 rows arrive two later)
+    val bsz = (evs.length + Replayer.NumFiles - 1) / Replayer.NumFiles
+    def home(id: Long) = math.min(id / bsz, (Replayer.NumFiles - 1).toLong)
+    def arrival(id: Long) =
+      math.min(home(id) + (if (id % 97 == 0) 2L else 0L),
+        (Replayer.NumFiles - 1).toLong)
+    def version(b: Long) = if (b >= 4) 4L else if (b >= 2) 2L else 0L
+    val divergent = evs.filter { case (id, uid, _) =>
+      Streams.s36Mult(version(arrival(id)), uid % 10) !=
+        Streams.s36Mult(version(home(id)), uid % 10)
+    }
+    assert(divergent.nonEmpty, "no displaced key's enrichment differs " +
+      "between arrival-batch and event-time dim versions — vacuous pin")
+    // the shipped result prices by ARRIVAL version (= the hash-gated
+    // closed form) and that total differs from the event-time total
+    val got = SparkEntry.queries("s36_lookup_join")(s, sf).collect()
+      .map(_.getLong(3)).sum
+    val arrivalTotal = evs.iterator.map { case (id, uid, c) =>
+      c * Streams.s36Mult(version(arrival(id)), uid % 10) }.sum
+    val eventTimeTotal = evs.iterator.map { case (id, uid, c) =>
+      c * Streams.s36Mult(version(home(id)), uid % 10) }.sum
+    assert(got == arrivalTotal,
+      s"lookup total $got ≠ arrival-version closed form $arrivalTotal")
+    assert(got != eventTimeTotal,
+      "lookup total equals the event-time total — staleness invisible")
+  }
+
   test("S33: the refinement fold emits one (−old, +new) pair per record " +
        "— no retraction before a key's first emission, and the pair " +
        "chain survives a batch boundary via the carried state") {
