@@ -184,6 +184,91 @@ object SkipMatchProcessor {
   }
 }
 
+/** Per-key S20f state — the SkipMatch DP with ONE MORE SLOT carrying a
+  * SELF-LOOP: m0 = latest view ts (slot 0, as in S20), m1 = the
+  * anchoring view (the latest view with a subsequent click — S20's
+  * m(1)), cnt = how many clicks the greedy loop has absorbed since the
+  * anchor last advanced. −1 = none. */
+case class OneOrMoreState(m0: Long, m1: Long, cnt: Long)
+
+/** S20f — CEP GREEDY UNBOUNDED QUANTIFIER (Flink CEP's
+  * `oneOrMore.greedy` with `until()`, MATCH_RECOGNIZE's `C+`): the
+  * pattern v c+ p — a view, then ONE OR MORE clicks (unbounded — the
+  * quantifier S20d's times(2) cannot express), stopped by the
+  * purchase (`until`), all within the 24 h window. Where S20 answers
+  * "did v→c→p complete" and S20d "did exactly k clicks land", this
+  * reports the LOOP PAYLOAD: (user, purchase_id, n_clicks), with
+  * n_clicks the greedy count — every click absorbed since the
+  * anchoring view.
+  *
+  * The DP extension is exactly the verdict's "one more slot with a
+  * self-loop": on a click, if a NEWER view has arrived since the
+  * anchor (m0 > m1), the greedy loop RESTARTS there (anchor := m0,
+  * cnt := 1 — skip-till-next-match takes the latest possible start,
+  * S20's max-start rule); otherwise the self-loop absorbs the click
+  * (cnt += 1). A purchase completes from the PRE-event state iff the
+  * anchor clears ts − window (the S20 completion predicate verbatim —
+  * StreamingSpec pins completions ≡ S20), emitting the loop count;
+  * `until` means the purchase itself never enters the loop, and (as
+  * in S20) state is NOT reset after a match — the next purchase may
+  * complete again under skip-till-next-match.
+  *
+  * Closed form (the oracle): anchor(p) = max over clicks c < p of
+  * (max view ts before c) — S20's m2 window chain — and n_clicks(p) =
+  * the number of clicks before p whose max-view-before EQUALS that
+  * anchor (a click under a newer view would have advanced the anchor;
+  * a click under an older one was absorbed by a superseded loop).
+  *
+  * State: THREE longs per key — constant in events processed, the
+  * same budget class as S20's O(|pattern|). 100 TB: one user_id
+  * shuffle, O(1) per event, no history buffered; per-batch sort
+  * buffer bounded by one key's volume in one micro-batch (the
+  * [[SkipMatchProcessor]] contract). */
+class OneOrMoreProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, FunnelEvent, (Long, Long, Long)] {
+
+  @transient private var st: ValueState[OneOrMoreState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[OneOrMoreState](
+      "oneormore", Encoders.product[OneOrMoreState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                               timers: TimerValues)
+      : Iterator[(Long, Long, Long)] = {
+    val st0 = Option(st.get()).getOrElse(OneOrMoreState(-1L, -1L, 0L))
+    val (st1, out) = OneOrMoreProcessor.stepAll(windowUs, st0, user,
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)))
+    st.update(st1)
+    out.iterator
+  }
+}
+
+object OneOrMoreProcessor {
+  /** The greedy-loop fold advanced over `events` — ALREADY in
+    * (tsu, event_id) order. Unit-testable without a streaming
+    * harness. m0 is monotone and m1 only ever takes past m0 values,
+    * so m0 ≥ m1 whenever m1 ≥ 0 — the restart test (m0 > m1) is
+    * exactly "a newer view arrived since the anchor". */
+  def stepAll(windowUs: Long, st0: OneOrMoreState, user: Long,
+              events: Seq[FunnelEvent])
+      : (OneOrMoreState, Seq[(Long, Long, Long)]) = {
+    var (m0, m1, cnt) = (st0.m0, st0.m1, st0.cnt)
+    val out = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+    events.foreach { e =>
+      SkipMatchProcessor.letterOf(e.event_type) match {
+        case 'v' => m0 = math.max(m0, e.tsu)
+        case 'c' if m0 >= 0 =>
+          if (m0 > m1) { m1 = m0; cnt = 1L } else cnt += 1L
+        case 'p' if m1 >= 0 && m1 >= e.tsu - windowUs =>
+          out += ((user, e.event_id, cnt))
+        case _ => ()
+      }
+    }
+    (OneOrMoreState(m0, m1, cnt), out.toSeq)
+  }
+}
+
 /** Per-key S20e state: views and clicks still inside the trailing
   * window, as (tsu, event_id) pairs — the candidate lists the no-skip
   * enumeration draws from. */

@@ -1607,6 +1607,32 @@ object Streams {
         .orderBy(col("user_id"), col("completion_id"))
     }),
 
+    // S20f — CEP GREEDY UNBOUNDED QUANTIFIER (Flink's
+    // oneOrMore.greedy + until, MATCH_RECOGNIZE's C+; the r19 verdict
+    // task 6): v c+ p within 24 h — the unbounded self-looping slot
+    // S20d's times(2) cannot express — emitting (user, purchase,
+    // n_clicks) with the greedy loop count. Same completion set as
+    // S20 (the axis pin: quantifier payload, not match existence);
+    // oracle = S20's m2 window chain + the click-count closed form
+    // (clicks whose max-view-before equals the purchase's anchor).
+    // See OneOrMoreProcessor: 3 longs of state per key, O(1)/event.
+    "s20f_oneormore" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.TimeMode
+      val ev: Dataset[FunnelEvent] = Replayer.stream(s, d, "clean")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"),
+                col("user_id"), col("event_type"))
+        .as[FunnelEvent]
+      val completions = ev.groupByKey(_.user_id)
+        .transformWithState(
+          new OneOrMoreProcessor(graft.queries.Windows.SkipWindowUs),
+          TimeMode.None(), OutputMode.Append())
+      runToMemory(s, completions.toDF("user_id", "completion_id",
+                    "n_clicks"),
+                  "append", RocksDbConf ++ NoFinalBatch)
+        .orderBy(col("user_id"), col("completion_id"))
+    }),
+
     // S20e — ALL-MATCHES CEP enumeration (Flink CEP's
     // AfterMatchSkipStrategy.noSkip / MATCH_RECOGNIZE's overlapping
     // ALL ROWS PER MATCH): the after-match-skip axis the S20 family
@@ -3670,6 +3696,45 @@ object Streams {
         |FROM s2b
         |WHERE l = 'p' AND m2 IS NOT NULL AND m2 >= ts - INTERVAL 24 HOUR
         |ORDER BY user_id, completion_id""".stripMargin,
+
+    // s20f — S20's anchor chain plus the greedy count: anchor(p) = m2
+    // (max view-before-click before p); n_clicks = clicks before p
+    // whose own max-view-before equals that anchor (a click under a
+    // newer view would have advanced it; one under an older view
+    // belonged to a superseded loop).
+    "s20f_oneormore" ->
+      """WITH e20f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END AS l
+        |  FROM events),
+        |s1f AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'v' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+        |  FROM e20f),
+        |s2f AS (
+        |  SELECT user_id, event_id, ts, l,
+        |    max(CASE WHEN l = 'c' THEN m1 END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+        |  FROM s1f),
+        |p20f AS (
+        |  SELECT user_id, event_id, ts, m2 FROM s2f
+        |  WHERE l = 'p' AND m2 IS NOT NULL
+        |    AND m2 >= ts - INTERVAL 24 HOUR),
+        |c20f AS (
+        |  SELECT user_id, event_id, ts, m1 FROM s1f
+        |  WHERE l = 'c' AND m1 IS NOT NULL)
+        |SELECT p.user_id, p.event_id AS completion_id,
+        |  CAST(count(*) AS BIGINT) AS n_clicks
+        |FROM p20f p JOIN c20f c
+        |  ON c.user_id = p.user_id
+        | AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        | AND c.m1 = p.m2
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // s20e — no-skip all-matches IS the relational triple join: every
     // (v, c, p) with strict (ts, event_id) precedence between slots

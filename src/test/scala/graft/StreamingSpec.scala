@@ -2234,6 +2234,51 @@ class StreamingSpec extends AnyFunSuite {
       "no effective delete reached the aggregate — retraction vacuous")
   }
 
+  test("S20f: the greedy-loop fold — restart on a newer view, self-loop " +
+       "absorption, until(p) leaving the loop untouched, repeated " +
+       "letters, and cross-batch state carry") {
+    import graft.streaming.{FunnelEvent, OneOrMoreProcessor, OneOrMoreState}
+    def ev(t: Long, id: Long, ty: String) = FunnelEvent(id, t, 9L, ty)
+    val win = 1000L
+    // v c c v c p: the second view restarts the greedy loop → cnt 1
+    val (st1, out1) = OneOrMoreProcessor.stepAll(win,
+      OneOrMoreState(-1L, -1L, 0L), 9L, Seq(
+        ev(10, 1, "view"), ev(11, 2, "click"), ev(12, 3, "click"),
+        ev(20, 4, "view"), ev(21, 5, "click"), ev(22, 6, "purchase")))
+    assert(out1 == Seq((9L, 6L, 1L)), s"got $out1")
+    assert(st1 == OneOrMoreState(20L, 20L, 1L))
+    // until: the purchase never enters the loop — a later click under
+    // the SAME anchor keeps absorbing (repeated-letter continuation)
+    val (st2, out2) = OneOrMoreProcessor.stepAll(win, st1, 9L, Seq(
+      ev(23, 7, "click"), ev(24, 8, "purchase")))
+    assert(out2 == Seq((9L, 8L, 2L)), s"got $out2")
+    assert(st2.cnt == 2L)
+    // no view yet: clicks are not a loop; purchase can't complete
+    val (_, out3) = OneOrMoreProcessor.stepAll(win,
+      OneOrMoreState(-1L, -1L, 0L), 9L, Seq(
+        ev(10, 1, "click"), ev(11, 2, "purchase")))
+    assert(out3.isEmpty)
+    // window: an anchor older than p − win does not complete
+    val (_, out4) = OneOrMoreProcessor.stepAll(win,
+      OneOrMoreState(-1L, -1L, 0L), 9L, Seq(
+        ev(10, 1, "view"), ev(11, 2, "click"), ev(2000, 3, "purchase")))
+    assert(out4.isEmpty)
+  }
+
+  test("S20f: same completions as S20 (the quantifier changes the " +
+       "payload, not match existence), and the loop genuinely absorbs " +
+       "more than one click somewhere in the corpus") {
+    val s20 = SparkEntry.queries("s20_stream_pattern")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s20f = SparkEntry.queries("s20f_oneormore")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s20f.map(r => (r._1, r._2)).toSet == s20,
+      "S20f's completion set diverged from S20's")
+    assert(s20f.forall(_._3 >= 1L), "a completion with an empty loop")
+    assert(s20f.exists(_._3 > 1L),
+      "every loop count is 1 — the unbounded quantifier is vacuous here")
+  }
+
   test("S36: batch-atomic lookup staleness is REAL — displaced events " +
        "are enriched with their ARRIVAL batch's dim version, some key's " +
        "enrichment differs from the event-time version, and the lookup " +
