@@ -161,7 +161,7 @@ object Replayer {
   /** Ensure a fixture variant exists; returns its directory. */
   def ensure(s: SparkSession, sfDir: String, variant: String): String = synchronized {
     require(Set("clean", "late", "dup", "dup10", "funnel", "ooo",
-        "ooolate", "refire")(variant),
+        "ooolate", "refire", "shift48", "shift48stop")(variant),
       s"unknown replay variant: $variant")
     val dir = variantDir(sfDir, variant, "events")
     val done = dir.resolve("_DONE")
@@ -253,6 +253,25 @@ object Replayer {
                   expr("INTERVAL 80 HOUR"), 1)
               .otherwise(col("nb")))
             .drop("nb", "md")
+        case "shift48" =>
+          // S34's LAGGARD source: the clean replay with every event
+          // time shifted 48 h earlier (same id-order file assignment)
+          // — a second stream whose event-time range trails the first
+          // by two days, the skewed-sources fixture for watermark
+          // alignment. Pure column arithmetic; the oracle reproduces
+          // it as ts − INTERVAL 48 HOUR.
+          ev.withColumn("ts", col("ts") - expr("INTERVAL 48 HOUR"))
+            .withColumn("b", batchExpr(n, late = false))
+        case "shift48stop" =>
+          // The laggard that STOPS: shift48 rows of the first TWO
+          // files only; files 2–4 are written EMPTY (the source stays
+          // registered and keeps pairing with the fast stream's
+          // triggers — it simply delivers nothing, Flink's idle-source
+          // shape). Drives the S34 stall pin and the S34b idleness
+          // dial.
+          ev.filter(batchExpr(n, late = false) <= 1)
+            .withColumn("ts", col("ts") - expr("INTERVAL 48 HOUR"))
+            .withColumn("b", batchExpr(n, late = false))
         case "dup" =>
           val base = ev.withColumn("b", batchExpr(n, late = false))
           val dups = ev.filter(col("event_id") % 101 === 0)

@@ -865,6 +865,129 @@ object Streams {
            count(lit(1)).as("n_rows"))
   }
 
+  /** S34's union plan — TWO file streams with SKEWED event-time
+    * ranges (the clean replay + a laggard variant), each carrying its
+    * OWN watermark node, unioned into one windowed aggregate. Spark's
+    * multipleWatermarkPolicy (default `min`) makes the operative
+    * watermark the MINIMUM across sources — the Flink
+    * multi-source-alignment contract: the output horizon is the
+    * LAGGARD's, no matter how far the fast stream has run ahead.
+    * Shared by the canonical query (laggard = shift48) and the stall
+    * pin (laggard = shift48stop — the source that stops). */
+  private[graft] def s34Plan(s: SparkSession, d: String,
+                             laggard: String): DataFrame = {
+    val fast = Replayer.stream(s, d, "clean")
+      .withWatermark("ts", WatermarkDelay)
+      .select(col("ts"), col("event_type"))
+    val lag = Replayer.stream(s, d, laggard)
+      .withWatermark("ts", WatermarkDelay)
+      .select(col("ts"), col("event_type"))
+    fast.unionByName(lag)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** S34b idleness dial: a declared source is excluded from the
+    * aligned watermark once it has delivered no rows for this many
+    * consecutive micro-batches (Flink's withIdleness, batch-granular —
+    * Spark has no built-in, which makes this the named built-in-gap
+    * custom face). */
+  private[graft] val S34IdleBatches = 2
+
+  /** S34b body — WATERMARK ALIGNMENT WITH AN IDLENESS DIAL, modeled in
+    * a per-batch coordinator (foreachBatch) because Spark's engine
+    * watermark has no idleness escape: the `min` policy means one
+    * stopped source FREEZES append output forever (the production
+    * incident class; the spec pins the stall on the engine path). Here
+    * the coordinator owns event time: per batch it folds each DECLARED
+    * source's running max event time and an idle counter (no rows →
+    * +1, rows → reset), computes the aligned watermark = min over
+    * NON-IDLE sources of (runmax − 10 min), stages the batch's
+    * (window × type) partial counts, and RELEASES every window whose
+    * end falls in [prevWm, wm) — emit-once by construction — stamped
+    * with its release batch. The laggard (shift48stop) delivers files
+    * 0–1 then stops: the aligned watermark stalls with it through
+    * batch 2 (idle count still below the dial), then the dial expels
+    * it at batch 3 and the frozen tail releases — the release-batch
+    * column makes the stall AND the release hash-gated facts, not
+    * log lines. Window counts = arrivals in batches ≤ release batch
+    * (both sides model arrival by the deterministic file assignment,
+    * so a post-release arrival — impossible here — would divide the
+    * hash loudly).
+    * 100 TB: per-source maxima/idle counters are O(sources) driver
+    * state; staging holds (window × type) PARTIAL aggregates (never
+    * events — the map-side combine runs before the write); each
+    * release scans aggregate-sized staging. */
+  private[graft] def s34bRun(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      graft.queries.SourcesSinks.stagingDir("s34align", d))
+    val stageRoot = root.resolve("stage")
+    val outRoot = root.resolve("out")
+    Replayer.deleteTree(stageRoot); Replayer.deleteTree(outRoot)
+    val declared = Seq("fast", "lag")
+    val runmax = scala.collection.mutable.Map[String, Long]()
+    val idle = scala.collection.mutable.Map[String, Int]()
+      .withDefaultValue(0)
+    var prevWm = Long.MinValue
+    val delayUs = 600L * 1000000L
+    val fast = Replayer.stream(s, d, "clean")
+      .select(col("ts"), col("event_type"), lit("fast").as("src"))
+    val lag = Replayer.stream(s, d, "shift48stop")
+      .select(col("ts"), col("event_type"), lit("lag").as("src"))
+    val ckpt = Replayer.checkpoint()
+    try {
+      ConfScope.withConf(s, Map(
+        "spark.sql.shuffle.partitions" -> streamPartitions) ++
+        NoFinalBatch) {
+        val q = fast.unionByName(lag).writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val ss = b.sparkSession
+            val stats = b.groupBy(col("src"))
+              .agg(max(unix_micros(col("ts"))).as("mx")).collect()
+              .map(r => r.getString(0) -> r.getLong(1)).toMap
+            declared.foreach { src =>
+              stats.get(src) match {
+                case Some(mx) =>
+                  runmax(src) = math.max(runmax.getOrElse(src, Long.MinValue), mx)
+                  idle(src) = 0
+                case None => idle(src) = idle(src) + 1
+              }
+            }
+            val active = declared.filter(idle(_) < S34IdleBatches)
+            val wm =
+              if (active.nonEmpty && active.forall(runmax.contains))
+                active.map(runmax).min - delayUs
+              else prevWm
+            b.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+              .agg(count(lit(1)).as("n"))
+              .select(col("window.start").as("win_start"),
+                col("event_type"), col("n"))
+              .write.mode("overwrite")
+              .parquet(stageRoot.resolve(s"b$id").toString)
+            if (wm > prevWm) {
+              ss.read.parquet(s23BatchDirs(stageRoot): _*)
+                .withColumn("end_us",
+                  unix_micros(col("win_start")) + 3600L * 1000000L)
+                .filter(col("end_us") < wm && col("end_us") >= prevWm)
+                .groupBy(col("win_start"), col("event_type"))
+                .agg(sum(col("n")).as("n"))
+                .withColumn("rel_b", lit(id))
+                .write.mode("overwrite")
+                .parquet(outRoot.resolve(s"b$id").toString)
+              prevWm = wm
+            }
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    } finally Replayer.dropCheckpoint(ckpt)
+    s.read.parquet(s23BatchDirs(outRoot): _*)
+      .select(col("win_start"), col("event_type"), col("n"),
+        col("rel_b"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** S25's TTL and inter-batch pacing gap (ms). Determinism argument
     * (verified against the Spark 4.1.2 bytecode: ValueStateImplWithTTL
     * evaluates expiry as batchTimestampMs(read) ≥ batchTimestampMs(
@@ -2282,6 +2405,35 @@ object Streams {
         .agg(sum(col("n")).as("n_flagged"), sum(col("sc")).as("sum_cents"))
         .orderBy(col("event_type"))
     }),
+
+    // S34 — MULTI-SOURCE WATERMARK ALIGNMENT (Flink's min-across-
+    // sources watermark propagation): two file streams with event-time
+    // ranges 48 h apart (clean + the shift48 laggard), each with its
+    // own watermark node, unioned into one hourly windowed aggregate.
+    // Spark's multipleWatermarkPolicy=min (the default) makes the
+    // operative watermark the LAGGARD's — the output horizon is
+    // max(ts) − 48 h − 10 min even though the fast stream ran two days
+    // further (the spec pins the engine watermark == the laggard's and
+    // the frozen fast tail). Oracle = the union aggregate under the
+    // min horizon. 100 TB: one (window × type) shuffle; the union adds
+    // no state — alignment is watermark bookkeeping, not data.
+    "s34_watermark_align" -> ((s, d) =>
+      runToMemory(s, s34Plan(s, d, "shift48"), "append")
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // S34b — IDLENESS DIAL (Flink's withIdleness; the stall-and-
+    // release face): the laggard STOPS after two files, so the engine
+    // min-watermark would freeze append output forever (pinned in
+    // StreamingSpec on s34Plan(shift48stop)). The coordinator face
+    // (see s34bRun) owns event time per micro-batch — min over
+    // NON-IDLE declared sources, a source expelled after
+    // S34IdleBatches consecutive empty batches — and stamps every
+    // released window with its release batch: the hash itself proves
+    // the stall (nothing releases at the stalled batch 2) and the
+    // dial's release (the frozen tail unblocks exactly at batch 3).
+    "s34b_idleness_dial" -> ((s, d) => s34bRun(s, d)),
 
     // S36 — LOOKUP JOIN WITH A BATCH-ATOMIC CACHE (Flink's
     // LookupTableSource + lookup cache: enrich a stream against an
@@ -4494,6 +4646,78 @@ object Streams {
     // assignment (Replayer.batchExpr): an event is flagged under the
     // rule in force AT ITS BATCH — 50.0 for batches 0–1, 150.0 from
     // batch 2 (Streams.S23Rules).
+    // s34 — the aligned union in closed form: both sources' rows
+    // windowed together, horizon = the LAGGARD's watermark (min
+    // policy): max(ts) − 48 h − 10 min.
+    "s34_watermark_align" ->
+      """WITH u34 AS (
+        |  SELECT ts, event_type FROM events
+        |  UNION ALL
+        |  SELECT ts - INTERVAL 48 HOUR AS ts, event_type FROM events),
+        |fw34 AS (
+        |  SELECT max(ts) - INTERVAL 48 HOUR - INTERVAL 10 MINUTE AS w
+        |  FROM events),
+        |agg34 AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    event_type, count(*) AS n
+        |  FROM u34 GROUP BY 1, 2)
+        |SELECT win_start, event_type, CAST(n AS BIGINT) AS n
+        |FROM agg34 CROSS JOIN fw34
+        |WHERE win_start + INTERVAL 1 HOUR < fw34.w
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // s34b — the coordinator's trajectory in closed form. Per-batch
+    // fast maxima from the id-order file assignment; the laggard
+    // delivers only files 0–1 (shifted −48 h) and then idles, so the
+    // aligned watermark is min(fast, laggard) − 10 min through batch 2
+    // (idle count below the dial) and fast − 10 min from batch 3 (the
+    // dial expels it). A window's release batch = first b whose
+    // watermark passed its end; its count = arrivals (by file
+    // assignment) at or before that batch.
+    "s34b_idleness_dial" ->
+      """WITH bsz34 AS (
+        |  SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS bsz
+        |  FROM events),
+        |f34 AS (
+        |  SELECT ts, event_type,
+        |    least(CAST(floor(event_id / bsz) AS INT), 4) AS ab
+        |  FROM events CROSS JOIN bsz34),
+        |u34b AS (
+        |  SELECT ts, event_type, ab FROM f34
+        |  UNION ALL
+        |  SELECT ts - INTERVAL 48 HOUR AS ts, event_type, ab
+        |  FROM f34 WHERE ab <= 1),
+        |fm34 AS (SELECT ab, max(epoch_us(ts)) AS mx FROM f34 GROUP BY ab),
+        |fr34 AS (
+        |  SELECT a.ab AS b, max(f.mx) AS fr
+        |  FROM fm34 a JOIN fm34 f ON f.ab <= a.ab GROUP BY a.ab),
+        |lr34 AS (
+        |  SELECT a.ab AS b, max(l.mx) AS lr
+        |  FROM fm34 a
+        |  LEFT JOIN (SELECT ab, mx - 172800000000 AS mx FROM fm34
+        |             WHERE ab <= 1) l ON l.ab <= a.ab
+        |  GROUP BY a.ab),
+        |wm34 AS (
+        |  SELECT b,
+        |    CASE WHEN b <= 2 THEN least(fr, lr) - 600000000
+        |         ELSE fr - 600000000 END AS wm
+        |  FROM fr34 JOIN lr34 USING (b)),
+        |w34 AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+        |    epoch_us(date_trunc('hour', ts)) AS ws_us, event_type, ab
+        |  FROM u34b),
+        |rel34 AS (
+        |  SELECT win_start, min(b) AS rel_b
+        |  FROM (SELECT DISTINCT win_start, ws_us FROM w34) w
+        |  JOIN wm34 ON w.ws_us + 3600000000 < wm34.wm
+        |  GROUP BY win_start)
+        |SELECT r.win_start, w.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(r.rel_b AS BIGINT) AS rel_b
+        |FROM w34 w JOIN rel34 r
+        |  ON w.win_start = r.win_start AND w.ab <= r.rel_b
+        |GROUP BY r.win_start, w.event_type, r.rel_b
+        |ORDER BY r.win_start, w.event_type""".stripMargin,
+
     // s36 — the lookup join in closed form: arrival batch = the LATE
     // batchExpr (home batch + 2 for %97 rows, capped at the last
     // file), version = the schedule step at that batch (0/2/4), mult =

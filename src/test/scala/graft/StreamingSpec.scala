@@ -2234,6 +2234,107 @@ class StreamingSpec extends AnyFunSuite {
       "no effective delete reached the aggregate — retraction vacuous")
   }
 
+  test("S34: the operative watermark is the MIN across sources — the " +
+       "engine's watermark equals the 48 h LAGGARD's, and the fast " +
+       "stream's last two days stay frozen") {
+    import graft.streaming.Streams
+    val ckpt = Files.createTempDirectory("graft_s34_pin").toString
+    val q = Streams.s34Plan(s, sf, "shift48").writeStream.format("memory")
+      .queryName("s34_pin").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Replayer.dropCheckpoint(Paths.get(ckpt).toString)
+    val wmMs = q.recentProgress.flatMap(p =>
+      Option(p.eventTime.get("watermark"))
+        .map(java.time.Instant.parse(_).toEpochMilli)).max
+    val maxUs = Tables.events(s, sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val lagWmMs = Math.floorDiv(maxUs - 48L * 3600 * 1000000L, 1000L) - 600000L
+    val fastWmMs = Math.floorDiv(maxUs, 1000L) - 600000L
+    assert(wmMs == lagWmMs,
+      s"engine watermark $wmMs ≠ the laggard's $lagWmMs (min policy)")
+    // frozen tail: fast data extends two days past every emitted window
+    val maxEndMs = s.table("s34_pin")
+      .agg(max(unix_micros(col("window.end")))).head().getLong(0) / 1000L
+    assert(maxEndMs <= lagWmMs && fastWmMs - maxEndMs > 40L * 3600000L,
+      s"expected a ≈48 h frozen fast tail, emitted through $maxEndMs " +
+      s"with fast watermark $fastWmMs")
+  }
+
+  test("S34: a STOPPED source stalls the engine watermark and freezes " +
+       "append output — the production incident the idleness dial exists " +
+       "for") {
+    import graft.streaming.Streams
+    val ckpt = Files.createTempDirectory("graft_s34stop_pin").toString
+    val q = Streams.s34Plan(s, sf, "shift48stop").writeStream
+      .format("memory").queryName("s34stop_pin").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    Replayer.dropCheckpoint(Paths.get(ckpt).toString)
+    val wmMs = q.recentProgress.flatMap(p =>
+      Option(p.eventTime.get("watermark"))
+        .map(java.time.Instant.parse(_).toEpochMilli)).max
+    // the stalled horizon: the laggard's LAST delivered file (file 1)
+    val evs = Tables.events(s, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bsz = (evs.length + Replayer.NumFiles - 1) / Replayer.NumFiles
+    val lagStopUs = evs.filter(_._1 < 2L * bsz).map(_._2).max -
+      48L * 3600 * 1000000L
+    val stallMs = Math.floorDiv(lagStopUs, 1000L) - 600000L
+    assert(wmMs == stallMs,
+      s"engine watermark $wmMs ≠ the stopped source's stall $stallMs")
+    // append output froze there: nothing emitted past the stall, and
+    // the frozen mass is real (days of fast windows never emitted)
+    val emitted = s.table("s34stop_pin")
+    val maxEndMs = emitted.agg(max(unix_micros(col("window.end"))))
+      .head().getLong(0) / 1000L
+    val fastWmMs = Math.floorDiv(evs.map(_._2).max, 1000L) - 600000L
+    assert(maxEndMs <= stallMs, "a window emitted past the stalled watermark")
+    assert(fastWmMs - stallMs > 24L * 3600000L,
+      "fixture skew too small for a meaningful freeze")
+  }
+
+  test("S34b: the idleness dial's release dynamics are in the hash — " +
+       "nothing releases at the stalled batch 2, the frozen tail " +
+       "releases exactly at batch 3, and release batches are monotone " +
+       "in window end") {
+    val rows = SparkEntry.queries("s34b_idleness_dial")(s, sf).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty)
+    val byBatch = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(!byBatch.contains(2L),
+      s"windows released at the stalled batch 2: $byBatch")
+    assert(byBatch.contains(3L) && byBatch(3L) > 0,
+      s"the dial released nothing at batch 3: $byBatch")
+    assert(byBatch.keySet.subsetOf(Set(0L, 1L, 3L, 4L)),
+      s"unexpected release batches: ${byBatch.keySet}")
+    // monotone: a window released later never ends earlier
+    val maxEndPerBatch = rows.groupBy(_._4).view
+      .mapValues(_.map(_._1).max).toMap.toSeq.sortBy(_._1)
+    maxEndPerBatch.sliding(2).foreach {
+      case Seq((b1, e1), (b2, e2)) =>
+        assert(e1 < e2, s"release not monotone: batch $b1 max $e1 ≥ " +
+          s"batch $b2 max $e2")
+      case _ => ()
+    }
+    // and the batch-3 releases sit ABOVE the stalled horizon: they are
+    // the windows the engine's min policy would have frozen forever
+    val evs = Tables.events(s, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bsz = (evs.length + Replayer.NumFiles - 1) / Replayer.NumFiles
+    val stallUs = evs.filter(_._1 < 2L * bsz).map(_._2).max -
+      48L * 3600 * 1000000L - 600L * 1000000L
+    rows.filter(_._4 >= 3L).foreach { r =>
+      assert((r._1 + 3600000L) * 1000L >= stallUs,
+        s"a post-dial release below the stalled horizon: $r")
+    }
+  }
+
   test("S20f: the greedy-loop fold — restart on a newer view, self-loop " +
        "absorption, until(p) leaving the loop untouched, repeated " +
        "letters, and cross-batch state carry") {
