@@ -468,9 +468,7 @@ object Llm {
 
   /** The quantized vector table shared by the exact and IVF paths. */
   private def qvecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("vec_id"), qz(col("embedding")).as("q"))
-      .withColumn("nrm", qnorm(col("q")))
+    vecsOf(Tables.embeddings(s, d))
 
   /** Exact brute-force cosine top-k for an arbitrary query-id set — the
     * generalization of the canonical l3 (qids 0,1,2) used by LlmSpec to
@@ -695,6 +693,14 @@ object Llm {
               qids: Seq[Int] = IvfQids): DataFrame = {
     val e = qvecs(s, d)
     val candIds = ivfCandidates(s, d, e, nprobe, rassign, qids)
+    scoreExactTopK(e, candIds, qids, k)
+  }
+
+  /** Exact-cosine scoring + top-k over candidate (qid, vid) pairs —
+    * the l3c scoring tail, shared with the streaming index face (S35)
+    * so a snapshot-read candidate set scores byte-identically. */
+  private[graft] def scoreExactTopK(e: DataFrame, candIds: DataFrame,
+                                    qids: Seq[Int], k: Int): DataFrame = {
     val qs = queryVecs(e, qids)
       .select(col("vec_id").as("qid"), col("q").as("qq"),
               col("nrm").as("qn"))
@@ -709,23 +715,25 @@ object Llm {
     rankTopK(scored, k)
   }
 
-  /** Candidate (qid, vid) pairs of the IVF index: cells trained on the
-    * full-precision micro vectors, `rassign`-cell multi-assignment,
-    * `nprobe` probed cells per query, (qid, vid) deduped. Shared by the
-    * exact (l3c) and int8 (l3d) scoring paths — candidate GENERATION is
-    * identical by construction; only the scoring payload differs. */
-  private def ivfCandidates(s: SparkSession, d: String, e: DataFrame,
-                            nprobe: Int, rassign: Int,
-                            qids: Seq[Int]): DataFrame = {
-    val cdf = broadcast(centroidsDf(s, trainCentroids(s, d)))
-    // distances of every vector to every cell, min-encoded (N·K rows,
-    // map-side against the broadcast centroids)
+  /** The trained coarse quantizer as a broadcast (cell, centroid)
+    * frame — the BUILD-ONCE index artifact (centCache-backed), exposed
+    * so the streaming fold assigns arriving vectors to the same cells
+    * the batch build would. */
+  private[graft] def coarseCells(s: SparkSession, d: String): DataFrame =
+    broadcast(centroidsDf(s, trainCentroids(s, d)))
+
+  /** (vec_id, cell) multi-assignment of `e` under the trained cells:
+    * each vector under its `rassign` nearest (exact BIGINT L2, ties to
+    * the lowest cell id via the dist·16+cell encoding), via repeated
+    * 2-phase min-peeling (no window over N·K rows — each peel is a
+    * partial-agg'd groupBy on vec_id, the 100 TB shape). Per-vector
+    * arithmetic against broadcast centroids — batch-decomposable,
+    * which is WHY the S35 incremental build is answer-preserving. */
+  private[graft] def assignCells(e: DataFrame, cdf: DataFrame,
+                                 rassign: Int): DataFrame = {
     val dists = e.join(cdf)
       .select(col("vec_id"),
         (qdist(col("q"), col("c")) * 16 + col("cell")).as("ok"))
-    // multi-probe index: each vector under its `rassign` nearest cells,
-    // via repeated 2-phase min-peeling (no window over N·K rows — each
-    // peel is a partial-agg'd groupBy on vec_id, the 100 TB shape)
     var remaining = dists
     var assigns: DataFrame = null
     for (_ <- 1 to rassign) {
@@ -736,6 +744,16 @@ object Llm {
         .filter(col("ok") > col("mo"))
         .select(col("vec_id"), col("ok"))
     }
+    assigns
+  }
+
+  /** Probe the `nprobe` nearest cells per query and join against an
+    * ALREADY-BUILT (vec_id, cell) assignment — the index-read half of
+    * the candidate path, shared by the in-memory build (l3c/l3d) and
+    * the streaming snapshot read (S35). */
+  private[graft] def candidatesFromAssigns(e: DataFrame, cdf: DataFrame,
+                                           assigns: DataFrame, nprobe: Int,
+                                           qids: Seq[Int]): DataFrame = {
     val qs = queryVecs(e, qids)
       .select(col("vec_id").as("qid"), col("q").as("qq"))
     val pw = Window.partitionBy(col("qid")).orderBy(col("ok"))
@@ -752,6 +770,26 @@ object Llm {
       .select(col("p_qid").as("qid"), col("vec_id").as("vid"))
       .distinct()
   }
+
+  /** Candidate (qid, vid) pairs of the IVF index: cells trained on the
+    * full-precision micro vectors, `rassign`-cell multi-assignment,
+    * `nprobe` probed cells per query, (qid, vid) deduped. Shared by the
+    * exact (l3c) and int8 (l3d) scoring paths — candidate GENERATION is
+    * identical by construction; only the scoring payload differs. */
+  private def ivfCandidates(s: SparkSession, d: String, e: DataFrame,
+                            nprobe: Int, rassign: Int,
+                            qids: Seq[Int]): DataFrame = {
+    val cdf = coarseCells(s, d)
+    candidatesFromAssigns(e, cdf, assignCells(e, cdf, rassign),
+      nprobe, qids)
+  }
+
+  /** An embeddings slice in query form (vec_id, q, nrm) — `qvecs`
+    * generalized to an arbitrary frame carrying an `embedding` column,
+    * for the streaming fold's per-batch slices. */
+  private[graft] def vecsOf(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), qz(col("embedding")).as("q"))
+      .withColumn("nrm", qnorm(col("q")))
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))

@@ -358,6 +358,36 @@ object Replayer {
     dir.toString
   }
 
+  /** Embeddings replay fixture (S35 streaming vector-index refresh):
+    * NumFiles contiguous vec_id-range files, mtime-ordered — vectors
+    * arriving in five deterministic batches. Same _DONE/immutability
+    * contract as the events variants. */
+  def ensureEmbeds(s: SparkSession, sfDir: String): String = synchronized {
+    val dir = variantDir(sfDir, "embeds", "embeddings")
+    val done = dir.resolve("_DONE")
+    if (!Files.exists(done)) {
+      schemaCache.remove(dir.toString)
+      val em = Tables.embeddings(s, sfDir)
+      val n = em.count()
+      val b = (n + NumFiles - 1) / NumFiles
+      Files.createDirectories(dir)
+      writeBatches(dir, em.withColumn("b",
+        least(floor(col("vec_id") / b).cast("int"), lit(NumFiles - 1))))
+      Files.createFile(done)
+    }
+    dir.toString
+  }
+
+  /** Open the embeddings fixture as a file-source stream, one file per
+    * micro-batch. */
+  def streamEmbeds(s: SparkSession, sfDir: String): DataFrame = {
+    val dir = ensureEmbeds(s, sfDir)
+    val schema = schemaCache.computeIfAbsent(dir, d => s.read.parquet(d).schema)
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
+
   /** Open the documents fixture as a file-source stream, one file per
     * micro-batch. */
   def streamDocs(s: SparkSession, sfDir: String): DataFrame = {

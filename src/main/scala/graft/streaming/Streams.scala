@@ -988,6 +988,57 @@ object Streams {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** S35 body — STREAMING VECTOR-INDEX MAINTENANCE (the junction of
+    * the streaming and ANN north-star families the r19 verdict named):
+    * S13's foreachBatch fold applied to the IVF index. The coarse
+    * quantizer is trained ONCE before the stream (l3c's build-once
+    * artifact, centCache-backed — production IVF trains the quantizer
+    * on a sample and appends codes forever); each arriving batch of
+    * vectors is assigned to its rassign nearest trained cells
+    * (Llm.assignCells — per-vector arithmetic against the broadcast
+    * centroids, which is WHY incremental construction is
+    * answer-preserving: the union of per-batch assignments IS the
+    * batch build's assignment, the L31/L44 sketch-path argument) and
+    * appended as a batch-id-addressed snapshot (the SNK4 discipline).
+    * The canonical query answers l3c's probe against the FINAL
+    * snapshot — hash-gated by l3c's own generated oracle, so
+    * "incremental ≡ batch" is the oracle, not a comment; the spec
+    * additionally pins recall@5 against arrived-subset brute force
+    * after EVERY batch. 100 TB: per-batch work = |batch|·K map-side
+    * distances + one vec_id-keyed partial agg; snapshots are
+    * (vec_id, cell) codes — index-sized, payload vectors never
+    * re-shuffle; the probe reads cell-pruned candidates exactly as
+    * l3c. */
+  private[graft] def s35Run(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.Llm
+    val root = java.nio.file.Paths.get(
+      graft.queries.SourcesSinks.stagingDir("s35index", d))
+    val idxRoot = root.resolve("index")
+    Replayer.deleteTree(idxRoot)
+    val cdf = Llm.coarseCells(s, d) // build-once, BEFORE the stream
+    val ckpt = Replayer.checkpoint()
+    try {
+      ConfScope.withConf(s, Map(
+        "spark.sql.shuffle.partitions" -> streamPartitions) ++
+        NoFinalBatch) {
+        val q = Replayer.streamEmbeds(s, d).writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            Llm.assignCells(Llm.vecsOf(b), cdf, Llm.IvfRassign)
+              .write.mode("overwrite")
+              .parquet(idxRoot.resolve(s"b$id").toString)
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    } finally Replayer.dropCheckpoint(ckpt)
+    val assigns = s.read.parquet(s23BatchDirs(idxRoot): _*)
+    val e = Llm.vecsOf(graft.core.Tables.embeddings(s, d))
+    val cands = Llm.candidatesFromAssigns(e, cdf, assigns,
+      Llm.IvfNprobe, Llm.IvfQids)
+    Llm.scoreExactTopK(e, cands, Llm.IvfQids, 5)
+  }
+
   /** S25's TTL and inter-batch pacing gap (ms). Determinism argument
     * (verified against the Spark 4.1.2 bytecode: ValueStateImplWithTTL
     * evaluates expiry as batchTimestampMs(read) ≥ batchTimestampMs(
@@ -2405,6 +2456,14 @@ object Streams {
         .agg(sum(col("n")).as("n_flagged"), sum(col("sc")).as("sum_cents"))
         .orderBy(col("event_type"))
     }),
+
+    // S35 — STREAMING VECTOR-INDEX REFRESH (streaming × ANN): vectors
+    // replay in five batches, each assigned to the pre-trained coarse
+    // cells and appended as a batch-id snapshot; the canonical query
+    // answers l3c's probe against the final snapshot and is gated by
+    // l3c's OWN generated oracle — incremental construction must not
+    // change the answer, and the hash enforces it. See s35Run.
+    "s35_index_refresh" -> ((s, d) => s35Run(s, d)),
 
     // S34 — MULTI-SOURCE WATERMARK ALIGNMENT (Flink's min-across-
     // sources watermark propagation): two file streams with event-time
@@ -4646,6 +4705,12 @@ object Streams {
     // assignment (Replayer.batchExpr): an event is flagged under the
     // rule in force AT ITS BATCH — 50.0 for batches 0–1, 150.0 from
     // batch 2 (Streams.S23Rules).
+    // s35 — BY DESIGN the same oracle as l3c: the streaming build must
+    // answer exactly what the batch-built index answers (the generated
+    // Lloyd-unrolled IVF replay), so the gate is equality with the
+    // batch semantics, not a parallel spelling.
+    "s35_index_refresh" -> graft.llm.Llm.oracle("l3c_ivf_topk"),
+
     // s34 — the aligned union in closed form: both sources' rows
     // windowed together, horizon = the LAGGARD's watermark (min
     // policy): max(ts) − 48 h − 10 min.

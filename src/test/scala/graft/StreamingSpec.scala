@@ -2234,6 +2234,52 @@ class StreamingSpec extends AnyFunSuite {
       "no effective delete reached the aggregate — retraction vacuous")
   }
 
+  test("S35: the streamed index answers EXACTLY the batch-built index's " +
+       "query (answer-preserving incremental construction), and " +
+       "recall@5 vs arrived-subset brute force holds after EVERY batch") {
+    import graft.llm.Llm
+    import graft.streaming.Replayer
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val streamed = SparkEntry.queries("s35_index_refresh")(s, sf).collect()
+    val batch = SparkEntry.queries("l3c_ivf_topk")(s, sf).collect()
+    assert(streamed.map(key).toSeq == batch.map(key).toSeq,
+      "streamed-index answer diverged from the batch-built index")
+    // per-batch prefixes: the canonical run left the batch-id snapshots
+    val idxRoot = java.nio.file.Paths.get(
+      graft.queries.SourcesSinks.stagingDir("s35index", sf), "index")
+    val cdf = Llm.coarseCells(s, sf)
+    val allE = Llm.vecsOf(Tables.embeddings(s, sf))
+    val nVec = allE.count()
+    val bsz = (nVec + Replayer.NumFiles - 1) / Replayer.NumFiles
+    (0 until Replayer.NumFiles).foreach { b =>
+      val dirs = (0 to b).map(i => idxRoot.resolve(s"b$i").toString)
+        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      assert(dirs.size == b + 1, s"missing snapshot dirs through batch $b")
+      val assigns = s.read.parquet(dirs: _*)
+      val arrived = allE.filter(col("vec_id") < (b + 1) * bsz)
+      val ans = Llm.scoreExactTopK(arrived,
+        Llm.candidatesFromAssigns(arrived, cdf, assigns,
+          Llm.IvfNprobe, Llm.IvfQids), Llm.IvfQids, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val everyPair = arrived.select(col("vec_id").as("vid"))
+        .crossJoin(arrived.filter(col("vec_id").isin(Llm.IvfQids: _*))
+          .select(col("vec_id").as("qid")))
+        .filter(col("vid") =!= col("qid"))
+        .select(col("qid"), col("vid"))
+      val brute = Llm.scoreExactTopK(arrived, everyPair, Llm.IvfQids, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val recalls = Llm.IvfQids.map(_.toLong).map { q =>
+        val a = ans.filter(_._1 == q).map(_._2).toSet
+        val e = brute.filter(_._1 == q).map(_._2).toSet
+        (a intersect e).size.toDouble / e.size
+      }
+      info(f"batch $b recall@5 per qid: ${recalls.map(r => f"$r%.2f").mkString(", ")}")
+      assert(recalls.sum / recalls.size >= 0.6,
+        s"batch $b mean recall ${recalls.sum / recalls.size} below 0.6")
+    }
+  }
+
   test("S34: the operative watermark is the MIN across sources — the " +
        "engine's watermark equals the 48 h LAGGARD's, and the fast " +
        "stream's last two days stay frozen") {
