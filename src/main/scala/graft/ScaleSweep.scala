@@ -156,7 +156,26 @@ object ScaleSweep {
     // s32's three-stateful chain: two agg shuffles at aggregate
     // cardinality + a join over AGGREGATED rows — (windows × buckets)
     // state, so the exponent prices the scans + map-side combines
-    "s32_window_join")
+    "s32_window_join",
+    // r20 additions: s33's retract producer is output-bound BY
+    // CONTRACT (2 rows out per row in, 1 long of state per key — the
+    // exponent prices exactly that doubled emission); s33b stacks the
+    // (window × grp) agg on it (pairs map-side combine, agg state =
+    // aggregate cardinality); s32b/s32c are s32's budget with
+    // null-extension (no extra state — the exponent should track
+    // s32's); s34 is two replays through one agg (2× scan, aggregate
+    // state); s34b adds the coordinator (per-batch 2-row driver
+    // collect + window-aggregate staging — the exponent prices the
+    // staging re-reads, bounded by released-window cardinality); s35
+    // is per-batch |batch|·K map-side distances + a vec_id partial agg
+    // (index-sized snapshots; the quantizer trains once in the
+    // warm-up via centCache); s36 is a per-batch broadcast BHJ against
+    // KB control data (events never shuffle for the join); s20f is
+    // S20's budget with one more long of state (O(1)/event).
+    "s33_retract_stream", "s33b_retract_consumed",
+    "s32b_window_join_outer", "s32c_window_join_anti",
+    "s34_watermark_align", "s34b_idleness_dial",
+    "s35_index_refresh", "s36_lookup_join", "s20f_oneormore")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
