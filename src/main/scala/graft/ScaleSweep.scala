@@ -175,7 +175,11 @@ object ScaleSweep {
     "s33_retract_stream", "s33b_retract_consumed",
     "s32b_window_join_outer", "s32c_window_join_anti",
     "s34_watermark_align", "s34b_idleness_dial",
-    "s35_index_refresh", "s36_lookup_join", "s20f_oneormore")
+    "s35_index_refresh", "s36_lookup_join", "s20f_oneormore",
+    // the remaining TVF faces: semi drops matched left state
+    // immediately (the cheapest join-state shape), full outer holds
+    // both sides to eviction — both at aggregate cardinality
+    "s32d_window_join_semi", "s32e_window_join_full")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)

@@ -2465,6 +2465,32 @@ object Streams {
     // change the answer, and the hash enforces it. See s35Run.
     "s35_index_refresh" -> ((s, d) => s35Run(s, d)),
 
+    // S32d — the window join's SEMI face ("view-windows that HAD a
+    // purchase", existence only — no purchase payload): Spark's
+    // stream-stream LEFT SEMI join, a genuinely different physical
+    // operator from the outer faces (a matched left row EMITS ONCE and
+    // its state drops immediately — the s17 state-budget argument at
+    // aggregate cardinality). Completes the Flink WINDOW JOIN TVF face
+    // set together with S32 (inner), S32b (left outer), S32c (anti),
+    // S32e (full outer); semi ∪ anti ≡ the left side is pinned.
+    "s32d_window_join_semi" -> ((s, d) =>
+      runToMemory(s, s32Plan(s, d, "left_semi"), "append")
+        .select(col("window.start").as("win_start"), col("grp"),
+          col("n_views"))
+        .orderBy(col("win_start"), col("grp"))),
+
+    // S32e — the FULL OUTER face: null-extension on BOTH sides of the
+    // three-stateful-op chain — (window × bucket)s with views and no
+    // purchases AND with purchases and no views each emit at eviction,
+    // under the same empirically-pinned horizon as S32b. The right-
+    // side-only rows are the face S32b never exercises (purchases in
+    // buckets nobody viewed that day).
+    "s32e_window_join_full" -> ((s, d) =>
+      runToMemory(s, s32Plan(s, d, "full_outer"), "append")
+        .select(col("window.start").as("win_start"), col("grp"),
+          col("n_views"), col("n_purchases"))
+        .orderBy(col("win_start"), col("grp"))),
+
     // S34 — MULTI-SOURCE WATERMARK ALIGNMENT (Flink's min-across-
     // sources watermark propagation): two file streams with event-time
     // ranges 48 h apart (clean + the shift48 laggard), each with its
@@ -4710,6 +4736,48 @@ object Streams {
     // Lloyd-unrolled IVF replay), so the gate is equality with the
     // batch semantics, not a parallel spelling.
     "s35_index_refresh" -> graft.llm.Llm.oracle("l3c_ivf_topk"),
+
+    // s32d — the semi face: closed view-windows with at least one
+    // purchase row, view payload only.
+    "s32d_window_join_semi" ->
+      """WITH fw32d AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |a32d AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 5 AS grp, count(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p32d AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+        |      AS win_start, user_id % 5 AS grp
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT a.win_start, a.grp, CAST(a.n_views AS BIGINT) AS n_views
+        |FROM a32d a CROSS JOIN fw32d
+        |WHERE a.win_start + INTERVAL 1 DAY < fw32d.w
+        |  AND EXISTS (
+        |    SELECT 1 FROM p32d p
+        |    WHERE p.win_start = a.win_start AND p.grp = a.grp)
+        |ORDER BY a.win_start, a.grp""".stripMargin,
+
+    // s32e — the full-outer face: the batch FULL join under the s32
+    // horizon (null-extension on both sides at eviction).
+    "s32e_window_join_full" ->
+      """WITH fw32e AS (
+        |  SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events),
+        |a32e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 5 AS grp, count(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p32e AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        |    user_id % 5 AS grp, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT win_start, grp,
+        |  CAST(n_views AS BIGINT) AS n_views,
+        |  CAST(n_purchases AS BIGINT) AS n_purchases
+        |FROM a32e FULL JOIN p32e USING (win_start, grp)
+        |CROSS JOIN fw32e
+        |WHERE win_start + INTERVAL 1 DAY < fw32e.w
+        |ORDER BY win_start, grp""".stripMargin,
 
     // s34 — the aligned union in closed form: both sources' rows
     // windowed together, horizon = the LAGGARD's watermark (min

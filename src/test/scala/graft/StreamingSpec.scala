@@ -1964,6 +1964,39 @@ class StreamingSpec extends AnyFunSuite {
       "inner ∪ anti ≠ outer")
   }
 
+  test("S32d/S32e: the window-join face set is algebraically closed — " +
+       "semi ∪ anti partitions the view side, full restricted to " +
+       "view-present rows ≡ left outer, and the right-only face " +
+       "(purchases in unviewed buckets) is non-vacuous") {
+    val semi = SparkEntry.queries("s32d_window_join_semi")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val anti = SparkEntry.queries("s32c_window_join_anti")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val outer = SparkEntry.queries("s32b_window_join_outer")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val full = SparkEntry.queries("s32e_window_join_full")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // semi ∪ anti ≡ the view side (disjoint, exhaustive)
+    assert((semi.map(r => (r._1, r._2)).toSet intersect
+      anti.map(r => (r._1, r._2)).toSet).isEmpty, "semi ∩ anti ≠ ∅")
+    assert((semi ++ anti).sortBy(r => (r._1.getTime, r._2)).toSeq ==
+      outer.map(r => (r._1, r._2, r._3)).sortBy(r => (r._1.getTime, r._2))
+        .toSeq, "semi ∪ anti ≠ the outer join's view side")
+    // full's view-present restriction ≡ left outer
+    assert(full.filter(_._3.isDefined)
+      .map(r => (r._1, r._2, r._3.get, r._4)).toSeq == outer.toSeq,
+      "full outer's view-present rows diverge from left outer")
+    // the right-only face exists: purchases in buckets nobody viewed
+    val rightOnly = full.filter(_._3.isEmpty)
+    assert(rightOnly.nonEmpty,
+      "no purchase-only (window, bucket) — the full face is vacuous")
+    assert(rightOnly.forall(_._4.isDefined),
+      "a full-outer row with BOTH sides null")
+  }
+
   test("S32b: null-extended rows emit only at EVICTION — every " +
        "unmatched row's window end is at or below the operative " +
        "watermark of its emission batch") {
