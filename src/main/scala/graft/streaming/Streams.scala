@@ -1127,7 +1127,12 @@ object Streams {
     * consumed. 100 TB: the state source reads store files directly at
     * store-shard parallelism — no replay, no state-size-squared cost;
     * this is the audit/debug/migration read path (the StreamingSpec
-    * rescale recipe builds on it). */
+    * rescale recipe builds on it). A production export at genuinely
+    * large state would instead WRITE the state-source read to a table
+    * BEFORE checkpoint teardown (`.write.parquet(...)` in place of the
+    * collect) — the distributed shape is one method call away; the
+    * collect here is a test-harness convenience, legal only because
+    * the export is state-sized by construction. */
   private[graft] def s31Run(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.TimeMode
@@ -1214,7 +1219,9 @@ object Streams {
     * ("timers are left to fire and sweep nothing") made VISIBLE and
     * hash-gated. The driver-side collect is timer/state-sized
     * (trailing-window cardinality). 100 TB: same read path as S31 —
-    * store shards read directly, no replay. */
+    * store shards read directly, no replay; a production export
+    * writes the read to a table BEFORE checkpoint teardown instead of
+    * collecting (see s31Run's note). */
   private[graft] def s31bRun(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.TimeMode
