@@ -918,70 +918,144 @@ object Streams {
     * state; staging holds (window × type) PARTIAL aggregates (never
     * events — the map-side combine runs before the write); each
     * release scans aggregate-sized staging. */
+  /** The S34b per-batch coordinator with DURABLE state: the aligned
+    * watermark's inputs (per-source running maxima, idle counters,
+    * prevWm) are committed to `stageRoot/coord_b<id>.properties` after
+    * every batch, and a batch whose predecessor was not processed by
+    * THIS process (a restart — detected by lastId ≠ id − 1) restores
+    * from the predecessor's file before applying its own input. A
+    * crashed batch left no coord file and batch-id-named outputs are
+    * overwrite-idempotent, so re-running it reproduces the identical
+    * bytes — the SNK2/SNK4 exactly-once discipline applied to
+    * DRIVER-side operator state (without this, a restart would forget
+    * which sources were idle and mis-release; StreamingSpec pins
+    * kill-and-restart ≡ uninterrupted). State volume: O(sources)
+    * longs per batch — index-sized. */
+  private final class S34bCoordinator(declared: Seq[String],
+      delayUs: Long, stageRoot: java.nio.file.Path,
+      outRoot: java.nio.file.Path) extends Serializable {
+    private val runmax = scala.collection.mutable.Map[String, Long]()
+    private val idle = scala.collection.mutable.Map[String, Int]()
+      .withDefaultValue(0)
+    private var prevWm = Long.MinValue
+    private var lastId = -2L
+
+    private def coordFile(id: Long): java.nio.file.Path =
+      stageRoot.resolve(s"coord_b$id.properties")
+
+    private def persist(id: Long): Unit = {
+      val p = new java.util.Properties()
+      p.setProperty("prevWm", prevWm.toString)
+      declared.foreach { src =>
+        runmax.get(src).foreach(v => p.setProperty(s"runmax.$src", v.toString))
+        p.setProperty(s"idle.$src", idle(src).toString)
+      }
+      val w = java.nio.file.Files.newBufferedWriter(coordFile(id))
+      try p.store(w, null) finally w.close()
+    }
+
+    private def restore(id: Long): Unit = {
+      runmax.clear(); idle.clear(); prevWm = Long.MinValue
+      if (id >= 0) {
+        val f = coordFile(id)
+        require(java.nio.file.Files.exists(f),
+          s"s34b restart: predecessor coordinator state $f missing — " +
+            s"the checkpoint says batch ${id + 1} comes next but batch " +
+            s"$id never committed its coordinator state")
+        val p = new java.util.Properties()
+        val r = java.nio.file.Files.newBufferedReader(f)
+        try p.load(r) finally r.close()
+        prevWm = p.getProperty("prevWm").toLong
+        declared.foreach { src =>
+          Option(p.getProperty(s"runmax.$src")).foreach(v =>
+            runmax(src) = v.toLong)
+          idle(src) = p.getProperty(s"idle.$src", "0").toInt
+        }
+      }
+    }
+
+    def apply(b: DataFrame, id: Long): Unit = {
+      if (lastId != id - 1) restore(id - 1) // fresh process or restart
+      val ss = b.sparkSession
+      val stats = b.groupBy(col("src"))
+        .agg(max(unix_micros(col("ts"))).as("mx")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      declared.foreach { src =>
+        stats.get(src) match {
+          case Some(mx) =>
+            runmax(src) = math.max(runmax.getOrElse(src, Long.MinValue), mx)
+            idle(src) = 0
+          case None => idle(src) = idle(src) + 1
+        }
+      }
+      val active = declared.filter(idle(_) < S34IdleBatches)
+      val wm =
+        if (active.nonEmpty && active.forall(runmax.contains))
+          active.map(runmax).min - delayUs
+        else prevWm
+      b.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"),
+          col("event_type"), col("n"))
+        .write.mode("overwrite")
+        .parquet(stageRoot.resolve(s"b$id").toString)
+      if (wm > prevWm) {
+        ss.read.parquet(s23BatchDirs(stageRoot): _*)
+          .withColumn("end_us",
+            unix_micros(col("win_start")) + 3600L * 1000000L)
+          .filter(col("end_us") < wm && col("end_us") >= prevWm)
+          .groupBy(col("win_start"), col("event_type"))
+          .agg(sum(col("n")).as("n"))
+          .withColumn("rel_b", lit(id))
+          .write.mode("overwrite")
+          .parquet(outRoot.resolve(s"b$id").toString)
+        prevWm = wm
+      }
+      persist(id)
+      lastId = id
+    }
+  }
+
+  /** One s34b ATTEMPT over existing roots with an optional poison
+    * batch (the s26 restart discipline): a fresh coordinator instance
+    * per attempt, so a second attempt models a restarted driver
+    * process — its in-memory state starts empty and must restore from
+    * the persisted coordinator files. Shared by the canonical run and
+    * the kill-and-restart pin. */
+  private[graft] def s34bAttempt(s: SparkSession, d: String,
+      stageRoot: java.nio.file.Path, outRoot: java.nio.file.Path,
+      ckpt: String, poisonAt: Option[Long]): Unit = {
+    val fast = Replayer.stream(s, d, "clean")
+      .select(col("ts"), col("event_type"), lit("fast").as("src"))
+    val lag = Replayer.stream(s, d, "shift48stop")
+      .select(col("ts"), col("event_type"), lit("lag").as("src"))
+    val coord = new S34bCoordinator(Seq("fast", "lag"),
+      600L * 1000000L, stageRoot, outRoot)
+    ConfScope.withConf(s, Map(
+      "spark.sql.shuffle.partitions" -> streamPartitions) ++
+      NoFinalBatch) {
+      val q = fast.unionByName(lag).writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          poisonAt.foreach(p => if (id >= p)
+            throw new RuntimeException("s34b poison"))
+          coord(b, id)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+  }
+
   private[graft] def s34bRun(s: SparkSession, d: String): DataFrame = {
     val root = java.nio.file.Paths.get(
       graft.queries.SourcesSinks.stagingDir("s34align", d))
     val stageRoot = root.resolve("stage")
     val outRoot = root.resolve("out")
     Replayer.deleteTree(stageRoot); Replayer.deleteTree(outRoot)
-    val declared = Seq("fast", "lag")
-    val runmax = scala.collection.mutable.Map[String, Long]()
-    val idle = scala.collection.mutable.Map[String, Int]()
-      .withDefaultValue(0)
-    var prevWm = Long.MinValue
-    val delayUs = 600L * 1000000L
-    val fast = Replayer.stream(s, d, "clean")
-      .select(col("ts"), col("event_type"), lit("fast").as("src"))
-    val lag = Replayer.stream(s, d, "shift48stop")
-      .select(col("ts"), col("event_type"), lit("lag").as("src"))
+    java.nio.file.Files.createDirectories(stageRoot)
     val ckpt = Replayer.checkpoint()
-    try {
-      ConfScope.withConf(s, Map(
-        "spark.sql.shuffle.partitions" -> streamPartitions) ++
-        NoFinalBatch) {
-        val q = fast.unionByName(lag).writeStream
-          .foreachBatch { (b: DataFrame, id: Long) =>
-            val ss = b.sparkSession
-            val stats = b.groupBy(col("src"))
-              .agg(max(unix_micros(col("ts"))).as("mx")).collect()
-              .map(r => r.getString(0) -> r.getLong(1)).toMap
-            declared.foreach { src =>
-              stats.get(src) match {
-                case Some(mx) =>
-                  runmax(src) = math.max(runmax.getOrElse(src, Long.MinValue), mx)
-                  idle(src) = 0
-                case None => idle(src) = idle(src) + 1
-              }
-            }
-            val active = declared.filter(idle(_) < S34IdleBatches)
-            val wm =
-              if (active.nonEmpty && active.forall(runmax.contains))
-                active.map(runmax).min - delayUs
-              else prevWm
-            b.groupBy(window(col("ts"), "1 hour"), col("event_type"))
-              .agg(count(lit(1)).as("n"))
-              .select(col("window.start").as("win_start"),
-                col("event_type"), col("n"))
-              .write.mode("overwrite")
-              .parquet(stageRoot.resolve(s"b$id").toString)
-            if (wm > prevWm) {
-              ss.read.parquet(s23BatchDirs(stageRoot): _*)
-                .withColumn("end_us",
-                  unix_micros(col("win_start")) + 3600L * 1000000L)
-                .filter(col("end_us") < wm && col("end_us") >= prevWm)
-                .groupBy(col("win_start"), col("event_type"))
-                .agg(sum(col("n")).as("n"))
-                .withColumn("rel_b", lit(id))
-                .write.mode("overwrite")
-                .parquet(outRoot.resolve(s"b$id").toString)
-              prevWm = wm
-            }
-          }
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-    } finally Replayer.dropCheckpoint(ckpt)
+    try s34bAttempt(s, d, stageRoot, outRoot, ckpt, None)
+    finally Replayer.dropCheckpoint(ckpt)
     s.read.parquet(s23BatchDirs(outRoot): _*)
       .select(col("win_start"), col("event_type"), col("n"),
         col("rel_b"))

@@ -2459,6 +2459,101 @@ class StreamingSpec extends AnyFunSuite {
       "every loop count is 1 — the unbounded quantifier is vacuous here")
   }
 
+  test("S33b: kill-and-restart restores the retract producer AND the " +
+       "windowed aggregate from one checkpoint — the run completes to " +
+       "exactly the uninterrupted result") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.DataFrame
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[
+      (java.sql.Timestamp, Long, Long, Long)]()
+    def collect(df: DataFrame, id: Long): Unit =
+      df.select(col("window.start"), col("grp"), col("net_cents"),
+          col("n_rows")).collect()
+        .foreach(r => buf.add(
+          (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    val ckpt = Files.createTempDirectory("graft_s33b_ckpt").toString
+    val q1 = graft.core.ConfScope.withConf(s, Streams.RocksDbConf) {
+      Streams.s33bPlan(s, sf).writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (id >= 3L) throw new RuntimeException("injected crash")
+          collect(df, id)
+        }
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    try { q1.awaitTermination(); fail("poison batch never fired") }
+    catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(String.valueOf(e.getMessage).contains("injected crash") ||
+          Option(e.getCause).exists(c =>
+            String.valueOf(c.getMessage).contains("injected crash")),
+          s"query died of the wrong cause: $e")
+    }
+    // restart: the producer's per-key aggregates AND the open windows
+    // recover; the replayed batch 3 re-emits exactly once
+    graft.core.ConfScope.withConf(s, Streams.RocksDbConf) {
+      val q = Streams.s33bPlan(s, sf).writeStream
+        .foreachBatch(collect _)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala.toSeq.sortBy(t => (t._1.getTime, t._2))
+    val expected = Streams.queries("s33b_retract_consumed")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(t => (t._1.getTime, t._2))
+    assert(got == expected,
+      "kill-and-restart diverged from the uninterrupted chained result")
+  }
+
+  test("S34b: kill-and-restart restores the COORDINATOR's durable state " +
+       "(per-source maxima, idle counters, prevWm) — a fresh driver " +
+       "process resumes from the persisted coordinator files and the " +
+       "final release train is identical to the uninterrupted run") {
+    import graft.streaming.{Replayer, Streams}
+    val root = Files.createTempDirectory("graft_s34b_restart")
+    val stage = root.resolve("stage"); val out = root.resolve("out")
+    Files.createDirectories(stage)
+    val ckpt = Files.createTempDirectory("graft_s34b_ckpt").toString
+    // phase 1: poison at batch 3 — the batch whose watermark jump IS
+    // the idleness release, so the restart must restore the laggard's
+    // idle count to make the same decision
+    try {
+      Streams.s34bAttempt(s, sf, stage, out, ckpt, Some(3L))
+      fail("poison batch never fired")
+    } catch {
+      case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(String.valueOf(e.getMessage).contains("s34b poison") ||
+          Option(e.getCause).exists(c =>
+            String.valueOf(c.getMessage).contains("s34b poison")),
+          s"query died of the wrong cause: $e")
+    }
+    // the first attempt committed coordinator state through batch 2
+    assert(Files.exists(stage.resolve("coord_b2.properties")),
+      "phase 1 left no durable coordinator state")
+    assert(!Files.exists(stage.resolve("coord_b3.properties")),
+      "the poisoned batch must not have committed coordinator state")
+    // phase 2: a FRESH coordinator (new instance = restarted driver)
+    // resumes from the same checkpoint + staging roots
+    Streams.s34bAttempt(s, sf, stage, out, ckpt, None)
+    Replayer.dropCheckpoint(ckpt)
+    val got = s.read.parquet(Streams.s23BatchDirs(out): _*)
+      .select(col("win_start"), col("event_type"), col("n"),
+        col("rel_b"))
+      .orderBy(col("win_start"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val expected = SparkEntry.queries("s34b_idleness_dial")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq,
+      "restarted coordinator diverged from the uninterrupted release train")
+    Replayer.dropCheckpoint(root.toString)
+  }
+
   test("S36: batch-atomic lookup staleness is REAL — displaced events " +
        "are enriched with their ARRIVAL batch's dim version, some key's " +
        "enrichment differs from the event-time version, and the lookup " +
