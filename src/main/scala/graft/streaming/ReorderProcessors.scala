@@ -306,6 +306,32 @@ class ReorderedCdc
   }
 }
 
+/** S33c — the RETRACT-STREAM PRODUCER behind the watermark reorder
+  * buffer: the producer is ORDER-SENSITIVE by construction (a running
+  * sum's (−old, +new) pairs depend on the per-key prefix — disorder
+  * would emit retractions of values never published), which makes it
+  * the S-series operator that NEEDS the buffer most: a real CDC
+  * producer fed by an out-of-order source must reorder before it may
+  * speak. Fold single-sourced with [[RetractProcessor]] (refine);
+  * buffer/late semantics inherited from [[ReorderingProcessor]]. */
+class ReorderedRetract
+    extends ReorderingProcessor[RetractOp, RetractRow](
+      Encoders.product[RetractOp]) {
+  @transient private var st: ValueState[Long] = _
+  override protected def initCore(): Unit =
+    st = getHandle.getValueState[Long](
+      "agg", Encoders.scalaLong, TTLConfig.NONE)
+  override protected def tsuOf(e: RetractOp): Long = e.tsu
+  override protected def idOf(e: RetractOp): Long = e.event_id
+  override protected def applyOrdered(user: Long, ops: Seq[RetractOp])
+      : Seq[RetractRow] = {
+    val cur0 = if (st.exists()) Some(st.get()) else None
+    val (cur, out) = RetractProcessor.refine(cur0, user, ops)
+    cur.foreach(st.update)
+    out
+  }
+}
+
 /** S24 — the S8d funnel with a LATE-DATA SIDE OUTPUT (Flink's
   * `sideOutputLateData` + `getSideOutput` pair, re-expressed as a
   * tagged union on the one output stream Spark's TWS provides): rows

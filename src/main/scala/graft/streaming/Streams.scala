@@ -683,6 +683,34 @@ object Streams {
       .orderBy(col("grp"))
   }
 
+  /** The S33c runner — the retract PRODUCER behind the watermark
+    * reorder buffer (see [[ReorderedRetract]]), variant-parameterized
+    * for the replay-order-invariance pin: the producer's pairs depend
+    * on per-key prefix order, so disorder without the buffer would
+    * emit retractions of never-published values — reorder-then-refine
+    * restores exactly the clean train for every RELEASED op. Output =
+    * the released train; release horizon = the trio's
+    * floor-ms(max ts) − 24 h. */
+  private[graft] def s33cRun(s: SparkSession, d: String,
+                             variant: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val ops = Replayer.stream(s, d, variant)
+      .withWatermark("ts", Replayer.OooDelay)
+      .select(unix_micros(col("ts")).as("tsu"), col("event_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        col("user_id"))
+      .as[(Long, Long, Long, Long)]
+    val train = ops.groupByKey(_._4)
+      .mapValues(t => RetractOp(t._1, t._2, t._3))
+      .transformWithState(new ReorderedRetract(),
+        TimeMode.EventTime(), OutputMode.Append())
+    runToMemory(s, train.toDF(), "append", RocksDbConf)
+      .select(col("user_id"), col("seq_id"), col("kind"),
+        col("agg_cents"))
+      .orderBy(col("user_id"), col("seq_id"), col("kind"))
+  }
+
   /** The S8d runner — the 24 h (s8c) funnel behind the watermark
     * reorder buffer (see [[ReorderedFunnel]]), variant-parameterized
     * for the replay-order-invariance pin. */
@@ -2461,6 +2489,17 @@ object Streams {
           col("agg_cents"))
         .orderBy(col("user_id"), col("seq_id"), col("kind"))
     }),
+
+    // S33c — the retract PRODUCER on the genuinely DISORDERED ooo
+    // replay, behind the watermark reorder buffer (the sextet
+    // discipline applied to the operator that NEEDS it most: the
+    // producer's pairs depend on per-key prefix order — without the
+    // buffer, disorder would publish retractions of values that were
+    // never emitted). Emits the released train; oracle = the s33
+    // closed form under the trio's 24 h release horizon; StreamingSpec
+    // pins ooo ≡ clean (replay-order invariance) and that the released
+    // train is a valid retract stream.
+    "s33c_retract_ooo" -> ((s, d) => s33cRun(s, d, "ooo")),
 
     // S33b — the retract train CONSUMED by a windowed aggregate in the
     // SAME query (producer → event-time window chaining; see
@@ -4461,6 +4500,39 @@ object Streams {
         |SELECT user_id, event_id AS seq_id, 'retract' AS kind,
         |  CAST(prev AS BIGINT) AS agg_cents
         |FROM d33 WHERE prev IS NOT NULL
+        |ORDER BY user_id, seq_id, kind""".stripMargin,
+
+    // s33c — the s33 closed form restricted to RELEASED ops (the
+    // trio's floor-ms(max ts) − 24 h horizon): reorder-then-refine
+    // makes the disordered replay's train identical to the clean
+    // prefix order for every released op.
+    "s33c_retract_ooo" ->
+      """WITH o33c AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |r33c AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(cents) OVER w AS run
+        |  FROM o33c
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |d33c AS (
+        |  SELECT user_id, event_id, ts, run,
+        |    lag(run) OVER (PARTITION BY user_id
+        |                   ORDER BY ts, event_id) AS prev
+        |  FROM r33c),
+        |wm33c AS (
+        |  SELECT (epoch_us(max(ts)) // 1000) - 86400000 AS wm_ms
+        |  FROM events)
+        |SELECT user_id, event_id AS seq_id, 'upsert' AS kind,
+        |  CAST(run AS BIGINT) AS agg_cents
+        |FROM d33c, wm33c
+        |WHERE (epoch_us(ts) // 1000) < wm_ms
+        |UNION ALL
+        |SELECT user_id, event_id AS seq_id, 'retract' AS kind,
+        |  CAST(prev AS BIGINT) AS agg_cents
+        |FROM d33c, wm33c
+        |WHERE prev IS NOT NULL AND (epoch_us(ts) // 1000) < wm_ms
         |ORDER BY user_id, seq_id, kind""".stripMargin,
 
     // s33b — the chained consumer in closed form: per (hour, grp) the

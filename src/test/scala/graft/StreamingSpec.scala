@@ -2459,6 +2459,30 @@ class StreamingSpec extends AnyFunSuite {
       "every loop count is 1 — the unbounded quantifier is vacuous here")
   }
 
+  test("S33c: the reordered retract producer is replay-order-invariant " +
+       "— the disordered ooo replay's released train equals the clean " +
+       "replay's, and it is still a valid retract stream") {
+    import graft.streaming.Streams
+    def run(variant: String) = Streams.s33cRun(s, sf, variant).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val ooo = run("ooo")
+    val clean = run("clean")
+    assert(ooo.nonEmpty && ooo.toSeq == clean.toSeq,
+      "disorder changed the released retract train — the buffer leaked order")
+    // pair validity survives the buffer: every retraction carries the
+    // previous emission within the released prefix
+    ooo.groupBy(_._1).foreach { case (user, rows) =>
+      var last: Option[Long] = None
+      rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (seq, pair) =>
+        val ret = pair.filter(_._3 == "retract").map(_._4)
+        last.foreach(prev => assert(ret.toSeq == Seq(prev),
+          s"user $user seq $seq retracted ${ret.toSeq} ≠ $prev"))
+        if (last.isEmpty) assert(ret.isEmpty)
+        last = Some(pair.filter(_._3 == "upsert").head._4)
+      }
+    }
+  }
+
   test("S33b: kill-and-restart restores the retract producer AND the " +
        "windowed aggregate from one checkpoint — the run completes to " +
        "exactly the uninterrupted result") {
