@@ -179,7 +179,10 @@ object ScaleSweep {
     // the remaining TVF faces: semi drops matched left state
     // immediately (the cheapest join-state shape), full outer holds
     // both sides to eviction — both at aggregate cardinality
-    "s32d_window_join_semi", "s32e_window_join_full")
+    "s32d_window_join_semi", "s32e_window_join_full",
+    // the reordered producer stacks the trio's buffer (rate × delay
+    // per key) on S33's O(1) fold — output still 2× released ops
+    "s33c_retract_ooo")
 
   private case class Row(smallSec: Double,
                          decades: Map[String, (Double, Double)]) // ratio -> (big_sec, exponent)
