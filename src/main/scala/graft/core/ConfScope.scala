@@ -21,6 +21,26 @@ object ConfScope {
     raw
   }
 
+  /** Measured-size broadcast gate (r21, optimization guide §3.1): the
+    * iterative loops (graph family, CC) carry checkpointed relations
+    * whose PRESERVED stats are join-product estimates that grow per
+    * round, so Spark's autoBroadcast never fires on them even when
+    * their true size is a few hundred KB — and every round pays a full
+    * sort-merge shuffle of the big side. The true cardinality of the
+    * small side IS known to the caller (counted once per query), so
+    * this returns the identity or a `broadcast(_)` hint by the same
+    * rule correct stats would produce: rows × rowBytes under the
+    * session's own autoBroadcastJoinThreshold (−1 disables, exactly as
+    * it disables the planner's). Scale-adaptive by construction — a
+    * cluster-scale relation fails the gate and keeps the shuffle plan. */
+  def bcastIfFits(s: SparkSession, rows: Long, rowBytes: Long)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    val thr = s.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 && rows <= thr / rowBytes)
+      df => org.apache.spark.sql.functions.broadcast(df)
+    else identity
+  }
+
   /** Run `body` with the given session confs set, restoring previous
     * values (or unsetting) afterwards, serialized JVM-wide. The set loop
     * runs INSIDE the try and the restore is per-key exception-tolerant:

@@ -138,46 +138,99 @@ object Bpe {
       .groupBy(col("p.x").as("x"), col("p.y").as("y"))
       .agg(sum(col("freq")).as("cnt"))
 
-  /** The VocabCap-bounded initial segmentation: top words split to
-    * characters. localCheckpoint so 50 rounds do not each re-run the
-    * corpus word count. */
-  private def seg0(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  /** Spark-binary (UTF-8 unsigned byte) string order — the order
+    * Spark's `col.asc` and DuckDB's default collation both apply. The
+    * driver-side argmax must tie-break in EXACTLY this order; Scala's
+    * String.compareTo is UTF-16 code-unit order, which diverges on
+    * supplementary-plane characters. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** One greedy merge pass, driver-side — semantics identical to
+    * [[mergeCol]] (BpeSpec pins the two against each other): a symbol
+    * equal to y whose predecessor in the output is x replaces that
+    * predecessor with x+y, and the merged symbol does not re-merge
+    * with a following y. */
+  private[graft] def mergeSeq(syms: IndexedSeq[String], x: String,
+                              y: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    syms.foreach { sym =>
+      if (out.nonEmpty && out.last == x && sym == y)
+        out(out.length - 1) = x + y
+      else out += sym
+    }
+    out.toIndexedSeq
+  }
+
+  /** The 50 training rounds, driver-side (r21, optimization guide
+    * §1.2: fix the distributed algorithm first). The corpus-scale pass
+    * — word count + top-VocabCap truncation — stays a distributed
+    * 2-phase aggregation with a TakeOrdered head; everything after it
+    * operates on a relation BOUNDED at VocabCap rows by the trainer's
+    * own declared design ("the bound that makes every later stage
+    * corpus-size-independent"), so iterating it as 50 Spark jobs paid
+    * ~50 × (job scheduling + stacked-fold codegen) for ≤1000 rows of
+    * work — the measured p50 was 6.9 s at sf0.1, ~85% of it the round
+    * loop. Collecting the truncated table once (the trainCentroids
+    * driver-held-model precedent) and folding on the driver computes
+    * the SAME model: word split replays substring-by-codepoint, the
+    * argmax tie-break replays Spark/DuckDB binary string order
+    * ([[utf8Lt]]), and the greedy pass is [[mergeSeq]] ≡ [[mergeCol]].
+    * The oracle (unchanged) replays the full trainer in DuckDB, so the
+    * hash gate checks the equivalence on every run. */
+  private def trainUncached(s: SparkSession, d: String): Model = {
+    val top = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word").asc)
       .limit(VocabCap)
-      .withColumn("syms", expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-      .localCheckpoint()
-
-  private def trainUncached(s: SparkSession, d: String): Model = {
-    var seg = seg0(s, d)
+      .collect() // ≤ VocabCap rows — driver-bounded by construction
+    // initial segmentation: one symbol per CODEPOINT, matching
+    // transform(sequence(1, length(word)), i -> substring(word, i, 1))
+    var seg: Array[(String, Long, IndexedSeq[String])] = top.map { r =>
+      val w = r.getString(0)
+      (w, r.getLong(1),
+        w.codePoints().toArray.toIndexedSeq
+          .map(cp => new String(Character.toChars(cp))))
+    }
     val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
     var t = 1
     var done = false
     while (t <= Merges && !done) {
-      val best = pairCounts(seg)
-        .filter(col("cnt") >= MinPair)
-        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+      val counts = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+      seg.foreach { case (_, freq, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + freq
+          i += 1
+        }
+      }
+      val qual = counts.iterator.filter(_._2 >= MinPair)
+      if (qual.isEmpty) done = true
       else {
-        val r = best(0)
-        val (x, y, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        val ((x, y), c) = qual.reduce { (a, b) =>
+          val ((ax, ay), ac) = a; val ((bx, by), bc) = b
+          if (ac != bc) { if (ac > bc) a else b }
+          else if (ax != bx) { if (utf8Lt(ax, bx)) a else b }
+          else if (utf8Lt(ay, by)) a else b
+        }
         merges += ((t, x, y, c))
-        seg = seg.withColumn("syms", mergeCol(col("syms"), x, y))
-        // truncate the stacked-fold lineage before it grows past a
-        // handful of nested expressions (the L22 contraction idiom)
-        if (t % 8 == 0) seg = seg.localCheckpoint()
+        seg = seg.map { case (w, f, syms) => (w, f, mergeSeq(syms, x, y)) }
         t += 1
       }
     }
-    val segRows = seg.select(col("word"), col("freq"), col("syms"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toList))
-      .toSeq
-    Model(merges.toList, segRows)
+    Model(merges.toList,
+      seg.map { case (w, f, syms) => (w, f, syms.toList) }.toSeq)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

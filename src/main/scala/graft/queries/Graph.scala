@@ -40,6 +40,15 @@ import graft.core.Tables
   */
 object Graph {
 
+  /** Conservative per-row byte estimate for the nv-sized loop relations
+    * (nid + one BIGINT payload + row overhead) feeding the measured-size
+    * broadcast gate (ConfScope.bcastIfFits — see g1bRun's loop note). */
+  private[graft] val NodeRowBytes = 32L
+
+  /** Per-row estimate for the 3-BIGINT oriented edge relation feeding
+    * g2's shuffled-hash build-side budget check. */
+  private[graft] val EdgeRowBytes = 40L
+
   /** Fixed-point mass scale (1e12: nv up to ~1e9 nodes still leaves
     * ≥1e3 resolution steps per node's teleport share). */
   val Scale = 1000000000000L
@@ -111,17 +120,20 @@ object Graph {
     val e = directedEdges(s, d).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    // static e⋈deg hoisted OUT of the loop (r16): every round used to
-    // re-join edges with out-degrees; both are loop-invariant, so the
-    // join runs once and pins one more O(|E|) relation (the same
-    // storage/fault-tolerance trade `e` itself makes — on executor
-    // loss production re-runs the stage from the scans).
-    val edeg = e.join(deg, "src")
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
     val nodes = e.select(col("src").as("nid"))
       .unionByName(e.select(col("dst").as("nid"))).distinct()
       .localCheckpoint()
     val nv = nodes.count()
+    val bcast = graft.core.ConfScope.bcastIfFits(s, nv, NodeRowBytes)
+    // static e⋈deg hoisted OUT of the loop (r16): every round used to
+    // re-join edges with out-degrees; both are loop-invariant, so the
+    // join runs once and pins one more O(|E|) relation (the same
+    // storage/fault-tolerance trade `e` itself makes — on executor
+    // loss production re-runs the stage from the scans). deg is
+    // nv-bounded → the measured broadcast gate (r21) spares e the
+    // build-side shuffle.
+    val edeg = e.join(bcast(deg), "src")
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
     val tele = Scale / (2L * nv)
     var pr = nodes.select(col("nid"), lit(Scale / nv).as("pr"))
       .localCheckpoint()
@@ -140,15 +152,25 @@ object Graph {
     // k = 3). Single-reference keeps the digit growth linear. The
     // initial mass is its own job; every later round's rides the
     // fused probe below.
-    var dangShare = pr.join(deg, pr("nid") === deg("src"), "left_anti")
+    var dangShare = pr.join(bcast(deg), pr("nid") === deg("src"), "left_anti")
       .agg(coalesce(sum(col("pr")), lit(0L)))
       .head().getLong(0) / nv
+    // Join-strategy gate (r21, guide §3.1): every nv-sized loop relation
+    // (pr, deg, in) rides a checkpointed plan whose PRESERVED join-
+    // estimate stats are join-product estimates that grow per round (see
+    // the dangling-mass comment), so autoBroadcast never fires and each
+    // round sort-merge-shuffled the FULL edge relation — 2 Exchanges +
+    // 2 Sorts of |E| per round. The true size is KNOWN (nv, counted
+    // above): broadcast the nv-sized side when it fits the session's own
+    // broadcast threshold — exactly the decision correct stats would
+    // produce, at any scale (a 1e9-node graph fails the gate and keeps
+    // the shuffle plan).
     while (rounds < ConvCap && !stationary) {
-      val in = edeg.join(pr, edeg("src") === pr("nid"))
+      val in = edeg.join(bcast(pr), edeg("src") === pr("nid"))
         .select(col("dst"), expr("pr div deg").as("m"))
         .groupBy(col("dst")).agg(sum(col("m")).as("inm"))
       val next = nodes
-        .join(in, nodes("nid") === in("dst"), "left")
+        .join(bcast(in), nodes("nid") === in("dst"), "left")
         .select(nodes("nid"),
           (lit(tele) +
             expr(s"(coalesce(inm, CAST(0 AS BIGINT)) + $dangShare) div 2"))
@@ -161,9 +183,9 @@ object Graph {
       // the full-scan aggregate replaces limit(1).isEmpty — nv rows
       // cost less than the job the short-circuit used to save.
       val probe = next
-        .join(pr.select(col("nid").as("pnid"), col("pr").as("prev")),
+        .join(bcast(pr.select(col("nid").as("pnid"), col("pr").as("prev"))),
           next("nid") === col("pnid"))
-        .join(deg, next("nid") === deg("src"), "left")
+        .join(bcast(deg), next("nid") === deg("src"), "left")
         .agg(
           coalesce(sum(when(col("deg").isNull, next("pr"))), lit(0L))
             .as("dang"),
@@ -175,7 +197,8 @@ object Graph {
       pr = next
       rounds += 1
       if (sys.env.contains("GRAFT_G1B_TRACE"))
-        System.err.println(s"[g1b] round $rounds stationary=$stationary")
+        System.err.println(s"[g1b] round $rounds stationary=$stationary" +
+          f" t=${System.nanoTime() / 1e9}%.3f")
     }
     val out = pr.select(col("nid"),
         when(col("nid") % 2 === 0, lit("customer"))
@@ -272,10 +295,16 @@ object Graph {
     var frontier = settled.select(col("nid"))
     var rounds = 0
     var done = frontier.isEmpty
+    // measured broadcast gate (r21 — the g1b recipe): frontier and
+    // settled are nv-bounded and nv ≤ |e| (every node of this relation
+    // is some edge's src), so gating on the cheap checkpointed edge
+    // count is a conservative upper bound — it can only SKIP a
+    // broadcast that would have fit, never force one that doesn't.
+    val bcast = graft.core.ConfScope.bcastIfFits(s, e.count(), NodeRowBytes)
     while (rounds < BfsCap && !done) {
-      val next = e.join(frontier, e("src") === frontier("nid"))
+      val next = e.join(bcast(frontier), e("src") === frontier("nid"))
         .select(e("dst").as("nid")).distinct()
-        .join(settled, Seq("nid"), "left_anti")
+        .join(bcast(settled), Seq("nid"), "left_anti")
         .localCheckpoint()
       done = next.isEmpty
       if (!done) {
@@ -349,11 +378,15 @@ object Graph {
     var frontier = dist
     var rounds = 0
     var done = frontier.isEmpty
+    // measured broadcast gate (r21 — the g1b recipe): frontier and dist
+    // are nv-bounded and nv ≤ |e| — the g4 conservative edge-count
+    // bound spares the edge relation a per-round SMJ shuffle.
+    val bcast = graft.core.ConfScope.bcastIfFits(s, e.count(), NodeRowBytes)
     while (rounds < SsspCap && !done) {
-      val cand = e.join(frontier, e("src") === frontier("nid"))
+      val cand = e.join(bcast(frontier), e("src") === frontier("nid"))
         .groupBy(e("dst").as("nid"))
         .agg(min(frontier("d") + e("w")).as("nd"))
-      val improved = cand.join(dist, Seq("nid"), "left")
+      val improved = cand.join(bcast(dist), Seq("nid"), "left")
         .filter(col("d").isNull || col("nd") < col("d"))
         .select(col("nid"), col("nd").as("d"))
         .localCheckpoint()
@@ -390,8 +423,13 @@ object Graph {
       var lbl = e.select(col("src").as("nid")).distinct()
         .select(col("nid"), col("nid").as("lbl"))
         .localCheckpoint()
+      // measured broadcast gate (r21 — the g1b recipe): lbl is nv-sized
+      // but its checkpoint stats grow per round, so autoBroadcast never
+      // fired and every round SMJ-shuffled the |E|-sized edge relation.
+      val bcast = graft.core.ConfScope.bcastIfFits(s, lbl.count(),
+        NodeRowBytes)
       for (_ <- 1 to LpaRounds) {
-        lbl = e.join(lbl, e("src") === lbl("nid"))
+        lbl = e.join(bcast(lbl), e("src") === lbl("nid"))
           .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
           .groupBy(col("dst"))
           .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
@@ -429,6 +467,7 @@ object Graph {
       // already makes for its symmetrized edge list; production re-runs
       // the stage from the parquet scan on loss).
       val und = partEdges(s, d).localCheckpoint()
+      val ne = und.count()
       val deg = und.select(col("a").as("nid"))
         .unionByName(und.select(col("b").as("nid")))
         .groupBy(col("nid")).agg(count(lit(1)).as("deg"))
@@ -438,9 +477,29 @@ object Graph {
       val ord = deg.select(col("nid"),
         (col("deg") * lit(4294967296L) + col("nid")).as("okey"))
         .localCheckpoint()
+      // join strategies (r21, guide §3.1): checkpoint stats here are
+      // join-product estimates, so the planner defaulted every join to
+      // sort-merge — including a SORT of the wedge relation
+      // (Σ C(d_out, 2) rows, the dominant intermediate) into the
+      // closing join. Measured gates restore the right strategies:
+      // ord is node-sized → broadcast into the orientation join; dir
+      // is |E|-sized → SHUFFLED HASH for the wedge and closing joins
+      // (hash |E|/partitions rows per task, STREAM the wedges — no
+      // wedge sort), gated by Spark's own per-partition build budget
+      // so a cluster-scale edge list falls back to sort-merge.
+      val bcast = graft.core.ConfScope.bcastIfFits(s, ord.count(),
+        NodeRowBytes)
+      val conf = s.sessionState.conf
+      val shjFits = ne / math.max(1, conf.numShufflePartitions) *
+        EdgeRowBytes < conf.getConf(org.apache.spark.sql.internal.SQLConf
+          .ADVISORY_PARTITION_SIZE_IN_BYTES)
+      val shj: DataFrame => DataFrame =
+        if (shjFits) df => df.hint("shuffle_hash") else identity
       val dir = und
-        .join(ord.select(col("nid").as("a"), col("okey").as("oa")), "a")
-        .join(ord.select(col("nid").as("b"), col("okey").as("ob")), "b")
+        .join(bcast(ord.select(col("nid").as("a"), col("okey").as("oa"))),
+          "a")
+        .join(bcast(ord.select(col("nid").as("b"), col("okey").as("ob"))),
+          "b")
         .select(
           when(col("oa") < col("ob"), col("a")).otherwise(col("b")).as("src"),
           when(col("oa") < col("ob"), col("b")).otherwise(col("a")).as("dst"),
@@ -449,8 +508,8 @@ object Graph {
         col("odst").as("ov"))
       val w2 = dir.select(col("src").as("u"), col("dst").as("w"),
         col("odst").as("ow"))
-      val tri = w1.join(w2, Seq("u")).filter(col("ov") < col("ow"))
-        .join(dir.select(col("src").as("v"), col("dst").as("w")),
+      val tri = w1.join(shj(w2), Seq("u")).filter(col("ov") < col("ow"))
+        .join(shj(dir.select(col("src").as("v"), col("dst").as("w"))),
           Seq("v", "w"))
         .select(col("u"), col("v"), col("w"))
       tri.select(explode(array(col("u"), col("v"), col("w"))).as("p_partkey"))
@@ -470,12 +529,17 @@ object Graph {
       val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
       val nv = deg.count()
+      // measured broadcast gate + loop-invariant e⋈deg hoist (r21 —
+      // the g1b recipe, see g1bRun): without it every round SMJ-
+      // shuffled |E| twice (pr/deg carry grown checkpoint stats).
+      val bcast = graft.core.ConfScope.bcastIfFits(s, nv, NodeRowBytes)
+      val edeg = e.join(bcast(deg), "src")
+        .select(col("src"), col("dst"), col("deg")).localCheckpoint()
       val tele = (15L * Scale) / (100L * nv)
       var pr = deg.select(col("src").as("nid"),
         lit(Scale / nv).as("pr"))
       for (_ <- 1 to Rounds) {
-        pr = e.join(pr, e("src") === pr("nid"))
-          .join(deg, "src")
+        pr = edeg.join(bcast(pr), edeg("src") === pr("nid"))
           .select(col("dst"), expr("pr div deg").as("m"))
           .groupBy(col("dst")).agg(sum(col("m")).as("sumin"))
           .select(col("dst").as("nid"),
