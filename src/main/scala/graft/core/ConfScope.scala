@@ -41,6 +41,79 @@ object ConfScope {
     else identity
   }
 
+  /** Hash-partition `df` by `keys` and localCheckpoint it, with AQE
+    * disabled for the checkpoint job (r22, optimization guide §2.4):
+    * under AQE the executed plan is an AdaptiveSparkPlanExec whose
+    * outputPartitioning is still unresolved when Dataset.checkpoint
+    * snapshots it into the LogicalRDD, so the checkpoint would carry
+    * UnknownPartitioning (measured) and every downstream groupBy/join
+    * on `keys` re-shuffles. With AQE off the checkpoint preserves
+    * hashpartitioning(keys, spark.sql.shuffle.partitions) and iterative
+    * consumers (the graph loops, CC) aggregate on `keys` exchange-free
+    * in EVERY round. The no-AQE scope covers only this repartition +
+    * materialize job — callers keep expensive upstream builds in their
+    * own (AQE-planned, separately checkpointed) jobs. */
+  def checkpointByKey(df: org.apache.spark.sql.DataFrame,
+                      keys: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame =
+    checkpointByKeyN(df, df.sparkSession.sessionState.conf
+      .numShufflePartitions, keys: _*)
+
+  /** checkpointByKey with an explicit partition count — the loop-width
+    * variant. Removing the per-round Exchange (checkpointByKey) also
+    * removes AQE's chance to COALESCE the loop's post-shuffle partitions,
+    * so iterative callers size the width themselves with [[loopParts]]
+    * (the same bytes/advisory-size arithmetic AQE would have applied):
+    * at test scale a few-MB loop relation runs 1–2 tasks per round
+    * instead of 32 empty-ish ones; at cluster scale the cap keeps the
+    * full configured width. */
+  def checkpointByKeyN(df: org.apache.spark.sql.DataFrame, n: Int,
+                       keys: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame =
+    withConf(df.sparkSession, Map("spark.sql.adaptive.enabled" -> "false")) {
+      df.repartition(n, keys: _*).localCheckpoint()
+    }
+
+  /** Codegen'd scan+join+aggregate throughput is tens of millions of
+    * rows/s/core, so a loop-body task under ~1e5 rows does milliseconds
+    * of work — comparable to its own launch+schedule cost. Below this
+    * per-task row count, width is pure overhead. */
+  private val RowsPerLoopTask = 131072L
+
+  /** Scale-adaptive partition count for a loop relation of `rows` rows ×
+    * `rowBytes` (both MEASURED by the caller): the larger of the
+    * bytes-based rule AQE's coalescer applies to ordinary shuffles
+    * (guide §2.2 "fewer, larger partitions" — ceil(bytes / advisory
+    * partition size)) and a rows-based rule for compute-bound bodies
+    * (ceil(rows / RowsPerLoopTask) — a near-complete co-order graph is
+    * CPU-heavy per byte, so bytes alone would starve it of cores),
+    * clamped to [1, spark.sql.shuffle.partitions]. Made explicit because
+    * the exchange-free loops never give AQE a shuffle to coalesce. */
+  def loopParts(s: SparkSession, rows: Long, rowBytes: Long): Int = {
+    val advisory = s.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val byBytes = (rows * rowBytes + advisory - 1) / math.max(advisory, 1L)
+    val byRows = (rows + RowsPerLoopTask - 1) / RowsPerLoopTask
+    val ideal = math.max(byBytes, byRows)
+    math.max(1L, math.min(ideal,
+      s.sessionState.conf.numShufflePartitions.toLong)).toInt
+  }
+
+  /** localCheckpoint that KEEPS the plan's natural output partitioning
+    * (no repartition — the checkpointByKey variant without the shuffle):
+    * AQE is disabled for the materialize job so Dataset.checkpoint
+    * snapshots the real partitioning instead of AdaptiveSparkPlanExec's
+    * unresolved UnknownPartitioning. Used by iterative loops whose round
+    * output is already partitioned by the key the NEXT round consumes
+    * (e.g. g1b's next-rank relation: left-outer SMJ output keeps the
+    * left side's hash(nid)), so the per-round probe/join stays
+    * exchange-free. */
+  def checkpointKeepPartitioning(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    withConf(df.sparkSession, Map("spark.sql.adaptive.enabled" -> "false")) {
+      df.localCheckpoint()
+    }
+
   /** Run `body` with the given session confs set, restoring previous
     * values (or unsetting) afterwards, serialized JVM-wide. The set loop
     * runs INSIDE the try and the restore is per-key exception-tolerant:

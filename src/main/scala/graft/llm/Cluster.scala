@@ -46,6 +46,11 @@ import graft.core.Tables
 object Cluster {
   import graft.core.ConfScope
 
+  /** Conservative per-row byte estimate for the CC relations feeding the
+    * measured-size broadcast gates (two BIGINT doc ids + row overhead —
+    * the graph family's NodeRowBytes convention). */
+  private val RowBytes = 32L
+
   /** Connected components of `edges` (d1, d2) over `nodes` (node):
     * returns (node, label) where label = min node id of the component.
     * Isolated nodes label themselves. Deterministic: min is
@@ -63,25 +68,40 @@ object Cluster {
     * + count). At cluster scale raise the env knob to O(cores) — it
     * bounds per-round tasks, not correctness. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          dumpRound: Option[DataFrame => Unit] = None)
+      : DataFrame = {
     // ---- phase 1 (full width): materialize the (possibly expensive)
     // edge pipeline once, contract every node to min(self, nbrs)
     val sym = edges.select(col("d1").as("node"), col("d2").as("nbr"))
       .union(edges.select(col("d2").as("node"), col("d1").as("nbr")))
       .localCheckpoint()
+    // measured broadcast gates (r22 — the graph family's r21 recipe):
+    // every phase-1 relation below rides a checkpointed plan whose
+    // preserved stats are join-product garbage, so autoBroadcast never
+    // fires and the |E|-sized sym was sort-merge-shuffled TWICE into e1
+    // (plans/r22/l22_dup_clusters_iter_before.txt). The true sizes are
+    // known: nbrMin/l0 are node-bounded, sym.count() bounds the node
+    // side conservatively (nv ≤ |sym| for edge-touched nodes; isolated
+    // nodes only enter via `nodes`, gated by its own l0 count below).
+    val bcastE = ConfScope.bcastIfFits(nodes.sparkSession, sym.count(),
+      RowBytes)
     val l0 = nodes
-      .join(sym.groupBy(col("node")).agg(min(col("nbr")).as("mn")),
+      .join(bcastE(sym.groupBy(col("node")).agg(min(col("nbr")).as("mn"))),
             Seq("node"), "left")
       .select(col("node"),
         least(col("node"), coalesce(col("mn"), col("node"))).as("label"))
       .localCheckpoint()
+    val bcastN = ConfScope.bcastIfFits(nodes.sparkSession, l0.count(),
+      RowBytes)
     // contracted edge relation: the l0-images of each surviving edge.
     // Component-preserving (u—v implies l0(u) and l0(v) share u or v's
     // component and every component min is its own l0 image). Symmetric
     // because sym is.
     val e1 = sym
-      .join(l0.select(col("node"), col("label").as("la")), "node")
-      .join(l0.select(col("node").as("nbr"), col("label").as("lb")), "nbr")
+      .join(bcastN(l0.select(col("node"), col("label").as("la"))), "node")
+      .join(bcastN(l0.select(col("node").as("nbr"), col("label").as("lb"))),
+        "nbr")
       .filter(col("la") =!= col("lb"))
       .select(col("la").as("node"), col("lb").as("nbr"))
       .distinct()
@@ -94,19 +114,45 @@ object Cluster {
     val small = ConfScope.withConf(nodes.sparkSession,
       Map("spark.sql.shuffle.partitions" ->
         ConfScope.envInt("SPARK_GRAFT_CC_PARTITIONS", "2"))) {
-      connectedComponentsLoop(init, e1, maxIter)
+      connectedComponentsLoop(init, e1, maxIter, dumpRound)
     }
     // ---- expand (full width): label(u) = loop-label of l0(u); l0(u)
     // itself when its contracted node was isolated (star collapsed in
-    // phase 1)
-    l0.join(small.select(col("node").as("label"), col("label").as("label2")),
-            Seq("label"), "left")
+    // phase 1). The loop labels are contracted-node-sized ≤ |l0| —
+    // broadcast under the same gate so l0 streams unshuffled.
+    l0.join(
+        bcastN(small.select(col("node").as("label"),
+          col("label").as("label2"))),
+        Seq("label"), "left")
       .select(col("node"),
         coalesce(col("label2"), col("label")).as("label"))
   }
 
+  /** One phase-2 round (pre-checkpoint `jumped`): the neighbour-min step
+    * followed by one pointer jump. Factored out so PlanDump can capture
+    * the loop-body plan (the g1bRound convention). */
+  private[graft] def ccRound(labels: DataFrame, sym: DataFrame): DataFrame = {
+    // (1) neighbour-min step: label ← min(label, min over nbrs' labels)
+    val nbrMin = sym
+      .join(labels.select(col("node").as("nbr"), col("label").as("nl")),
+            "nbr")
+      .groupBy(col("node")).agg(min(col("nl")).as("nmin"))
+    val stepped = labels.join(nbrMin, Seq("node"), "left")
+      .select(col("node"),
+        least(col("label"), coalesce(col("nmin"), col("label")))
+          .as("label"))
+    // (2) pointer jump: label ← label(label). Every label value is a
+    // node id (invariant label(u) ≤ u from the init + min-combine), so
+    // the lookup is an inner self-join that can never drop rows.
+    stepped.select(col("node"), col("label").as("mid"))
+      .join(stepped.select(col("node").as("mid"), col("label")), "mid")
+      .select(col("node"), col("label"))
+  }
+
   private def connectedComponentsLoop(init: DataFrame, sym: DataFrame,
-                                      maxIter: Int): DataFrame = {
+                                      maxIter: Int,
+                                      dumpRound: Option[DataFrame => Unit] = None)
+      : DataFrame = {
     // Convergence metric: Σ label as DECIMAL(38,0). Labels are per-node
     // monotone non-increasing (the min-combine and the jump both only
     // lower them), so the sum is stationary exactly when no label moved —
@@ -124,22 +170,9 @@ object Cluster {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // (1) neighbour-min step: label ← min(label, min over nbrs' labels)
-      val nbrMin = sym
-        .join(labels.select(col("node").as("nbr"), col("label").as("nl")),
-              "nbr")
-        .groupBy(col("node")).agg(min(col("nl")).as("nmin"))
-      val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
-      // (2) pointer jump: label ← label(label). Every label value is a
-      // node id (invariant label(u) ≤ u from the init + min-combine), so
-      // the lookup is an inner self-join that can never drop rows.
-      val jumped = stepped.select(col("node"), col("label").as("mid"))
-        .join(stepped.select(col("node").as("mid"), col("label")), "mid")
-        .select(col("node"), col("label"))
-        .localCheckpoint()
+      val body = ccRound(labels, sym)
+      if (iter == 0) dumpRound.foreach(_(body))
+      val jumped = body.localCheckpoint()
       val curSum = labelSum(jumped)
       labels = jumped
       converged = curSum.compareTo(prevSum) == 0
@@ -156,11 +189,13 @@ object Cluster {
     * the token-set-contracted near-dup graph, docs inheriting their
     * rep's label (see the l22 comment for why the contraction is
     * exact). */
-  private def docComponents(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docComponents(s: SparkSession, d: String,
+      dumpRound: Option[DataFrame => Unit] = None): DataFrame = {
     val (repEdges, member) = DedupExt.nearDupRepEdges(s, d)
     val repNodes = member.filter(col("doc_id") === col("rep"))
       .select(col("doc_id").as("node"))
-    val labels = connectedComponents(repNodes, repEdges)
+    val labels = connectedComponents(repNodes, repEdges,
+      dumpRound = dumpRound)
     member
       .join(labels.select(col("node").as("rep"), col("label")), "rep")
       .select(col("doc_id"), col("label"))

@@ -116,27 +116,77 @@ object Graph {
     * comment), and a changed-row probe joining the two checkpointed
     * (nv-sized) rank relations — round count is bounded by the cap and
     * in practice ~log2(Scale/nv). */
-  private[graft] def g1bRun(s: SparkSession, d: String): (DataFrame, Int) = {
+  /** One g1b round's pre-checkpoint `next` relation — the loop-body plan
+    * the bench pays ConvCap-ish times. Factored out so PlanDump can
+    * capture the PER-ITERATION plan (the final checkpointed plan says
+    * nothing about the loop — the r21 evidence gap).
+    *
+    * `pr` is the previous round's (nid, pr) slice; `nodes2` the static
+    * (nid, dang) node relation. edeg is hash(dst)-partitioned and nodes2
+    * hash(nid)-partitioned (see g1bRun), so the in-mass groupBy runs
+    * exchange-free and the nodes2 ⋈ in join is CO-PARTITIONED (in is
+    * keyed and partitioned by dst): deliberately NOT broadcast — a
+    * broadcast would cost one more driver job + collect per round, while
+    * the co-partitioned SMJ keeps the whole round body a single
+    * zero-exchange stage. Only `pr` is broadcast (its consumer edeg is
+    * partitioned by dst, not the join key src — without the broadcast
+    * every round would re-shuffle |E|). */
+  private[graft] def g1bRound(nodes2: DataFrame, edeg: DataFrame,
+      pr: DataFrame, bcast: DataFrame => DataFrame, tele: Long,
+      dangShare: Long): DataFrame = {
+    val in = edeg.join(bcast(pr), edeg("src") === pr("nid"))
+      .select(col("dst"), expr("pr div deg").as("m"))
+      .groupBy(col("dst")).agg(sum(col("m")).as("inm"))
+    nodes2
+      .join(in, nodes2("nid") === in("dst"), "left")
+      .select(nodes2("nid"),
+        (lit(tele) +
+          expr(s"(coalesce(inm, CAST(0 AS BIGINT)) + $dangShare) div 2"))
+          .as("pr"),
+        col("dang"))
+  }
+
+  private[graft] def g1bRun(s: SparkSession, d: String,
+      dumpRound: Option[DataFrame => Unit] = None): (DataFrame, Int) = {
     val e = directedEdges(s, d).localCheckpoint()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val nodes = e.select(col("src").as("nid"))
-      .unionByName(e.select(col("dst").as("nid"))).distinct()
-      .localCheckpoint()
-    val nv = nodes.count()
-    val bcast = graft.core.ConfScope.bcastIfFits(s, nv, NodeRowBytes)
+    val ndeg = deg.count()
+    val bcastDeg = graft.core.ConfScope.bcastIfFits(s, ndeg, NodeRowBytes)
+    // loop width sized from the MEASURED edge bytes (guide §2.2): the
+    // exchange-free loop never gives AQE a shuffle to coalesce, so the
+    // width is derived here — 1–2 tasks per round at test scale, the
+    // full configured width at cluster scale.
+    val parts = graft.core.ConfScope.loopParts(s, e.count(), EdgeRowBytes)
     // static e⋈deg hoisted OUT of the loop (r16): every round used to
     // re-join edges with out-degrees; both are loop-invariant, so the
     // join runs once and pins one more O(|E|) relation (the same
     // storage/fault-tolerance trade `e` itself makes — on executor
     // loss production re-runs the stage from the scans). deg is
     // nv-bounded → the measured broadcast gate (r21) spares e the
-    // build-side shuffle.
-    val edeg = e.join(bcast(deg), "src")
-      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
+    // build-side shuffle. r22 (guide §2.4): edeg is checkpointed
+    // HASH-PARTITIONED BY dst — the per-round in-mass aggregate groups
+    // by dst, so the preserved partitioning removes the per-round
+    // Exchange of the map-side-combined in-mass rows (the one shuffle
+    // the r21 plan still paid — plans/r22/g1b_*_iter_before.txt node 10).
+    val edeg = graft.core.ConfScope.checkpointByKeyN(
+      e.join(bcastDeg(deg), "src")
+        .select(col("src"), col("dst"), col("deg")), parts, col("dst"))
+    // static (nid, dang) node relation, hash-partitioned by nid: the
+    // dangling flag is a per-node constant, so computing it ONCE here
+    // removes the probe's per-round deg join; the nid partitioning
+    // keeps the nodes2 ⋈ in join exchange-free when the gate is off
+    // (in-mass is keyed dst = nid and partitioned by it).
+    val nodes2 = graft.core.ConfScope.checkpointByKeyN(
+      e.select(col("src").as("nid"))
+        .unionByName(e.select(col("dst").as("nid"))).distinct()
+        .join(bcastDeg(deg), col("nid") === deg("src"), "left")
+        .select(col("nid"), col("src").isNull.as("dang")), parts, col("nid"))
+    val nv = nodes2.count()
+    val bcast = graft.core.ConfScope.bcastIfFits(s, nv, NodeRowBytes)
     val tele = Scale / (2L * nv)
-    var pr = nodes.select(col("nid"), lit(Scale / nv).as("pr"))
-      .localCheckpoint()
+    var pr = nodes2.select(col("nid"), lit(Scale / nv).as("pr"),
+      col("dang"))
     var rounds = 0
     var stationary = false
     // dangling mass as a driver scalar (1 row per round — the L22
@@ -149,12 +199,12 @@ object Graph {
     // k-fold per round and analysis time goes exponential in the
     // round number (BigInteger multiplication on the main thread;
     // measured: rounds 18/19/20 at 4.5/8.4/39 s on sf0.001 with
-    // k = 3). Single-reference keeps the digit growth linear. The
-    // initial mass is its own job; every later round's rides the
-    // fused probe below.
-    var dangShare = pr.join(bcast(deg), pr("nid") === deg("src"), "left_anti")
-      .agg(coalesce(sum(col("pr")), lit(0L)))
-      .head().getLong(0) / nv
+    // k = 3). Single-reference keeps the digit growth linear — which is
+    // why each round's `next` joins the STATIC nodes2, never pr itself.
+    // The INITIAL mass is closed-form (r22): pr0 is uniform, so
+    // Σ pr0 over dangling = (Scale div nv) · (nv − |deg|) — two counted
+    // scalars replace the left-anti aggregation job the loop used to pay.
+    var dangShare = (Scale / nv) * (nv - ndeg) / nv
     // Join-strategy gate (r21, guide §3.1): every nv-sized loop relation
     // (pr, deg, in) rides a checkpointed plan whose PRESERVED join-
     // estimate stats are join-product estimates that grow per round (see
@@ -164,31 +214,32 @@ object Graph {
     // above): broadcast the nv-sized side when it fits the session's own
     // broadcast threshold — exactly the decision correct stats would
     // produce, at any scale (a 1e9-node graph fails the gate and keeps
-    // the shuffle plan).
+    // the shuffle plan — which the r22 pre-partitioning keeps
+    // exchange-free on the aggregate and the nodes2 join even then).
     while (rounds < ConvCap && !stationary) {
-      val in = edeg.join(bcast(pr), edeg("src") === pr("nid"))
-        .select(col("dst"), expr("pr div deg").as("m"))
-        .groupBy(col("dst")).agg(sum(col("m")).as("inm"))
-      val next = nodes
-        .join(bcast(in), nodes("nid") === in("dst"), "left")
-        .select(nodes("nid"),
-          (lit(tele) +
-            expr(s"(coalesce(inm, CAST(0 AS BIGINT)) + $dangShare) div 2"))
-            .as("pr"))
-        .localCheckpoint()
+      val body = g1bRound(nodes2, edeg,
+        pr.select(col("nid"), col("pr")), bcast, tele, dangShare)
+      if (rounds == 0) dumpRound.foreach(_(body))
+      // checkpoint WITH partitioning: the body is a left-outer join whose
+      // left side is hash(nid), so next inherits hash(nid) — which makes
+      // the probe below co-partitioned with the previous round's next.
+      val next = graft.core.ConfScope.checkpointKeepPartitioning(body)
       // ONE fused probe job per round (r16 — was two): stationarity
       // against the PREVIOUS checkpoint AND the NEXT round's dangling
       // mass, both over the just-materialized `next`. Outside the
       // checkpointed plan, so the joins never inflate carried stats;
       // the full-scan aggregate replaces limit(1).isEmpty — nv rows
-      // cost less than the job the short-circuit used to save.
+      // cost less than the job the short-circuit used to save. The
+      // dangling flag rides `next` as a column (from nodes2), so the
+      // probe joins ONE relation (the previous ranks) — and both sides
+      // carry hash(nid), so the probe is a zero-exchange, zero-broadcast
+      // single job (r22).
       val probe = next
-        .join(bcast(pr.select(col("nid").as("pnid"), col("pr").as("prev"))),
+        .join(pr.select(col("nid").as("pnid"), col("pr").as("prev")),
           next("nid") === col("pnid"))
-        .join(bcast(deg), next("nid") === deg("src"), "left")
         .agg(
-          coalesce(sum(when(col("deg").isNull, next("pr"))), lit(0L))
-            .as("dang"),
+          coalesce(sum(when(next("dang"), next("pr"))), lit(0L))
+            .as("dang_mass"),
           coalesce(max(when(next("pr") =!= col("prev"), 1)), lit(0))
             .as("changed"))
         .head()
@@ -209,6 +260,49 @@ object Graph {
     (out, rounds)
   }
 
+  /** G1 body (see the g1_pagerank registration comment for semantics). */
+  private[graft] def g1Run(s: SparkSession, d: String,
+      dumpRound: Option[DataFrame => Unit] = None): DataFrame = {
+    val e = edges(s, d).localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nv = deg.count()
+    // measured broadcast gate + loop-invariant e⋈deg hoist (r21 —
+    // the g1b recipe, see g1bRun): without it every round SMJ-
+    // shuffled |E| twice (pr/deg carry grown checkpoint stats).
+    // r22: edeg checkpointed hash-partitioned by dst so the per-round
+    // rank aggregate (groupBy dst) is exchange-free (guide §2.4).
+    val bcast = graft.core.ConfScope.bcastIfFits(s, nv, NodeRowBytes)
+    val parts = graft.core.ConfScope.loopParts(s, e.count(), EdgeRowBytes)
+    val edeg = graft.core.ConfScope.checkpointByKeyN(
+      e.join(bcast(deg), "src")
+        .select(col("src"), col("dst"), col("deg")), parts, col("dst"))
+    val tele = (15L * Scale) / (100L * nv)
+    var pr = deg.select(col("src").as("nid"),
+      lit(Scale / nv).as("pr"))
+    for (i <- 1 to Rounds) {
+      val body = g1Round(edeg, pr, bcast, tele)
+      if (i == 1) dumpRound.foreach(_(body))
+      pr = body.localCheckpoint()
+    }
+    pr.select(col("nid"),
+        when(col("nid") % 2 === 0, lit("customer"))
+          .otherwise(lit("supplier")).as("kind"),
+        expr("nid div 2").as("key"), col("pr"))
+      .orderBy(col("pr").desc, col("nid").asc)
+      .limit(20)
+  }
+
+  /** One g1 Pregel round (pre-checkpoint) — factored out for PlanDump's
+    * per-iteration plan capture (see g1bRound). */
+  private[graft] def g1Round(edeg: DataFrame, pr: DataFrame,
+      bcast: DataFrame => DataFrame, tele: Long): DataFrame =
+    edeg.join(bcast(pr), edeg("src") === pr("nid"))
+      .select(col("dst"), expr("pr div deg").as("m"))
+      .groupBy(col("dst")).agg(sum(col("m")).as("sumin"))
+      .select(col("dst").as("nid"),
+        (lit(tele) + expr("(85 * sumin) div 100")).as("pr"))
+
   /** G2: the co-order PART graph — undirected edge {p1, p2} iff some
     * order's lineitems contain both parts (the market-basket structure;
     * the G1 customer×supplier graph is bipartite, hence triangle-free
@@ -228,6 +322,51 @@ object Graph {
     * definition (synchronous LPA converges or 2-cycles; a fixed round
     * count keeps it deterministic and oracle-replayable). */
   val LpaRounds = 5
+
+  /** G3 body (see the g3_labelprop registration comment for semantics). */
+  private[graft] def g3Run(s: SparkSession, d: String,
+      dumpRound: Option[DataFrame => Unit] = None): DataFrame = {
+    // r22: und checkpointed so partEdges runs once (the symmetrization
+    // references it twice) and its count can size the loop width; the
+    // symmetric edge relation is then checkpointed hash-partitioned by
+    // dst — both per-round aggregates key on dst ((dst, lbl) then dst;
+    // hash(dst) satisfies both ClusteredDistributions), so every LPA
+    // round runs with zero exchanges (guide §2.4) at a width derived
+    // from the measured edge bytes (guide §2.2).
+    val und = partEdges(s, d).localCheckpoint()
+    val parts = graft.core.ConfScope.loopParts(s, 2L * und.count(),
+      EdgeRowBytes)
+    val e = graft.core.ConfScope.checkpointByKeyN(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst"))),
+      parts, col("dst"))
+    var lbl = e.select(col("src").as("nid")).distinct()
+      .select(col("nid"), col("nid").as("lbl"))
+      .localCheckpoint()
+    // measured broadcast gate (r21 — the g1b recipe): lbl is nv-sized
+    // but its checkpoint stats grow per round, so autoBroadcast never
+    // fired and every round SMJ-shuffled the |E|-sized edge relation.
+    val bcast = graft.core.ConfScope.bcastIfFits(s, lbl.count(),
+      NodeRowBytes)
+    for (i <- 1 to LpaRounds) {
+      val body = g3Round(e, lbl, bcast)
+      if (i == 1) dumpRound.foreach(_(body))
+      lbl = body.localCheckpoint()
+    }
+    lbl.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community").asc)
+  }
+
+  /** One g3 synchronous LPA round (pre-checkpoint) — factored out for
+    * PlanDump's per-iteration plan capture (see g1bRound). */
+  private[graft] def g3Round(e: DataFrame, lbl: DataFrame,
+      bcast: DataFrame => DataFrame): DataFrame =
+    e.join(bcast(lbl), e("src") === lbl("nid"))
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("dst").as("nid"), (-col("m.nl")).as("lbl"))
 
   /** G4 BFS round cap. Identity-safe like G1b's ConvCap: once the
     * frontier is empty every later round is a no-op, so the generated
@@ -283,11 +422,20 @@ object Graph {
     * rounds (each edge relaxes at most twice), round count = graph
     * eccentricity (~O(log n) on small-world graphs); per-round
     * localCheckpoint truncates lineage, the G1 Pregel hygiene. */
-  private[graft] def g4Run(s: SparkSession, d: String): (DataFrame, Int) = {
-    val und = supportEdges(s, d)
-    val e = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+  private[graft] def g4Run(s: SparkSession, d: String,
+      dumpRound: Option[DataFrame => Unit] = None): (DataFrame, Int) = {
+    // r22: und checkpointed (supportEdges referenced twice by the
+    // symmetrization, and its count sizes the loop width); e then
+    // checkpointed hash-partitioned by dst — the per-round frontier
+    // expansion's distinct() keys on dst, so it needs no exchange
+    // (guide §2.4; the left-anti against settled is broadcast-gated).
+    val und = supportEdges(s, d).localCheckpoint()
+    val parts = graft.core.ConfScope.loopParts(s, 2L * und.count(),
+      EdgeRowBytes)
+    val e = graft.core.ConfScope.checkpointByKeyN(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst"))),
+      parts, col("dst"))
     var settled = e.select(col("src").as("nid")).distinct()
       .filter(col("nid") % BfsSrcMod === 0)
       .select(col("nid"), lit(0).as("dist"))
@@ -302,10 +450,9 @@ object Graph {
     // broadcast that would have fit, never force one that doesn't.
     val bcast = graft.core.ConfScope.bcastIfFits(s, e.count(), NodeRowBytes)
     while (rounds < BfsCap && !done) {
-      val next = e.join(bcast(frontier), e("src") === frontier("nid"))
-        .select(e("dst").as("nid")).distinct()
-        .join(bcast(settled), Seq("nid"), "left_anti")
-        .localCheckpoint()
+      val body = g4Round(e, frontier, settled, bcast)
+      if (rounds == 0) dumpRound.foreach(_(body))
+      val next = body.localCheckpoint()
       done = next.isEmpty
       if (!done) {
         rounds += 1
@@ -319,6 +466,14 @@ object Graph {
         col("dist").cast(IntegerType).as("dist"))
       .orderBy(col("dist"), col("p_partkey")), rounds)
   }
+
+  /** One g4 BFS frontier-expansion round (pre-checkpoint) — factored out
+    * for PlanDump's per-iteration plan capture (see g1bRound). */
+  private[graft] def g4Round(e: DataFrame, frontier: DataFrame,
+      settled: DataFrame, bcast: DataFrame => DataFrame): DataFrame =
+    e.join(bcast(frontier), e("src") === frontier("nid"))
+      .select(e("dst").as("nid")).distinct()
+      .join(bcast(settled), Seq("nid"), "left_anti")
 
   /** G5 relaxation-round cap. Identity-safe like BfsCap: once no node
     * improves, every later round is a no-op, so the generated oracle
@@ -365,12 +520,32 @@ object Graph {
     * path; per-round localCheckpoint truncates lineage (the G1 Pregel
     * hygiene). Returns (result, rounds) — rounds for the spec's
     * stopped-before-cap pin. */
-  private[graft] def g5Run(s: SparkSession, d: String): (DataFrame, Int) = {
-    val und = weightedSupportEdges(s, d)
-    val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionByName(
-        und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint()
+  /** One g5 relaxation round (pre-checkpoint `improved`) — factored out
+    * for PlanDump's per-iteration plan capture (see g1bRound). */
+  private[graft] def g5Round(e: DataFrame, frontier: DataFrame,
+      dist: DataFrame, bcast: DataFrame => DataFrame): DataFrame = {
+    val cand = e.join(bcast(frontier), e("src") === frontier("nid"))
+      .groupBy(e("dst").as("nid"))
+      .agg(min(frontier("d") + e("w")).as("nd"))
+    cand.join(bcast(dist), Seq("nid"), "left")
+      .filter(col("d").isNull || col("nd") < col("d"))
+      .select(col("nid"), col("nd").as("d"))
+  }
+
+  private[graft] def g5Run(s: SparkSession, d: String,
+      dumpRound: Option[DataFrame => Unit] = None): (DataFrame, Int) = {
+    // r22: und checkpointed (weightedSupportEdges referenced twice by
+    // the symmetrization, count sizes the loop width); e checkpointed
+    // hash-partitioned by dst — the per-round candidate-min aggregate
+    // keys on dst, so it needs no exchange (guide §2.4).
+    val und = weightedSupportEdges(s, d).localCheckpoint()
+    val parts = graft.core.ConfScope.loopParts(s, 2L * und.count(),
+      EdgeRowBytes)
+    val e = graft.core.ConfScope.checkpointByKeyN(
+      und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionByName(
+          und.select(col("b").as("src"), col("a").as("dst"), col("w"))),
+      parts, col("dst"))
     var dist = e.select(col("src").as("nid")).distinct()
       .filter(col("nid") % BfsSrcMod === 0)
       .select(col("nid"), lit(0L).as("d"))
@@ -383,13 +558,9 @@ object Graph {
     // bound spares the edge relation a per-round SMJ shuffle.
     val bcast = graft.core.ConfScope.bcastIfFits(s, e.count(), NodeRowBytes)
     while (rounds < SsspCap && !done) {
-      val cand = e.join(bcast(frontier), e("src") === frontier("nid"))
-        .groupBy(e("dst").as("nid"))
-        .agg(min(frontier("d") + e("w")).as("nd"))
-      val improved = cand.join(bcast(dist), Seq("nid"), "left")
-        .filter(col("d").isNull || col("nd") < col("d"))
-        .select(col("nid"), col("nd").as("d"))
-        .localCheckpoint()
+      val body = g5Round(e, frontier, dist, bcast)
+      if (rounds == 0) dumpRound.foreach(_(body))
+      val improved = body.localCheckpoint()
       done = improved.isEmpty
       if (!done) {
         rounds += 1
@@ -415,31 +586,7 @@ object Graph {
     // + two-phase aggregate on dst, lineage truncated per round (the
     // G1 Pregel shape); symmetric edges mean every node is some dst,
     // so labels never drop. Output: community sizes (label, members).
-    "g3_labelprop" -> ((s, d) => {
-      val und = partEdges(s, d)
-      val e = und.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint()
-      var lbl = e.select(col("src").as("nid")).distinct()
-        .select(col("nid"), col("nid").as("lbl"))
-        .localCheckpoint()
-      // measured broadcast gate (r21 — the g1b recipe): lbl is nv-sized
-      // but its checkpoint stats grow per round, so autoBroadcast never
-      // fired and every round SMJ-shuffled the |E|-sized edge relation.
-      val bcast = graft.core.ConfScope.bcastIfFits(s, lbl.count(),
-        NodeRowBytes)
-      for (_ <- 1 to LpaRounds) {
-        lbl = e.join(bcast(lbl), e("src") === lbl("nid"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-          .groupBy(col("dst"))
-          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("dst").as("nid"), (-col("m.nl")).as("lbl"))
-          .localCheckpoint()
-      }
-      lbl.groupBy(col("lbl").as("community"))
-        .agg(count(lit(1)).as("n_members"))
-        .orderBy(col("n_members").desc, col("community").asc)
-    }),
+    "g3_labelprop" -> ((s, d) => g3Run(s, d)),
 
     // G2 — exact triangle counting per node, top-20. The scalable
     // degree-ordered orientation (Latapy's compact-forward / the MR
@@ -495,6 +642,13 @@ object Graph {
           .ADVISORY_PARTITION_SIZE_IN_BYTES)
       val shj: DataFrame => DataFrame =
         if (shjFits) df => df.hint("shuffle_hash") else identity
+      // r22 note: checkpointing `dir` hash(src)-partitioned (computing it
+      // once and making the wedge join co-partitioned) was tried and
+      // MEASURED SLOWER (6.2 s vs 4.2 s p50 exclusive at sf0.1): the
+      // wedge volume ΣC(d_out,2) dwarfs |E|, so the wedge joins are
+      // compute-bound and the pre-partitioning starves them of width
+      // while the rebuilt dir is broadcast-join-only and cheap. Kept in
+      // the r21 recompute form deliberately.
       val dir = und
         .join(bcast(ord.select(col("nid").as("a"), col("okey").as("oa"))),
           "a")
@@ -524,35 +678,7 @@ object Graph {
     // short), generated full-relaxation oracle unrolled to SsspCap.
     "g5_sssp" -> ((s, d) => g5Run(s, d)._1),
     "g1b_pagerank_conv" -> ((s, d) => g1bRun(s, d)._1),
-    "g1_pagerank" -> ((s, d) => {
-      val e = edges(s, d).localCheckpoint()
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      val nv = deg.count()
-      // measured broadcast gate + loop-invariant e⋈deg hoist (r21 —
-      // the g1b recipe, see g1bRun): without it every round SMJ-
-      // shuffled |E| twice (pr/deg carry grown checkpoint stats).
-      val bcast = graft.core.ConfScope.bcastIfFits(s, nv, NodeRowBytes)
-      val edeg = e.join(bcast(deg), "src")
-        .select(col("src"), col("dst"), col("deg")).localCheckpoint()
-      val tele = (15L * Scale) / (100L * nv)
-      var pr = deg.select(col("src").as("nid"),
-        lit(Scale / nv).as("pr"))
-      for (_ <- 1 to Rounds) {
-        pr = edeg.join(bcast(pr), edeg("src") === pr("nid"))
-          .select(col("dst"), expr("pr div deg").as("m"))
-          .groupBy(col("dst")).agg(sum(col("m")).as("sumin"))
-          .select(col("dst").as("nid"),
-            (lit(tele) + expr("(85 * sumin) div 100")).as("pr"))
-          .localCheckpoint()
-      }
-      pr.select(col("nid"),
-          when(col("nid") % 2 === 0, lit("customer"))
-            .otherwise(lit("supplier")).as("kind"),
-          expr("nid div 2").as("key"), col("pr"))
-        .orderBy(col("pr").desc, col("nid").asc)
-        .limit(20)
-    })
+    "g1_pagerank" -> ((s, d) => g1Run(s, d))
   )
 
   /** G1b generated oracle: ConvCap rounds unrolled UNCONDITIONALLY —
