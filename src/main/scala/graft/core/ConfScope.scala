@@ -32,7 +32,21 @@ object ConfScope {
     * rule correct stats would produce: rows × rowBytes under the
     * session's own autoBroadcastJoinThreshold (−1 disables, exactly as
     * it disables the planner's). Scale-adaptive by construction — a
-    * cluster-scale relation fails the gate and keeps the shuffle plan. */
+    * cluster-scale relation fails the gate and keeps the shuffle plan.
+    *
+    * rowBytes slack (advisor r21): callers pass 32 B for 2-BIGINT rows
+    * whose UnsafeRow is 8 (null bits) + 2×8 = 24 B, so the estimate
+    * carries ~33% headroom against HashedRelation per-row overhead;
+    * and the threshold compares against the same default (10 MB) the
+    * planner applies to its own (driver-collected) broadcast builds,
+    * whose true in-memory relation is several× the estimate there too
+    * — the gate is no more aggressive than the planner's own sizing.
+    * Callers whose gated relation GROWS across loop rounds (g4's
+    * settled, g5's dist) gate on a count that BOUNDS the final size
+    * (node count ≤ the counted symmetric edge count), never the
+    * round-1 size — GraphSpec's bfs/sssp pins run the full loops, so
+    * an over-bound broadcast would surface there as a driver OOM long
+    * before production. */
   def bcastIfFits(s: SparkSession, rows: Long, rowBytes: Long)
       : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
     val thr = s.sessionState.conf.autoBroadcastJoinThreshold

@@ -18,15 +18,15 @@ import graft.core.Tables
   *  2. training vocabulary = top-`VocabCap` words by (freq DESC, word
   *     ASC) — the standard frequency-truncated trainer input, and the
   *     bound that makes every later stage corpus-size-INDEPENDENT;
-  *  3. `Merges` rounds: count adjacent symbol pairs weighted by word
-  *     freq (a distributed 2-phase aggregation per round — the L28
-  *     shape — over the VocabCap-bounded segmentation relation), pick
-  *     the argmax pair under the deterministic (cnt DESC, x ASC, y ASC)
-  *     tie-break, and re-segment every word greedily left-to-right (a
-  *     single `aggregate` higher-order fold per row — no UDF). A round
-  *     with no pair of weighted count ≥ `MinPair` stops training (the
-  *     stop is stable: merging only ever removes qualifying pairs of
-  *     the argmax round).
+  *  3. `Merges` rounds over the VocabCap-bounded table, DRIVER-SIDE
+  *     (r21 — see trainUncached): count adjacent symbol pairs weighted
+  *     by word freq, pick the argmax pair under the deterministic
+  *     (cnt DESC, x ASC, y ASC) tie-break in Spark/DuckDB binary
+  *     string order, and re-segment every word greedily left-to-right
+  *     ([[mergeSeq]] ≡ the Catalyst fold [[mergeCol]]). A round with
+  *     no pair of weighted count ≥ `MinPair` stops training (the stop
+  *     is stable: merging only ever removes qualifying pairs of the
+  *     argmax round).
   *  4. the trained model = the merge table (≤ `Merges` rows) + the final
   *     per-word segmentation (≤ `VocabCap` rows) — an index artifact,
   *     cached per corpus fingerprint like the IVF/PQ codebooks.
@@ -37,12 +37,13 @@ import graft.core.Tables
   * no merges apply) — a total, engine-replayable rule.
   *
   * 100 TB shape: the corpus-scale work is one word-count aggregation
-  * (training) and one broadcast-join scan (encoding). Each training
-  * round runs on the VocabCap-bounded relation — driver traffic per
-  * round is ONE row (the argmax pair); the final segmentation collect
-  * is VocabCap-bounded by construction (the trainCentroids contract).
-  * Lineage across rounds is truncated by periodic localCheckpoint
-  * (the L22 pointer-jumping idiom).
+  * (training) and one broadcast-join scan (encoding). Driver traffic
+  * for training is ONE collect of the truncated top-VocabCap word
+  * table (the trainCentroids driver-held-model contract); the 50
+  * merge rounds then fold that ≤1000-row table in memory — no Spark
+  * job, no lineage, no shuffle is paid per round at ANY corpus size,
+  * because the round input is corpus-size-independent by the VocabCap
+  * bound above.
   *
   * Determinism: counts are exact integers; the tie-break is total;
   * string comparison is binary in both engines. The DuckDB oracle
@@ -130,7 +131,7 @@ object Bpe {
 
   /** Adjacent-pair weighted counts of a segmentation relation, the
     * per-round 2-phase aggregation (exposed for BpeSpec). */
-  private[llm] def pairCounts(seg: DataFrame): DataFrame =
+  private[graft] def pairCounts(seg: DataFrame): DataFrame =
     seg.filter(size(col("syms")) >= 2)
       .select(col("freq"), explode(expr(
         "transform(sequence(1, size(syms) - 1), i -> named_struct(" +
@@ -215,18 +216,21 @@ object Bpe {
           i += 1
         }
       }
-      val qual = counts.iterator.filter(_._2 >= MinPair)
-      if (qual.isEmpty) done = true
-      else {
-        val ((x, y), c) = qual.reduce { (a, b) =>
+      // reduceOption in ONE pass: Iterator.isEmpty-then-reduce leaves
+      // the iterator undefined per the Iterator contract (advisor r21)
+      val best = counts.iterator.filter(_._2 >= MinPair)
+        .reduceOption { (a, b) =>
           val ((ax, ay), ac) = a; val ((bx, by), bc) = b
           if (ac != bc) { if (ac > bc) a else b }
           else if (ax != bx) { if (utf8Lt(ax, bx)) a else b }
           else if (utf8Lt(ay, by)) a else b
         }
-        merges += ((t, x, y, c))
-        seg = seg.map { case (w, f, syms) => (w, f, mergeSeq(syms, x, y)) }
-        t += 1
+      best match {
+        case None => done = true
+        case Some(((x, y), c)) =>
+          merges += ((t, x, y, c))
+          seg = seg.map { case (w, f, syms) => (w, f, mergeSeq(syms, x, y)) }
+          t += 1
       }
     }
     Model(merges.toList,

@@ -95,8 +95,13 @@ object Retrieval {
         explode(split(col("text"), " ")).as("token"))
       val tf = tok.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // r22 (guide §2.4 remove shuffles): dl = per-doc token count =
+      // split length — a map-side projection of the scan; the previous
+      // tok.groupBy(doc_id) was a second full corpus explode+shuffle
+      // computing the same number (split of any string is non-empty,
+      // so no doc drops out vs the unnest count).
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("dl"))
       // corpus scalars: one row, broadcast by construction
       val stats = dl.agg(sum(col("dl")).as("totdl"),
         count(lit(1)).as("nd"))
@@ -104,17 +109,26 @@ object Retrieval {
         .select(col("doc_id").as("qid"),
           explode(slice(split(col("text"), " "), 1, 4)).as("token"))
         .distinct()
-      val scored = tf.join(broadcast(qterms), "token")
-        .join(df, "token")
+      // r22 (guide §2.3 shuffle/compute fewer bytes): the (idf·tfp)
+      // contribution depends on (doc, token) only — NEVER on qid — so
+      // it is computed ONCE per candidate (doc, token) and the
+      // qid-fanout join ships finished BIGINTs into the sum (it used
+      // to re-evaluate the fixed-point arithmetic per (qid, doc,
+      // token) — ~38× more evaluations at sf0.1, where every token is
+      // shared by ~38 query sets). df over the PRUNED candidates is
+      // df of those tokens exactly (pruning is by token).
+      val qtok = qterms.select(col("token")).distinct()
+      val cand = tf.join(broadcast(qtok), "token")
+      val dfq = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val contrib = cand.join(broadcast(dfq), "token")
         .join(dl, "doc_id")
         .join(broadcast(stats))
-        .select(col("qid"), col("doc_id"),
-          expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)")
-            .as("idf_fp"),
-          expr("(tf * 22000 * totdl) div " +
-            "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)").as("tfp_fp"))
-        .select(col("qid"), col("doc_id"),
-          (col("idf_fp") * col("tfp_fp")).as("contrib"))
+        .select(col("token"), col("doc_id"),
+          (expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)") *
+           expr("(tf * 22000 * totdl) div " +
+             "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)"))
+            .as("contrib"))
+      val scored = contrib.join(broadcast(qterms), "token")
         .groupBy(col("qid"), col("doc_id"))
         .agg(sum(col("contrib")).as("score"))
       scored
@@ -191,25 +205,32 @@ object Retrieval {
         explode(col("ctoks")).as("token"))
       val tf = tok.groupBy(col("doc_id"), col("chunk_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id"), col("chunk_id"))
-        .agg(count(lit(1)).as("dl"))
-      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // r22: dl = chunk length = size(ctoks), a map-side projection of
+      // the chunk relation (slice never yields an empty array here —
+      // chunk_id stops at the last stride start, so every chunk holds
+      // ≥1 token and no (doc, chunk) drops out vs the unnest count);
+      // the qid-independent contribution is computed once per
+      // candidate (doc, chunk, token) before the qid fanout, df over
+      // the token-pruned candidates — the l45 restructure.
+      val dl = chunks.select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast(LongType).as("dl"))
       val stats = dl.agg(sum(col("dl")).as("totdl"), count(lit(1)).as("nd"))
       val qterms = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("qid"),
           explode(slice(split(col("text"), " "), 1, 8)).as("token"))
         .distinct()
-      val scored = tf.join(broadcast(qterms), "token")
-        .join(df, "token")
+      val qtok = qterms.select(col("token")).distinct()
+      val cand = tf.join(broadcast(qtok), "token")
+      val dfq = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val contrib = cand.join(broadcast(dfq), "token")
         .join(dl, Seq("doc_id", "chunk_id"))
         .join(broadcast(stats))
-        .select(col("qid"), col("doc_id"), col("chunk_id"),
-          expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)")
-            .as("idf_fp"),
-          expr("(tf * 22000 * totdl) div " +
-            "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)").as("tfp_fp"))
-        .select(col("qid"), col("doc_id"), col("chunk_id"),
-          (col("idf_fp") * col("tfp_fp")).as("contrib"))
+        .select(col("token"), col("doc_id"), col("chunk_id"),
+          (expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)") *
+           expr("(tf * 22000 * totdl) div " +
+             "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)"))
+            .as("contrib"))
+      val scored = contrib.join(broadcast(qterms), "token")
         .groupBy(col("qid"), col("doc_id"), col("chunk_id"))
         .agg(sum(col("contrib")).as("score"))
       scored
@@ -237,27 +258,33 @@ object Retrieval {
   private[graft] def rrfFusion(s: SparkSession, d: String,
                                qmod: Long): DataFrame = {
     val docs = Tables.documents(s, d)
-    // sparse ranker: L45's exact-integer BM25, widened to top-10
+    // sparse ranker: L45's exact-integer BM25, widened to top-10 —
+    // carrying L45's r22 restructure (map-side dl; qid-independent
+    // contribution computed once per candidate (doc, token) BEFORE the
+    // qid fanout; df over the token-pruned candidates — see l45).
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("dl"))
     val stats = dl.agg(sum(col("dl")).as("totdl"),
       count(lit(1)).as("nd"))
     val qterms = docs.filter(col("doc_id") % qmod === 0)
       .select(col("doc_id").as("qid"),
         explode(slice(split(col("text"), " "), 1, 4)).as("token"))
       .distinct()
-    val sparse = tf.join(broadcast(qterms), "token")
-      .join(df, "token")
+    val qtok = qterms.select(col("token")).distinct()
+    val cand = tf.join(broadcast(qtok), "token")
+    val dfq = cand.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val contrib = cand.join(broadcast(dfq), "token")
       .join(dl, "doc_id")
       .join(broadcast(stats))
-      .select(col("qid"), col("doc_id"),
+      .select(col("token"), col("doc_id"),
         (expr(s"((2 * nd - 2 * df + 1) * ${Scale}) div (2 * df + 1)") *
          expr("(tf * 22000 * totdl) div " +
            "(10 * totdl * tf + 3 * totdl + 9 * dl * nd)")).as("contrib"))
+    val sparse = contrib.join(broadcast(qterms), "token")
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"))
       .withColumn("srnk", row_number().over(

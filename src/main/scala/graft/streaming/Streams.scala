@@ -1152,9 +1152,20 @@ object Streams {
     * long the batch takes. The semantics are exactly "state never
     * survives a batch boundary": a deterministic, hash-gateable
     * restriction of the funnel. The 2.5× gap/TTL margin absorbs
-    * wall-clock steps between batch-timestamp samples. */
-  private[graft] val S25TtlMs = 400L
-  private[graft] val S25GapMs = 1000L
+    * wall-clock steps between batch-timestamp samples.
+    *
+    * r22 (guide §1.2 — the 4 pacing sleeps were ~70% of s25's
+    * wall-clock): both constants shrink 4× keeping the 2.5× ratio.
+    * Correctness is ratio-shaped, not absolute: the sleep is a strict
+    * LOWER bound on the distance between consecutive batch timestamps
+    * (batch b+1 is planned only after b's foreachBatch — including the
+    * sleep — returns and b commits), so gap ≥ ttl with margin is the
+    * whole argument; no path can compress the observed gap below the
+    * slept 250 ms, and in-batch non-expiry never depended on the
+    * values at all (same timestamp both sides). Oracle unchanged —
+    * its rule is the batch-boundary restriction, not the ms values. */
+  private[graft] val S25TtlMs = 100L
+  private[graft] val S25GapMs = 250L
 
   /** S25 body — the s8b funnel with a REAL state TTL (see the
     * FunnelProcessor ttl param; TimeMode.ProcessingTime as TTL
@@ -3070,6 +3081,13 @@ object Streams {
       .select(col("sig"), col("canon"), pfx.as("pfx"), lit(-1L).as("bid"))
       .write.partitionBy("pfx", "bid")
       .mode("overwrite").parquet(store.toString)
+    // fixed store schema (incl. the two partition columns): passing it
+    // to every per-batch read skips parquet schema inference — one
+    // footer-read job per batch under the _DONE-like immutability of
+    // the leaves this stream itself writes (guide §6 listing costs).
+    val storeSchema = StructType(Seq(
+      StructField("sig", StringType), StructField("canon", LongType),
+      StructField("pfx", StringType), StructField("bid", LongType)))
     def refresh(batch: DataFrame, id: Long): Unit = {
       val arrInput = batch.filter(col("doc_id") % 7 === 0) // arriving slice
         .withColumn("text", inject)
@@ -3092,7 +3110,8 @@ object Streams {
           .write.mode("overwrite").parquet(outDir.resolve(s"b$id").toString)
         return
       }
-      val prev = batch.sparkSession.read.parquet(store.toString)
+      val prev = batch.sparkSession.read.schema(storeSchema)
+        .parquet(store.toString)
         .filter(col("bid") < id && col("pfx").isin(touched: _*))
         .select(col("sig"), col("canon"))
       val arr = arrInput.join(prev, Seq("sig"), "left")

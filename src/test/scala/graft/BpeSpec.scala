@@ -74,6 +74,39 @@ class BpeSpec extends AnyFunSuite {
     assert(ab(1) == List("ab", "ab"))
   }
 
+  test("mergeSeq (driver fold) ≡ mergeCol (Catalyst fold) on edge cases") {
+    import s.implicits._
+    // the r21 driver-side trainer replays mergeCol's semantics via
+    // mergeSeq — this pins the two against each other DIRECTLY (the
+    // claim in mergeSeq's doc), over the overlap/empty/no-match edges
+    // plus multi-char merged symbols
+    val cases = Seq(
+      Seq("a", "a", "a"), Seq("a", "b", "a", "b"), Seq.empty[String],
+      Seq("a", "a", "a", "a"), Seq("b", "a", "b"), Seq("x"),
+      Seq("ab", "c", "ab", "c"), Seq("a", "b", "b", "a", "b"))
+    val pairs = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("ab", "c"))
+    pairs.foreach { case (x, y) =>
+      val viaCol = cases.toDF("syms")
+        .select(Bpe.mergeCol(col("syms"), x, y))
+        .collect().map(_.getSeq[String](0).toIndexedSeq).toSeq
+      val viaSeq = cases.map(c => Bpe.mergeSeq(c.toIndexedSeq, x, y))
+      assert(viaCol == viaSeq, s"mergeCol vs mergeSeq diverged on ($x,$y)")
+    }
+  }
+
+  test("pairCounts (distributed 2-phase) matches the in-memory pair count") {
+    import s.implicits._
+    val segs = Seq((3L, Seq("a", "b", "a")), (2L, Seq("b", "a")),
+      (5L, Seq("x")), (1L, Seq.empty[String]))
+    val df = segs.toDF("freq", "syms")
+    val got = Bpe.pairCounts(df).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val expected = segs.flatMap { case (f, sy) =>
+      sy.zip(sy.drop(1)).map(p => (p, f))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    assert(got == expected)
+  }
+
   test("encode counts: trained words use |syms|, OOV falls back to chars") {
     val m = Bpe.train(s, TestSpark.Sf)
     val segMap = m.seg.map { case (w, _, sy) => w -> sy.length }.toMap
